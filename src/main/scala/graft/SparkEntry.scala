@@ -1,13 +1,510 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.CdcOps
+import graft.operators.{Dedup, Similarity}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.sources.Tables
+
+/** Driver contract: the declared query inventory (one entry per
+  * implemented operator, SURVEY.md §2 + the training-data-pipeline
+  * extensions) with DuckDB oracle SQL for every SQL-expressible one.
+  *
+  * Numeric discipline for engine-portable hashes: every aggregated
+  * metric is computed in exact decimal arithmetic and cast to double at
+  * the end (order-independent, bit-identical across engines); derived
+  * floating results (cosine, norms) are rounded to 6 dp on both sides
+  * before any ranking.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def ld(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** exact decimal view of a 2-dp double column */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def sumD(c: Column): Column = sum(dec(c)).cast("double")
+
+  // ---------------------------------------------------------------
+  // CDC event stream synthesized from the `events` table:
+  // signup→c, view→r, error→d, click/purchase→u; key = user_id.
+  // ---------------------------------------------------------------
+  private def cdcEvents(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "events").select(
+      col("ts").as("timestamp"),
+      col("event_id"), col("user_id"),
+      when(col("event_type") === "signup", "c")
+        .when(col("event_type") === "view", "r")
+        .when(col("event_type") === "error", "d")
+        .otherwise("u").as(CdcOps.OpColumn),
+      when(col("event_type") === "error", "true").otherwise("false")
+        .as(CdcOps.DeletedColumn),
+      col("value"), col("props"))
+
+  private val cdcSql =
+    """WITH cdc AS (SELECT ts AS "timestamp", event_id, user_id,
+      |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'view' THEN 'r'
+      |       WHEN 'error' THEN 'd' ELSE 'u' END AS __op,
+      |  CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted,
+      |  value, props FROM events)""".stripMargin
+
+  private val payloadCols = """"timestamp", event_id, user_id, value, props"""
+
+  private def routed(s: SparkSession, dir: String): CdcOps.Routed =
+    CdcOps.routeOps(cdcEvents(s, dir), Seq("user_id"))
+
+  // ---------------------------------------------------------------
+  // Flagship
+  // ---------------------------------------------------------------
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("cdc_fold_merge")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------
+  // Query inventory
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- CDC operator surface (SURVEY §2) -----------------------
+    "cdc_cast_project" -> ((s, dir) =>
+      CdcOps.castEnvelope(ld(s, dir, "events")
+        .select(col("ts").as("timestamp"), col("props").as("value")))),
+
+    "cdc_json_parse" -> ((s, dir) =>
+      CdcOps.parseEnvelope(
+        ld(s, dir, "events").select(col("ts").as("timestamp"), col("props").as("value")),
+        StructType(Seq(StructField("k", LongType))))),
+
+    "cdc_sanitize_names" -> ((s, dir) =>
+      CdcOps.sanitizeColumnNames(
+        ld(s, dir, "events").select(col("ts").as("timestamp"),
+          col("ts").as("TIMESTAMP"), col("event_id").as("EVENT/ID")),
+        lower = true)),
+
+    "cdc_route_inserts" -> ((s, dir) => routed(s, dir).inserts),
+    "cdc_route_updates" -> ((s, dir) => routed(s, dir).updates),
+    "cdc_route_deletes" -> ((s, dir) => routed(s, dir).deleteKeys),
+
+    "cdc_lww_dedup" -> ((s, dir) =>
+      CdcOps.lastWriterWins(routed(s, dir).updates, Seq("user_id"),
+        Seq("timestamp", "event_id"))),
+
+    "cdc_coalesce_updates" -> ((s, dir) =>
+      CdcOps.coalesceUpdates(routed(s, dir).updates, Seq("user_id"))),
+
+    "cdc_anti_join" -> ((s, dir) =>
+      CdcOps.antiJoinByKey(
+        ld(s, dir, "customer"),
+        ld(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))),
+
+    "cdc_union_dedup" -> ((s, dir) => {
+      val r = routed(s, dir)
+      r.inserts.unionByName(r.updates).dropDuplicates()
+    }),
+
+    "cdc_full_merge" -> ((s, dir) => {
+      val r = routed(s, dir)
+      CdcOps.mergeBatch(CdcOps.emptyLike(r.inserts), r, Seq("user_id"),
+        Seq("timestamp", "event_id"))
+    }),
+
+    "cdc_fold_merge" -> ((s, dir) =>
+      CdcOps.foldMerge(cdcEvents(s, dir), Seq("user_id"),
+        Seq("timestamp", "event_id"))),
+
+    "cdc_date_parts" -> ((s, dir) =>
+      CdcOps.withDatePartitions(
+        ld(s, dir, "events").select(col("ts").as("timestamp"), col("event_id")))
+        .select(col("timestamp"), col("event_id"),
+          col("op_year").cast("long").as("op_year"),
+          col("op_month").cast("long").as("op_month"),
+          col("op_day").cast("long").as("op_day"))),
+
+    "cdc_increment_dedup" -> ((s, dir) =>
+      CdcOps.incrementBatch(ld(s, dir, "events"))),
+
+    "cdc_bootstrap_empty" -> ((s, dir) =>
+      CdcOps.emptyLike(ld(s, dir, "events"))),
+
+    "cdc_limit_sample" -> ((s, dir) =>
+      ld(s, dir, "events").orderBy(col("event_id")).limit(5)),
+
+    // ---- analytics / bench headliners ---------------------------
+    "q1_pricing_summary" -> ((s, dir) =>
+      ld(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumD(col("l_quantity")).as("sum_qty"),
+          sumD(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = ld(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = ld(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-07-01 00:00:00")))
+      val l = ld(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-07-01 00:00:00")))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val c = ld(s, dir, "customer")
+      val o = ld(s, dir, "orders")
+      val l = ld(s, dir, "lineitem")
+      val n = ld(s, dir, "nation")
+      val r = ld(s, dir, "region").filter(col("r_name") === "EUROPE")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+    }),
+
+    "q_broadcast_join" -> ((s, dir) =>
+      ld(s, dir, "lineitem")
+        .join(broadcast(ld(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sumD(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))),
+
+    "q_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ld(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+    }),
+
+    "q_agg_stats" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sumD(col("value")).as("sum_value"),
+          (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+
+    // ---- text analysis ------------------------------------------
+    "text_token_count" -> ((s, dir) =>
+      ld(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+
+    "text_quality" -> ((s, dir) => {
+      val f = TF.qualityFeatures(col("text"))
+      ld(s, dir, "documents").select(
+        col("doc_id"),
+        f.getField("n_chars").cast("long").as("n_chars"),
+        f.getField("n_words").cast("long").as("n_words"),
+        f.getField("mean_word_len").as("mean_word_len"),
+        f.getField("punct_ratio").as("punct_ratio"),
+        f.getField("stopword_ratio").as("stopword_ratio"),
+        f.getField("alnum_ratio").as("alnum_ratio"),
+        TF.qualityScore(col("text")).as("quality"))
+    }),
+
+    "text_lang_id" -> ((s, dir) => {
+      val sc = TF.langScores(col("text"))
+      val scoreCols = TF.langMarkers.map { case (lang, _) =>
+        sc.getField(lang).cast("long").as(s"score_$lang")
+      }
+      ld(s, dir, "documents").select(
+        (col("doc_id") +: scoreCols :+ TF.langId(col("text")).as("lang_pred")): _*)
+    }),
+
+    "text_fingerprint" -> ((s, dir) =>
+      ld(s, dir, "documents").select(
+        col("doc_id"),
+        TF.contentFingerprint(col("text")).as("fp"))),
+
+    // ---- dedup --------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")),
+
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val d = ld(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), TF.charShingles(col("text"), 4).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(TF.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashCandidates(ld(s, dir, "documents"), "text", "doc_id",
+        bands = 4, maxHamming = 16)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(ld(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, bits = 10, threshold = 0.1)),
+
+    // ---- similarity search --------------------------------------
+    "embed_norm" -> ((s, dir) =>
+      ld(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(VF.l2Norm(col("embedding")), 6).as("norm"))),
+
+    "knn_bruteforce" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    "knn_lsh" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    "knn_ivf" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- multimodal (binary column plumbing; decode is stubbed) -
+    "mm_binary_meta" -> ((s, dir) => {
+      val blob = unhex(md5(col("text")))
+      ld(s, dir, "documents").select(
+        col("doc_id"),
+        length(blob).cast("long").as("n_bytes"),
+        substring(hex(blob), 1, 8).as("hex_prefix"))
+    })
+  )
+
+  // ---------------------------------------------------------------
+  // Oracles (ANSI SQL for DuckDB over the same parquet tables)
+  // ---------------------------------------------------------------
+
+  private def revenueExpr: String =
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))"
+
+  private val langScoreSqls: Seq[(String, String)] = TF.langMarkers.map {
+    case (lang, words) =>
+      lang -> s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+  }
+
+  private val langPredSql: String = {
+    val cases = langScoreSqls.zipWithIndex.dropRight(1).map { case ((lang, _), i) =>
+      val later = langScoreSqls.drop(i + 1).map(_._1)
+      s"WHEN score_$lang >= GREATEST(${later.map("score_" + _).mkString(", ")}) THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langScoreSqls.last._1}' END"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_cast_project" ->
+      """SELECT CAST(ts AS TIMESTAMP) AS "timestamp", CAST(props AS VARCHAR) AS value FROM events""",
+
+    "cdc_json_parse" ->
+      """SELECT ts AS "timestamp", TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events""",
+
+    "cdc_sanitize_names" ->
+      """SELECT ts AS "timestamp", ts AS source_timestamp, event_id FROM events""",
+
+    "cdc_route_inserts" ->
+      s"""$cdcSql SELECT $payloadCols FROM cdc WHERE __op IN ('c','r')""",
+
+    "cdc_route_updates" ->
+      s"""$cdcSql SELECT $payloadCols FROM cdc WHERE __op = 'u'""",
+
+    "cdc_route_deletes" ->
+      s"""$cdcSql SELECT user_id FROM cdc WHERE __op = 'd'""",
+
+    "cdc_lww_dedup" ->
+      s"""$cdcSql SELECT $payloadCols FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc WHERE __op = 'u') WHERE __rn = 1""".stripMargin,
+
+    "cdc_coalesce_updates" ->
+      s"""$cdcSql SELECT max("timestamp") AS "timestamp",
+         |  arg_max(event_id, "timestamp") AS event_id, user_id,
+         |  arg_max(value, "timestamp") AS value,
+         |  arg_max(props, "timestamp") AS props
+         |FROM cdc WHERE __op = 'u' GROUP BY user_id""".stripMargin,
+
+    "cdc_anti_join" ->
+      """SELECT * FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "cdc_union_dedup" ->
+      s"""$cdcSql SELECT $payloadCols FROM cdc WHERE __op IN ('c','r')
+         |UNION
+         |SELECT $payloadCols FROM cdc WHERE __op = 'u'""".stripMargin,
+
+    "cdc_full_merge" ->
+      s"""$cdcSql, ins AS (SELECT $payloadCols FROM cdc WHERE __op IN ('c','r')),
+         |upd AS (SELECT $payloadCols FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc WHERE __op = 'u') WHERE __rn = 1)
+         |SELECT DISTINCT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM upd)""".stripMargin,
+
+    "cdc_fold_merge" ->
+      s"""$cdcSql SELECT $payloadCols FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
+    "cdc_date_parts" ->
+      """SELECT ts AS "timestamp", event_id,
+        |  year(ts) AS op_year, month(ts) AS op_month, day(ts) AS op_day
+        |FROM events""".stripMargin,
+
+    "cdc_increment_dedup" ->
+      "SELECT DISTINCT event_id, ts, user_id, event_type, value, props FROM events",
+
+    "cdc_bootstrap_empty" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE 1 = 0",
+
+    "cdc_limit_sample" ->
+      "SELECT * FROM events ORDER BY event_id LIMIT 5",
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST($revenueExpr AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      s"""SELECT o_orderkey, o_orderdate, CAST($revenueExpr AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, CAST($revenueExpr AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem, nation, region
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_broadcast_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_chars, n_words,
+        |  CAST(n_nonspace AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |  CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+        |  CAST(n_alnum AS DOUBLE) / n_chars AS alnum_ratio,
+        |  CAST((CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(n_nonspace AS DOUBLE)/n_words BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.3 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(n_alnum AS DOUBLE)/n_chars > 0.6 THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / 4 AS quality
+        |FROM (SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |  len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|in|to|is|for|on|with|that|this|it|as|at|by)\b')) AS n_stop,
+        |  length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+        |  FROM documents)""".stripMargin,
+
+    "text_lang_id" ->
+      s"""SELECT doc_id, ${langScoreSqls.map { case (l, _) => s"score_$l" }.mkString(", ")},
+         |  $langPredSql AS lang_pred
+         |FROM (SELECT doc_id, ${langScoreSqls.map { case (l, e) => s"$e AS score_$l" }.mkString(", ")} FROM documents)""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""",
+
+    "dedup_exact" ->
+      """SELECT md5(norm) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents)
+        |GROUP BY md5(norm)""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |           FROM documents WHERE doc_id < 60),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         range(1, GREATEST(length(norm) - 3, 0) + 1),
+        |         i -> substr(norm, CAST(i AS INT), 4))) AS s FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "embed_norm" ->
+      """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
+        |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+        |FROM embeddings""".stripMargin,
+
+    "knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |s AS (SELECT query_id, n.vec_id AS candidate_id,
+        |        CASE WHEN qn * nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(qv, v) / (qn * nrm) END AS cos
+        |      FROM n, q WHERE n.vec_id <> query_id),
+        |r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS "rank"
+        |      FROM s)
+        |SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(unhex(md5(text))) AS n_bytes,
+        |  substr(hex(unhex(md5(text))), 1, 8) AS hex_prefix
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators over `array<float>` columns.
+  *
+  * All pure codegen'd array expressions (`aggregate`, `zip_with`) — no
+  * UDFs — so a 100 TB embedding scan stays in whole-stage codegen.
+  * Elements are cast to double before arithmetic for deterministic,
+  * engine-portable results.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ via `zip_with` + `aggregate` (sequential left fold — order
+    * deterministic).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Σ aᵢ² — sequential fold, deterministic. */
+  def sumSquares(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(sumSquares(a))
+
+  /** Cosine similarity; 0.0 when either vector is all-zero. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
+
+  /** Unit-normalize to `array<double>`. Pre-normalizing once at write
+    * time turns every downstream cosine into a dot product — the right
+    * trade at 100 TB where vectors are read many times.
+    */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Squared L2 distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane LSH bit signature (SimHash for vectors): bit i =
+    * sign(v · rᵢ) where rᵢ is a deterministic pseudo-random hyperplane
+    * derived from (seed, i, dim) via a splitmix64-style integer mix —
+    * reproducible across engines and runs with no stored model.
+    * Returns an int in [0, 2^bits) usable as an ANN bucket key.
+    */
+  def hyperplaneBucket(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    require(bits <= 30, "bucket bits must fit an int")
+    // pseudo-random +-1 component for (bit b, dim j)
+    def comp(b: Int, j: Int): Double = {
+      var z = seed + b.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+    val bitCols: Seq[Column] = (0 until bits).map { b =>
+      val dot = (0 until dim).map { j =>
+        element_at(v, j + 1).cast("double") * lit(comp(b, j))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _).cast("int")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.session
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory.
+  *
+  * Capability parity with the reference's session factory
+  * (`utils/spark_session_creator.py:10-68`): the reference builds a
+  * YARN+Hive session from a per-table resource config (executor
+  * instances/memory/cores, shuffle partitions). Here the same knobs are
+  * exposed as a plain config map; the `local` profile is what tests and
+  * the driver use, the `cluster` profile documents the settings a real
+  * 1000-executor deployment would submit with (master/resources come from
+  * spark-submit, not code).
+  */
+object Sessions {
+
+  /** Defaults shared by all profiles. AQE replaces most of the reference's
+    * hand-tuned `spark.sql.shuffle.partitions` plumbing
+    * (`raw_load.py:19`, `daily_load.py:28`, `history_load.py:39`):
+    * partition coalescing and skew-join splitting re-plan at runtime,
+    * which is what actually survives a 100x scale-up.
+    */
+  private val common: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.parquet.compression.codec" -> "snappy",
+    // The reference disables auto-broadcast for the history job so its
+    // only broadcast is the explicit hint (`history_load.py:40`). We keep
+    // auto-broadcast ON globally (dimension tables at any SF are tiny)
+    // and rely on explicit broadcast() hints where the optimizer cannot
+    // know the small side is small.
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString
+  )
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32,
+            appName: String = "graft"): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+    common.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft defaults to an externally-created session builder —
+    * the path a spark-submit cluster deployment uses.
+    */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = {
+    common.foreach { case (k, v) => b.config(k, v) }
+    b
+  }
+}
