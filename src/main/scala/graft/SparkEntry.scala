@@ -241,7 +241,8 @@ object SparkEntry {
 
     "dedup_jaccard_pairs" -> ((s, dir) => {
       val d = ld(s, dir, "documents").filter(col("doc_id") < 60)
-        .select(col("doc_id"), TF.charShingles(col("text"), 4).as("sh"))
+        .select(col("doc_id"), TF.normalizeWs(col("text")).as("norm"))
+        .select(col("doc_id"), TF.charShinglesOf(col("norm"), 4).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sa"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))

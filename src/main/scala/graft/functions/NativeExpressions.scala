@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass kernels for the text-dedup hot path.
+  *
+  * The composable `functions._` forms (shingle via `sequence` +
+  * `transform`, simhash via 64 `aggregate` folds) evaluate their lambdas
+  * in interpreted mode — ~1000 Expression.eval calls per row. These
+  * expressions do the same work in one JVM loop per row and participate
+  * in whole-stage codegen (`doGenCode` emits a single static call), so a
+  * 100 TB document scan stays codegen'd end to end.
+  *
+  * Hash/normalization choices are internal to the dedup operators (no
+  * oracle parity needed): FNV-1a 64 over chars, ASCII lowercase,
+  * whitespace collapse.
+  */
+object ShingleKernels {
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** Normalize: trim, ASCII-lowercase, collapse whitespace runs to one
+    * space. Returns a fresh char array of the normalized text.
+    */
+  private def normalize(s: String): Array[Char] = {
+    val out = new Array[Char](s.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (n > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(n) = ' '; n += 1; pendingSpace = false }
+        out(n) = Character.toLowerCase(c); n += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  private def dedupSorted(a: Array[Long], len: Int): Array[Long] = {
+    if (len == 0) return Array.emptyLongArray
+    val arr = java.util.Arrays.copyOf(a, len)
+    java.util.Arrays.sort(arr)
+    var w = 1
+    var i = 1
+    while (i < arr.length) {
+      if (arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(arr, w)
+  }
+
+  /** Distinct FNV-1a 64 hashes of every n-char shingle of the
+    * normalized text. One pass, zero per-shingle allocation.
+    */
+  def charShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val chars = normalize(text.toString)
+    val count = chars.length - n + 1
+    if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hashes = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = (h ^ chars(i + j)) * FnvPrime; j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(dedupSorted(hashes, count))
+  }
+
+  /** FNV-1a 64 hash of each whitespace token of the text (duplicates
+    * kept — simhash weights repeated tokens).
+    */
+  def tokenHashes(text: UTF8String, lowercase: Boolean): ArrayData = {
+    val s = text.toString
+    val out = new Array[Long](s.length / 2 + 1)
+    var n = 0
+    var h = FnvOffset
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      if (Character.isWhitespace(c0)) {
+        if (inTok) { out(n) = h; n += 1; h = FnvOffset; inTok = false }
+      } else {
+        inTok = true
+        h = (h ^ (if (lowercase) Character.toLowerCase(c0) else c0)) * FnvPrime
+      }
+      i += 1
+    }
+    if (inTok) { out(n) = h; n += 1 }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** SimHash: bit j of the result = sign of Σ_hashes (±1 by bit j). */
+  def simHash64(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val m = hashes.numElements()
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** MinHash signature: mins(i) = min over hashes of
+    * rotl(h, rᵢ) ^ saltᵢ — k bijective integer mixes of one base hash.
+    */
+  def minHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val m = hashes.numElements()
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var s = 0
+      while (s < k) {
+        val r = (s * 23 + 17) % 63 + 1
+        val mixed = (java.lang.Long.rotateLeft(h, r)) ^ salt(s)
+        if (mixed < out(s)) out(s) = mixed
+        s += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** splitmix64 of the index — deterministic per-salt constant. */
+  def salt(i: Int): Long = {
+    var z = i.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
+/** array<bigint> of distinct n-char-shingle hashes of a string column. */
+case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "shingle length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.charShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.charShingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes = copy(child = c)
+}
+
+/** array<bigint> of whitespace-token hashes of a string column. */
+case class TokenHashes(child: Expression, lowercase: Boolean = true) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.tokenHashes(input.asInstanceOf[UTF8String], lowercase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.tokenHashes($c, $lowercase)")
+  override protected def withNewChildInternal(c: Expression): TokenHashes = copy(child = c)
+}
+
+/** 64-bit SimHash of an array<bigint> hash column. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.simHash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.simHash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** array<bigint> of k minhashes of an array<bigint> hash column. */
+case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.minHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.minHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
+}
+
+/** Column-API wrappers for the native expressions. */
+object native {
+  def char_shingle_hashes(c: Column, n: Int): Column =
+    Bridge.column(CharShingleHashes(Bridge.expression(c), n))
+  def token_hashes(c: Column): Column =
+    Bridge.column(TokenHashes(Bridge.expression(c)))
+  def simhash64(hashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(hashes)))
+  def minhashes(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashes(Bridge.expression(hashes), k))
+}

@@ -29,28 +29,47 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Character n-gram shingles (contiguous, lowercased, whitespace
-    * collapsed) — the unit for n-gram Jaccard and MinHash dedup.
-    * Built from `sequence` + `transform` + `substring`: pure codegen'd
-    * array expressions, no explode until the caller needs one.
+  /** Lowercase + whitespace-collapse normalization (shared by shingling
+    * and fingerprinting).
     */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+  def normalizeWs(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Character n-gram shingles over an ALREADY-NORMALIZED text column.
+    *
+    * `norm` MUST be a cheap-to-evaluate column (project [[normalizeWs]]
+    * into a named column first): the lambda body re-evaluates `norm`
+    * once per element, so passing the normalization expression directly
+    * would run the regex once per shingle — O(len²) per document.
+    */
+  def charShinglesOf(norm: Column, n: Int): Column = {
     val count = greatest(length(norm) - (n - 1), lit(0))
     when(count > 0,
       array_distinct(transform(sequence(lit(1), count), i => norm.substr(i, lit(n))))
     ).otherwise(array().cast("array<string>"))
   }
 
-  /** Word n-gram shingles over whitespace tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  /** Convenience one-shot form — fine for small inputs; hot paths should
+    * stage [[normalizeWs]] through a projection and call
+    * [[charShinglesOf]].
+    */
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesOf(normalizeWs(text), n)
+
+  /** Word n-gram shingles over an ALREADY-PROJECTED token array (see
+    * [[charShinglesOf]] for why).
+    */
+  def wordShinglesOf(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(0))
     when(count > 0,
       array_distinct(transform(sequence(lit(0), count - 1),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
     ).otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience one-shot form of [[wordShinglesOf]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOf(tokens(lower(text)), n)
 
   /** N-gram Jaccard similarity of two texts' shingle sets. */
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {

@@ -69,9 +69,10 @@ object VectorFunctions {
       if ((z & 1L) == 0L) 1.0 else -1.0
     }
     val bitCols: Seq[Column] = (0 until bits).map { b =>
-      val dot = (0 until dim).map { j =>
-        element_at(v, j + 1).cast("double") * lit(comp(b, j))
-      }.reduce(_ + _)
+      val comps: Array[Double] = Array.tabulate(dim)(j => comp(b, j))
+      val dot = aggregate(
+        zip_with(v, lit(comps), (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _).cast("int")

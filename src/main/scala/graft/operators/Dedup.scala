@@ -32,15 +32,41 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k independent minimum hashes over the shingle
-    * set. hash_i(s) = xxhash64(s, saltᵢ) — Spark's codegen'd 64-bit
-    * hash with a per-row salt column, min-aggregated per document via
-    * `transform` + `array_min` without exploding.
+  /** Deterministic per-salt 64-bit constant (splitmix64 of the index),
+    * computed driver-side.
     */
-  def minHashSignature(shingles: Column, k: Int): Column =
+  private def saltConst(i: Int): Long = {
+    var z = i.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** k independent bijective mixes of one base hash: rotate-left by a
+    * per-i amount, then xor a per-i constant. No long multiplication —
+    * Spark 4 runs ANSI mode where integer overflow throws — and only
+    * one expensive string-hash pass is needed upstream.
+    */
+  private def mixed(h: Column, i: Int): Column = {
+    val r = (i * 23 + 17) % 63 + 1
+    shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))
+      .bitwiseXOR(lit(saltConst(i)))
+  }
+
+  /** MinHash signature from a materialized `array<bigint>` of shingle
+    * hashes: mh_i = min over shingles of mix_i(hash). The shingle set is
+    * string-hashed ONCE (xxhash64); the k "hash functions" are cheap
+    * integer permutations of that base hash — the standard one-pass
+    * minhash trick.
+    *
+    * IMPORTANT: pass a *column reference* to an already-projected hash
+    * column, not the expression itself — otherwise the (expensive)
+    * shingling/hashing subtree is duplicated into all k fields.
+    */
+  def minHashSignature(shingleHashes: Column, k: Int): Column =
     struct((0 until k).map { i =>
       coalesce(
-        array_min(transform(shingles, s => xxhash64(lit(i), s))),
+        array_min(transform(shingleHashes, h => mixed(h, i))),
         lit(Long.MaxValue)).as(s"mh$i")
     }: _*)
 
@@ -58,9 +84,14 @@ object Dedup {
                         shingleLen: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
+    // native one-pass kernel: normalize + shingle + hash + k minhashes
+    // in a single codegen'd call per row (see ShingleKernels)
     val signed = docs
       .select(col(idCol).as("id"),
-        minHashSignature(charShingles(col(textCol), shingleLen), k).as("sig"))
+        graft.functions.native.minhashes(
+          graft.functions.native.char_shingle_hashes(col(textCol), shingleLen), k).as("__mh"))
+      .select(col("id"),
+        struct((0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*).as("sig"))
     val banded = signed.select(
       col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
@@ -86,13 +117,12 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash 64-bit signature over whitespace tokens: bit j of the
-    * signature = sign of Σ_tokens (±1 depending on bit j of
-    * xxhash64(token)). Expressed as 64 fold sums via `aggregate` —
-    * single pass, no explode, no shuffle.
+  /** SimHash 64-bit signature from a materialized token-hash array:
+    * bit j of the signature = sign of Σ_tokens (±1 depending on bit j
+    * of xxhash64(token)). 64 fold sums via `aggregate` — no explode,
+    * no shuffle. Pass a *column reference* (see [[minHashSignature]]).
     */
-  def simHash64(textCol: Column): Column = {
-    val hashes = transform(tokens(lower(textCol)), t => xxhash64(t))
+  def simHash64FromHashes(hashes: Column): Column = {
     val bits: Seq[Column] = (0 until 64).map { j =>
       val s = aggregate(hashes, lit(0),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
@@ -100,6 +130,12 @@ object Dedup {
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
+
+  /** SimHash 64-bit signature of a text column (tokenize → hash →
+    * [[simHash64FromHashes]]).
+    */
+  def simHash64(textCol: Column): Column =
+    simHash64FromHashes(transform(tokens(lower(textCol)), t => xxhash64(t)))
 
   /** SimHash near-dup candidates: split the 64-bit signature into
     * `bands` chunks; docs sharing any chunk are candidates (guarantees
@@ -109,7 +145,10 @@ object Dedup {
   def simHashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val chunk = 64 / bands
-    val signed = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sig"))
+    // native one-pass kernel: tokenize + hash + 64 bit-sums per row
+    val signed = docs.select(col(idCol).as("id"),
+      graft.functions.native.simhash64(
+        graft.functions.native.token_hashes(col(textCol))).as("sig"))
     val banded = signed.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("sig"), b * chunk)
@@ -132,8 +171,9 @@ object Dedup {
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     textCol: String, idCol: String,
                     shingleLen: Int = 5, threshold: Double = 0.7): DataFrame = {
-    val sh = docs.select(col(idCol).as("__jid"),
-      charShingles(col(textCol), shingleLen).as("__sh"))
+    val sh = docs
+      .select(col(idCol).as("__jid"), normalizeWs(col(textCol)).as("__norm"))
+      .select(col("__jid"), charShinglesOf(col("__norm"), shingleLen).as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
