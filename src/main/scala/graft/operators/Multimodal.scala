@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-wise with
+  * `mapPartitions` (the Scala analog of `mapInPandas` batch UDFs).
+  *
+  * The actual media codecs are NOT available in this environment, so
+  * the decode step is a clearly-marked deterministic stub
+  * ([[StubCodec]]); everything Spark-side — schema, batch iteration,
+  * partitioning, output shape — is real and tested. At 100 TB the
+  * pattern matters more than the codec: blobs stay in executor memory
+  * one batch at a time, never collected, and the metadata projection
+  * prunes the binary column when downstream only needs features.
+  */
+object Multimodal {
+
+  /** Typed media metadata attached to every blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)
+  ))
+
+  /** STUB media codec — deterministic functions of the blob bytes in
+    * place of real image/audio decoding (libs absent in this
+    * container). Replace `decodeMeta`/`decodeFrame` with real codecs in
+    * production; signatures and batch shape stay the same.
+    */
+  object StubCodec {
+    /** "Decode" header metadata from a blob. */
+    def decodeMeta(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
+      val fmt = if (bytes.isEmpty) "empty" else (bytes(0) & 0x3) match {
+        case 0 => "img"
+        case 1 => "audio"
+        case 2 => "video"
+        case _ => "other"
+      }
+      val w = if (bytes.length > 1) 16 + (bytes(1) & 0x7f) else 0
+      val h = if (bytes.length > 2) 16 + (bytes(2) & 0x7f) else 0
+      val frames = if (bytes.length > 3) 1 + (bytes(3) & 0xf) else 1
+      (bytes.length.toLong, fmt, w, h, frames)
+    }
+
+    /** "Decode" one frame: a fixed-size feature vector (stub: byte
+      * histogram folded to `dim`).
+      */
+    def frameFeatures(bytes: Array[Byte], frame: Int, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        out((i + frame) % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Extract typed metadata for every blob: one `mapPartitions` pass,
+    * batch-iterating rows so only one partition of blobs is resident
+    * per task.
+    */
+  def withMediaMeta(df: DataFrame, blobCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("media", mediaMetaSchema))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val (n, fmt, w, h, fr) = StubCodec.decodeMeta(
+          if (bytes == null) Array.emptyByteArray else bytes)
+        Row.fromSeq(r.toSeq :+ Row(n, fmt, w, h, fr))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: explode every blob into `(frame_idx, features)`
+    * rows, sampling at most `maxFrames` evenly-spaced frames. The
+    * output drops the blob column — downstream shuffles move features,
+    * not media bytes.
+    */
+  def sampleFrames(df: DataFrame, blobCol: String, idCol: String,
+                   maxFrames: Int, dim: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bIdx = df.schema.fieldIndex(blobCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val (_, _, _, _, nFrames) = StubCodec.decodeMeta(bytes)
+          val take = math.min(nFrames, maxFrames)
+          val step = math.max(nFrames / math.max(take, 1), 1)
+          (0 until take).iterator.map { i =>
+            Row(r.get(iIdx), i * step,
+              StubCodec.frameFeatures(bytes, i * step, dim).toSeq)
+          }
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-layer IO: partitioned file writes, catalog tables, safe
+  * overwrite. Covers SURVEY §2.1 S5, S6, S8, S9, S10.
+  */
+object Lake {
+
+  val partitionColumns: Seq[String] = Seq("op_year", "op_month", "op_day")
+
+  /** S5 — date-partitioned append write of the raw layer
+    * (`raw_data_handler.py:77-87`). Parquet by default (ORC in the
+    * reference; both columnar — `format` switches).
+    */
+  def appendPartitioned(df: DataFrame, dir: String, format: String = "parquet"): Unit =
+    df.write
+      .partitionBy(partitionColumns: _*)
+      .mode(SaveMode.Append)
+      .format(format)
+      .save(dir)
+
+  /** S6 — read one day of the raw layer. The reference constructs the
+    * partition path by hand (`daily_data_handler.py:51-58`); here the
+    * table root is read and Catalyst partition-prunes the filter — the
+    * plan's scan shows `PartitionFilters`, no full listing of other
+    * days' files — which also keeps partition columns in the result and
+    * composes with predicate pushdown.
+    */
+  def readDay(spark: SparkSession, dir: String, year: Int, month: Int, day: Int,
+              format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(dir)
+      .where(col("op_year") === year && col("op_month") === month && col("op_day") === day)
+
+  /** Full-history read (backfill path, `history_data_handler.py:77-81`). */
+  def readAll(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(dir)
+
+  /** S9/S10 — catalog helpers (public Scala APIs; the reference needed a
+    * private `_jsparkSession` bridge only because of its PySpark
+    * version, `daily_data_handler.py:160-162`).
+    */
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+
+  def refreshTable(spark: SparkSession, table: String): Unit =
+    spark.catalog.refreshTable(table)
+
+  def truncateTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"TRUNCATE TABLE $table")
+
+  /** S8 — safe overwrite of a catalog table whose current contents feed
+    * the new plan. The reference works around Spark's cannot-overwrite-
+    * what-you-read restriction with a two-phase tmp-table dance
+    * (`daily_data_handler.py:125-155`: write tmp → refresh → read back →
+    * overwrite real → TRUNCATE tmp) — non-atomic across three jobs.
+    * `localCheckpoint` cuts the lineage instead: one materialization,
+    * then a plain overwrite, no tmp table, no legacy conf.
+    */
+  def overwriteTableSafely(df: DataFrame, table: String,
+                           partitionBy: Seq[String] = Nil,
+                           format: String = "parquet"): Unit = {
+    val materialized = df.localCheckpoint(eager = true)
+    val w = materialized.write.mode(SaveMode.Overwrite).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** S8 — plain append `saveAsTable` (increment mode,
+    * `history_data_handler.py:146-155`). AQE coalesces output
+    * partitions, replacing the reference's `coalesce(1)` single-writer
+    * small-files control without sacrificing parallelism.
+    */
+  def appendTable(df: DataFrame, table: String,
+                  partitionBy: Seq[String] = Nil,
+                  format: String = "parquet"): Unit = {
+    val w = df.write.mode(SaveMode.Append).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(table)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TableSpec
+
+/** Raw-layer change-event sources.
+  *
+  * The reference subscribes to a Debezium Kafka topic with SASL/SCRAM
+  * auth (`pipelines/raw_data_handler.py:36-47`). The same builder is
+  * exposed here, plus the file/rate sources tests use in Kafka's place
+  * (no broker exists in this environment — the option plumbing is what
+  * is under test, as the reference's own `configs/` are deploy-time
+  * artifacts absent from its tree too).
+  */
+object RawSource {
+
+  /** S1 — Kafka streaming source with the reference's exact options:
+    * earliest offsets, no fail-on-data-loss (late/duplicate handling is
+    * downstream batch dedup), optional SASL/SCRAM-SHA-256.
+    */
+  def kafkaStream(spark: SparkSession, spec: TableSpec,
+                  bootstrapServers: String,
+                  saslUser: Option[String] = None,
+                  saslPassword: Option[String] = None): DataFrame = {
+    var r = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", spec.kafkaTopic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+    for (u <- saslUser; p <- saslPassword) {
+      r = r
+        .option("kafka.security.protocol", "SASL_PLAINTEXT")
+        .option("kafka.sasl.mechanism", "SCRAM-SHA-256")
+        .option("kafka.sasl.jaas.config",
+          "org.apache.kafka.common.security.scram.ScramLoginModule required " +
+            s"""username="$u" password="$p";""")
+    }
+    r.load()
+  }
+
+  /** File-based stream standing in for Kafka in tests: a directory of
+    * parquet `(timestamp, value)` envelopes.
+    */
+  def fileStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "timestamp TIMESTAMP, value STRING"
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}

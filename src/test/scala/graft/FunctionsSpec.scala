@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Multimodal, Similarity}
+
+/** Text/vector function edges + multimodal plumbing + ANN sanity. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount and jaccard edges") {
+    val df = Seq(("a", "one two  three"), ("b", "one"), ("c", "one two"))
+      .toDF("id", "text")
+    val counts = df.select($"id", TF.tokenCount($"text").as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(counts == Map("a" -> 3, "b" -> 1, "c" -> 2))
+
+    val sh = df.select($"id", TF.normalizeWs($"text").as("norm"))
+      .select($"id", TF.charShinglesOf($"norm", 3).as("s"))
+    val j = sh.as("x").crossJoin(sh.as("y"))
+      .filter($"x.id" === "a" && $"y.id" === "c")
+      .select(TF.jaccard($"x.s", $"y.s")).collect()(0).getDouble(0)
+    assert(j > 0.4 && j < 1.0) // "one two" shingles ⊂ "one two three"
+  }
+
+  test("langId picks the language with most marker hits; ties go to list order") {
+    val df = Seq(
+      ("de", "der hund und die katze ist nicht hier"),
+      ("en", "the cat and the dog is here with you"),
+      ("tie", "xyzzy plugh")).toDF("label", "text")
+    val got = df.select($"label", TF.langId($"text").as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("de") == "de" && got("en") == "en")
+    assert(got("tie") == TF.langMarkers.head._1) // all-zero scores → first language
+  }
+
+  test("vector functions: cosine, norm, normalize, zero-vector guard") {
+    val df = Seq(
+      ("a", Array(3.0f, 4.0f)),
+      ("z", Array(0.0f, 0.0f))).toDF("id", "v")
+    val out = df.select($"id",
+      VF.l2Norm($"v").as("n"),
+      VF.cosineSimilarity($"v", $"v").as("self"),
+      VF.l2Norm(VF.normalize($"v")).as("unit"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toList
+    val a = out.find(_._1 == "a").get
+    assert(math.abs(a._2 - 5.0) < 1e-12 && math.abs(a._3 - 1.0) < 1e-12 && math.abs(a._4 - 1.0) < 1e-12)
+    val z = out.find(_._1 == "z").get
+    assert(z._2 == 0.0 && z._3 == 0.0 && z._4 == 0.0)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // nearest to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f))). // opposite
+      toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", 2)
+      .orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("multimodal: metadata extraction and frame sampling never move blobs downstream") {
+    val blobs = Seq(
+      (1L, Array[Byte](2, 10, 20, 7, 1, 2, 3)), // "video", 8 frames max
+      (2L, Array[Byte](0, 5, 5)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val meta = Multimodal.withMediaMeta(blobs, "blob")
+    assert(meta.select($"media.n_bytes").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L, 7L))
+    assert(meta.schema("media").dataType == Multimodal.mediaMetaSchema)
+
+    val frames = Multimodal.sampleFrames(blobs, "blob", "doc_id", maxFrames = 3, dim = 4)
+    assert(!frames.columns.contains("blob"))
+    assert(frames.filter($"doc_id" === 3L).count() == 0) // null blob → no frames
+    val f1 = frames.filter($"doc_id" === 1L).collect()
+    assert(f1.nonEmpty && f1.forall(_.getSeq[Float](2).length == 4))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.Jobs
+import graft.model.TableSpec
+import graft.sources.{Lake, RawSource}
+
+/** End-to-end file-based pipeline (SURVEY §7.2): streaming raw ingest
+  * (file source in Kafka's place) → daily merge → history merge, in a
+  * temp lake under target/tmp.
+  */
+class JobsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = new java.io.File(s"target/tmp/jobs-$name-${System.nanoTime()}")
+    d.mkdirs(); d.getAbsolutePath
+  }
+
+  private def ts(day: Int, i: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:$i%02d")
+
+  private def envelope(t: Timestamp, op: String, id: String, product: String): (Timestamp, String) =
+    (t, s"""{"ID":"$id","PRODUCT":${if (product == null) "null" else s""""$product""""},"__op":"$op","__deleted":"false"}""")
+
+  test("raw ingest streams envelopes into a date-partitioned lake exactly once") {
+    val root = tmp("raw")
+    val spec = TableSpec("t", "graft_db", Seq("ID"),
+      s"$root/lake", s"$root/ckpt", "topic")
+    val in = s"$root/in"
+    Seq(envelope(ts(1, 1), "c", "1", "LOAN"), envelope(ts(2, 2), "c", "2", "CARD"))
+      .toDF("timestamp", "value").write.parquet(in)
+
+    Jobs.rawIngest(RawSource.fileStream(spark, in), spec)
+    val lake = spark.read.parquet(spec.dataDir)
+    assert(lake.count() == 2)
+    assert(lake.columns.toSet == Set("timestamp", "value", "op_year", "op_month", "op_day"))
+    assert(Lake.readDay(spark, spec.dataDir, 2024, 1, 2).count() == 1)
+
+    // re-run with the same checkpoint: no new data, no duplicates
+    Jobs.rawIngest(RawSource.fileStream(spark, in), spec)
+    assert(spark.read.parquet(spec.dataDir).count() == 2)
+  }
+
+  test("daily merge then history merge reproduce the expected replica state") {
+    val root = tmp("merge")
+    val spec = TableSpec("acct", "graft_db", Seq("ID"),
+      s"$root/lake", s"$root/ckpt", "topic")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql(s"DROP TABLE IF EXISTS ${spec.dailyTable}")
+    spark.sql(s"DROP TABLE IF EXISTS ${spec.historyTable}")
+
+    // day 1: snapshot + insert; day 2: update (out-of-order pair), delete, re-insert
+    val day1 = Seq(
+      envelope(ts(1, 1), "r", "1", "LOAN"),
+      envelope(ts(1, 2), "c", "2", "CARD"))
+    val day2 = Seq(
+      envelope(ts(2, 4), "u", "1", "DEPOSIT"),
+      envelope(ts(2, 3), "u", "1", "SAVINGS"),
+      envelope(ts(2, 5), "d", "2", null),
+      envelope(ts(2, 6), "c", "2", "CARD2"))
+    Lake.appendPartitioned(
+      graft.ops.CdcOps.withDatePartitions(day1.toDF("timestamp", "value")), spec.dataDir)
+    Lake.appendPartitioned(
+      graft.ops.CdcOps.withDatePartitions(day2.toDF("timestamp", "value")), spec.dataDir)
+
+    Jobs.dailyMerge(spark, spec, LocalDate.of(2024, 1, 1))
+    assert(spark.table(spec.dailyTable).count() == 2)
+
+    Jobs.dailyMerge(spark, spec, LocalDate.of(2024, 1, 2))
+    val daily = spark.table(spec.dailyTable)
+      .select($"ID", $"PRODUCT").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(daily == Map("1" -> "DEPOSIT", "2" -> "CARD2"))
+
+    // history backfill (table absent → full-raw scan), then daily truncated
+    Jobs.historyMerge(spark, spec, LocalDate.of(2024, 1, 3))
+    val hist = spark.table(spec.historyTable)
+      .select(col("id"), col("product")).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hist == Map("1" -> "DEPOSIT", "2" -> "CARD2"))
+    assert(spark.table(spec.dailyTable).count() == 0)
+  }
+
+  test("history increment mode appends deduplicated rows") {
+    val root = tmp("incr")
+    val spec = TableSpec("facts", "graft_db", Seq("ID"),
+      s"$root/lake", s"$root/ckpt", "topic", mode = "increment")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql(s"DROP TABLE IF EXISTS ${spec.historyTable}")
+
+    val rows = Seq(
+      envelope(ts(1, 1), "c", "1", "A"),
+      envelope(ts(1, 1), "c", "1", "A"), // exact duplicate
+      envelope(ts(1, 2), "c", "2", "B"))
+    Lake.appendPartitioned(
+      graft.ops.CdcOps.withDatePartitions(rows.toDF("timestamp", "value")), spec.dataDir)
+
+    Jobs.historyMerge(spark, spec, LocalDate.of(2024, 1, 2)) // reads ds-1 = Jan 1
+    assert(spark.table(spec.historyTable).count() == 2)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{native, ShingleKernels}
+import graft.operators.Dedup
+
+/** The native kernels: edge cases + parity between interpreted eval and
+  * codegen (both paths run the same static kernel, but exercise both
+  * entry points through a real plan).
+  */
+class NativeExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("char_shingle_hashes: dedup, normalization, short-text edge cases") {
+    val df = Seq(
+      ("a", "Hello  World hello world"), // case+ws normalize to one form
+      ("b", "hello world hello world"),  // same normalized shingle set
+      ("c", "ab"),                        // shorter than n → empty
+      ("d", "")                           // empty
+    ).toDF("id", "text")
+    val out = df.select($"id", native.char_shingle_hashes($"text", 5).as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a") == out("b")) // same shingle set after normalization
+    assert(out("a").nonEmpty && out("a").distinct == out("a"))
+    assert(out("c").isEmpty && out("d").isEmpty)
+  }
+
+  test("token_hashes keeps duplicates; simhash of similar texts is Hamming-close") {
+    val df = Seq(
+      ("x", "the quick brown fox jumps over the lazy dog"),
+      ("y", "the quick brown fox jumps over the lazy cat"),
+      ("z", "completely different words entirely elsewhere")
+    ).toDF("id", "text")
+    val sigs = df.select($"id", native.simhash64(native.token_hashes($"text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs("x"), sigs("y")) < hamming(sigs("x"), sigs("z")))
+
+    val toks = df.filter($"id" === "x")
+      .select(native.token_hashes($"text")).collect()(0).getSeq[Long](0)
+    assert(toks.length == 9) // "the" twice — duplicates kept
+  }
+
+  test("minhashes: identical sets agree, estimate tracks Jaccard") {
+    val df = Seq(
+      ("a", "abcdefghij" * 10),
+      ("b", "abcdefghij" * 10),
+      ("c", "zyxwvutsrq" * 10)
+    ).toDF("id", "text")
+    val sigs = df.select($"id",
+      native.minhashes(native.char_shingle_hashes($"text", 5), 16).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a") == sigs("b"))
+    assert(sigs("a") != sigs("c"))
+    assert(sigs("a").length == 16)
+  }
+
+  test("kernels are deterministic across invocations") {
+    val t = org.apache.spark.unsafe.types.UTF8String.fromString("some Text  here")
+    val h1 = ShingleKernels.charShingleHashes(t, 4)
+    val h2 = ShingleKernels.charShingleHashes(t, 4)
+    assert(h1.toLongArray.toSeq == h2.toLongArray.toSeq)
+    assert(ShingleKernels.simHash64(h1) == ShingleKernels.simHash64(h2))
+  }
+
+  test("minHashCandidates surfaces planted near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val docs = (Seq(
+      (1L, base),
+      (2L, base + " again"),          // near-dup of 1
+      (3L, base.replace("quick", "slow")), // near-dup of 1
+      (4L, "entirely unrelated content about database systems and query planning optimizers")
+    ) ++ (5L to 30L).map(i => (i, s"filler document number $i with its own distinct content payload")))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minHashCandidates(docs, "text", "doc_id",
+      shingleLen = 5, bands = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 4L)))
+  }
+
+  test("simHashCandidates catches Hamming-near signatures") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = (Seq(
+      (1L, base),
+      (2L, base + " omega")
+    ) ++ (3L to 20L).map(i => (i, s"unrelated text block $i talking about other matters and topics")))
+      .toDF("doc_id", "text")
+    val cands = Dedup.simHashCandidates(docs, "text", "doc_id", bands = 4, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingUpsert
+import graft.streaming.StreamingUpsert.{KeyedEvent, KeyState}
+
+/** Streaming LWW upsert driven through a real StreamExecution via
+  * MemoryStream (Kafka's stand-in, FIXTURES.md F6).
+  */
+class StreamingUpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("flatMapGroupsWithState folds a CDC stream into per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val query = StreamingUpsert.upsert(input.toDS())
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName("upsert_out")
+      .start()
+
+    try {
+      // batch 1: insert k1, insert k2
+      input.addData(
+        KeyedEvent("k1", 1, "c", "v1@1"),
+        KeyedEvent("k2", 2, "c", "v2@2"))
+      query.processAllAvailable()
+      // batch 2: out-of-order update for k1 (order 5 then 3 within the
+      // batch -> 5 wins), delete k2
+      input.addData(
+        KeyedEvent("k1", 5, "u", "v1@5"),
+        KeyedEvent("k1", 3, "u", "v1@3"),
+        KeyedEvent("k2", 6, "d", ""))
+      query.processAllAvailable()
+      // batch 3: stale event for k1 (order 4 < state 5) must be ignored
+      input.addData(KeyedEvent("k1", 4, "u", "v1@4"))
+      query.processAllAvailable()
+
+      val out = spark.table("upsert_out").as[KeyState].collect()
+      // last emitted state per key
+      val latest = out.groupBy(_.key).view.mapValues(_.maxBy(_.order)).toMap
+      assert(latest("k1").payload == "v1@5")
+      assert(latest("k1").order == 5)
+      assert(latest("k2").op == "d") // tombstone emitted
+      // the stale batch-3 event emitted nothing
+      assert(out.count(_.key == "k1") == 2)
+    } finally query.stop()
+  }
+
+  test("toKeyedEvents adapts a CDC frame and liveRows round-trips the payload") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "c", "false", "1", "LOAN"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "d", "true", "2", null)
+    ).toDF("timestamp", "__op", "__deleted", "ID", "PRODUCT")
+
+    val keyed = StreamingUpsert.toKeyedEvents(df, Seq("ID")).collect()
+    assert(keyed.map(_.key).sorted.toSeq == Seq("1", "2"))
+    assert(keyed.forall(_.payload.contains("\"ID\"")))
+
+    val states = Seq(
+      KeyState("1", 1, "c", """{"ID":"1","PRODUCT":"LOAN"}"""),
+      KeyState("2", 2, "d", """{"ID":"2"}""")).toDS()
+    val live = StreamingUpsert.liveRows(states,
+      org.apache.spark.sql.types.StructType.fromDDL("ID STRING, PRODUCT STRING"))
+    assert(live.collect().map(_.getString(0)).toSeq == Seq("1"))
+  }
+}
