@@ -92,6 +92,10 @@ object SparkEntry {
       CdcOps.lastWriterWins(routed(s, dir).updates, Seq("user_id"),
         Seq("timestamp", "event_id"))),
 
+    "cdc_lww_agg" -> ((s, dir) =>
+      CdcOps.lastWriterWinsAgg(routed(s, dir).updates, Seq("user_id"),
+        Seq("timestamp", "event_id"))),
+
     "cdc_coalesce_updates" -> ((s, dir) =>
       CdcOps.coalesceUpdates(routed(s, dir).updates, Seq("user_id"))),
 
@@ -288,6 +292,62 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ---- streaming + end-to-end pipeline ------------------------
+    // CDC events through a REAL StreamExecution: MemoryStream →
+    // flatMapGroupsWithState LWW upsert → memory sink → live rows.
+    "stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingUpsert
+      val cdc = cdcEvents(s, dir)
+      val keyed = cdc.select(
+        col("user_id").cast("string").as("key"),
+        col("event_id").as("order"),
+        col(CdcOps.OpColumn).as("op"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"))).as("payload")
+      ).as[StreamingUpsert.KeyedEvent]
+
+      implicit val sqlCtx = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamingUpsert.KeyedEvent]
+      val sinkName = s"graft_upsert_${System.nanoTime()}"
+      val q = StreamingUpsert.upsert(input.toDS()).writeStream
+        .outputMode("update").format("memory").queryName(sinkName).start()
+      try {
+        input.addData(keyed.collect().toIndexedSeq)
+        q.processAllAvailable()
+        val live = StreamingUpsert.liveRows(
+          s.table(sinkName).as[StreamingUpsert.KeyState],
+          StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, props STRING"))
+        live.localCheckpoint(true)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
+    // End-to-end file pipeline: synthesize the raw Kafka envelope,
+    // stream it (AvailableNow + checkpoint) into a date-partitioned
+    // lake, partition-prune one day back out, infer the payload schema,
+    // parse, and fold-merge — S3-S7 + P2-P6 live in one query.
+    "cdc_pipeline_file" -> ((s, dir) => {
+      import graft.jobs.Jobs
+      import graft.model.TableSpec
+      import graft.sources.{Lake, RawSource}
+      val root = s"/root/repo/target/tmp/pipeq-${java.util.UUID.randomUUID()}"
+      cdcEvents(s, dir).select(
+        col("timestamp"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"),
+          col(CdcOps.OpColumn), col(CdcOps.DeletedColumn))).as("value"))
+        .write.parquet(s"$root/in")
+      val spec = TableSpec("pipeq", "graft_db", Seq("user_id"),
+        s"$root/lake", s"$root/ckpt", "topic")
+      Jobs.rawIngest(RawSource.fileStream(s, s"$root/in"), spec)
+      val day = Lake.readDay(s, spec.dataDir, 2024, 1, 2)
+        .drop(Lake.partitionColumns: _*)
+      val parsed = Jobs.parseRaw(day)
+      CdcOps.foldMerge(parsed, Seq("user_id"), Seq("timestamp", "event_id"))
+    }),
+
     // ---- multimodal (binary column plumbing; decode is stubbed) -
     "mm_binary_meta" -> ((s, dir) => {
       val blob = unhex(md5(col("text")))
@@ -342,6 +402,26 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
          |  FROM cdc WHERE __op = 'u') WHERE __rn = 1""".stripMargin,
+
+    "cdc_lww_agg" ->
+      s"""$cdcSql SELECT $payloadCols FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc WHERE __op = 'u') WHERE __rn = 1""".stripMargin,
+
+    "stream_upsert" ->
+      s"""$cdcSql SELECT event_id, user_id, value, props FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY event_id DESC) AS __rn
+         |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
+    "cdc_pipeline_file" ->
+      s"""$cdcSql SELECT "timestamp", event_id, props, user_id, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc
+         |  WHERE year("timestamp") = 2024 AND month("timestamp") = 1
+         |    AND day("timestamp") = 2) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
 
     "cdc_coalesce_updates" ->
       s"""$cdcSql SELECT max("timestamp") AS "timestamp",

@@ -123,6 +123,23 @@ object CdcOps {
       .drop("__rn")
   }
 
+  /** A1 variant — last-writer-wins as a ONE-PASS hash aggregate:
+    * `max_by(row-struct, order-struct)` per key. Equivalent to
+    * [[lastWriterWins]] (struct ordering is lexicographic, so max of
+    * (ts, tiebreakers) = newest row) but plans as HashAggregate with
+    * map-side partial aggregation instead of shuffle+sort+window — at
+    * 100 TB that cuts the shuffle to one pre-combined row per key per
+    * map task and drops the per-partition sort entirely.
+    */
+  def lastWriterWinsAgg(df: DataFrame, primaryKeys: Seq[String],
+                        orderColumns: Seq[String] = Seq("timestamp")): DataFrame = {
+    val ord = struct(orderColumns.map(col): _*)
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(primaryKeys.map(col): _*)
+      .agg(max_by(payload, ord).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** A2 — null-coalescing group-agg (`_coalesce_updates`,
     * `daily_data_handler.py:111-114`): merge partial-row updates by
     * taking, per key, the newest non-null value of each non-PK column.
