@@ -265,6 +265,34 @@ object SparkEntry {
       Dedup.embeddingNearDup(ld(s, dir, "embeddings"), "embedding", "vec_id",
         dim = 64, bits = 10, threshold = 0.1)),
 
+    // Two-stage near-dup dedup at scale: LSH candidates → exact
+    // Jaccard verification (only candidate pairs are re-checked).
+    "dedup_verify_pipeline" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val cands = Dedup.minHashCandidates(docs, "text", "doc_id")
+      Dedup.jaccardVerify(cands, docs, "text", "doc_id", shingleLen = 5, threshold = 0.5)
+    }),
+
+    // Corpus curation pipeline: quality-filter → exact-dedup (keep the
+    // lowest doc_id per fingerprint) → language tag + token budget.
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val scored = docs.select(
+        col("doc_id"), col("text"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.contentFingerprint(col("text")).as("fp"))
+        .filter(col("quality") >= 0.75)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      scored
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(
+          col("doc_id"),
+          TF.langId(col("text")).as("lang_pred"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("quality"))
+    }),
+
     // ---- similarity search --------------------------------------
     "embed_norm" -> ((s, dir) =>
       ld(s, dir, "embeddings").select(
@@ -323,6 +351,37 @@ object SparkEntry {
         q.stop()
         s.catalog.dropTempView(sinkName)
       }
+    }),
+
+    // Event-time windowed streaming aggregation with watermark — the
+    // stateful streaming surface the reference handles in batch
+    // (SURVEY §2.5 notes it has no watermarks/windows). Complete-mode
+    // memory sink over AvailableNow ⇒ deterministic final counts.
+    "stream_windowed_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val sinkName = s"graft_winagg_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        s.table(sinkName).localCheckpoint(true)
+      } finally s.catalog.dropTempView(sinkName)
     }),
 
     // End-to-end file pipeline: synthesize the raw Kafka envelope,
@@ -547,6 +606,44 @@ object SparkEntry {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""",
+
+    "stream_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "corpus_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CAST((CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(n_nonspace AS DOUBLE)/n_words BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.3 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(n_alnum AS DOUBLE)/n_chars > 0.6 THEN 1 ELSE 0 END)
+        |       AS DOUBLE) / 4 AS quality,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    n_words
+        |  FROM (SELECT doc_id, text, length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS n_punct,
+        |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+        |    FROM documents)),
+        |kept AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS __rn
+        |  FROM scored WHERE quality >= 0.75)
+        |SELECT doc_id, LANGPRED AS lang_pred, n_words AS n_tokens, quality
+        |FROM kept WHERE __rn = 1""".stripMargin
+        .replace("LANGPRED", {
+          val inner = langScoreSqls.zipWithIndex.dropRight(1).map { case ((lang, e), i) =>
+            val later = langScoreSqls.drop(i + 1)
+            val laterMax =
+              if (later.size == 1) later.head._2
+              else s"GREATEST(${later.map(_._2).mkString(", ")})"
+            s"WHEN $e >= $laterMax THEN '$lang'"
+          }
+          s"CASE ${inner.mkString(" ")} ELSE '${langScoreSqls.last._1}' END"
+        }),
 
     "dedup_exact" ->
       """SELECT md5(norm) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
