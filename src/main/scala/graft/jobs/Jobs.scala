@@ -53,12 +53,15 @@ object Jobs {
     else Some(parseRaw(day, lowerNames))
   }
 
-  /** Parse a raw `(timestamp, value)` frame: infer payload schema over
-    * the batch (the reference's deliberate schema-drift tolerance, S7),
-    * parse, flatten, sanitize names.
+  /** Parse a raw `(timestamp, value)` frame: resolve the payload schema
+    * via the provider (per-batch inference by default — the reference's
+    * deliberate schema-drift tolerance, S7; declared mode skips the
+    * inference pass entirely), parse, flatten, sanitize names.
     */
-  def parseRaw(raw: DataFrame, lowerNames: Boolean = false): DataFrame = {
-    val schema = CdcOps.inferPayloadSchema(raw)
+  def parseRaw(raw: DataFrame, lowerNames: Boolean = false,
+               schemaProvider: graft.schema.SchemaProvider =
+                 graft.schema.SchemaProvider.Inferred): DataFrame = {
+    val schema = schemaProvider.schemaFor(raw)
     val parsed = CdcOps.parseEnvelope(raw, schema)
     CdcOps.sanitizeColumnNames(parsed, lower = lowerNames)
   }
