@@ -205,6 +205,77 @@ object SparkEntry {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
 
+    // q6-style: pure filter + global aggregate — everything pushes to
+    // the scan (PushedFilters shows all three predicates).
+    "q6_filtered_agg" -> ((s, dir) =>
+      ld(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))),
+
+    "q_rollup" -> ((s, dir) =>
+      ld(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumD(col("l_quantity")).as("sum_qty"))),
+
+    "q_cube" -> ((s, dir) =>
+      ld(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q_semi_join" -> ((s, dir) =>
+      ld(s, dir, "customer")
+        .join(ld(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")),
+
+    "q_except" -> ((s, dir) => {
+      val all = ld(s, dir, "orders").select(col("o_custkey"))
+      val big = ld(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey"))
+      all.except(big)
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val inLineitem = ld(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
+      val bigParts = ld(s, dir, "part").filter(col("p_size") > 25)
+        .select(col("p_partkey"))
+      inLineitem.intersect(bigParts)
+    }),
+
+    "q_conditional_agg" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when(col("event_type") === "purchase", dec(col("value")))
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("purchase_value"),
+          max(when(col("event_type") === "error", col("ts"))).as("last_error"))),
+
+    "q_string_funcs" -> ((s, dir) =>
+      ld(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"),
+        length(col("p_name")).cast("long").as("name_len"))),
+
+    "q_date_funcs" -> ((s, dir) =>
+      ld(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))),
+
+    // S2 — stream/batch repartition: spreads input across the cluster;
+    // row multiset unchanged (the oracle checks exactly that).
+    "cdc_repartition" -> ((s, dir) =>
+      ld(s, dir, "events").repartition(32, col("user_id"))),
+
     // ---- text analysis ------------------------------------------
     "text_token_count" -> ((s, dir) =>
       ld(s, dir, "documents").select(
@@ -566,6 +637,60 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q6_filtered_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT * FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 100000""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT l_partkey AS p_partkey FROM lineitem
+        |INTERSECT
+        |SELECT p_partkey FROM part WHERE p_size > 25""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
+        |  MAX(CASE WHEN event_type = 'error' THEN ts END) AS last_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 5) AS name5,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+        |  length(p_name) AS name_len
+        |FROM part""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, date_trunc('month', o_orderdate) AS month_start
+        |FROM orders""".stripMargin,
+
+    "cdc_repartition" ->
+      "SELECT * FROM events",
 
     "q_agg_stats" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,

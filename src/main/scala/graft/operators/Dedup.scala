@@ -166,14 +166,16 @@ object Dedup {
 
   /** N-gram Jaccard near-dup pairs within LSH candidate buckets — the
     * exact-verify stage after [[minHashCandidates]]: re-checks candidate
-    * pairs against true shingle Jaccard.
+    * pairs against true shingle-set Jaccard. Shingle sets are
+    * represented by their native 64-bit hash arrays (one kernel pass
+    * per doc; `array_intersect` on 8-byte longs instead of shingle
+    * strings — same set semantics modulo negligible hash collisions).
     */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     textCol: String, idCol: String,
                     shingleLen: Int = 5, threshold: Double = 0.7): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("__jid"), normalizeWs(col(textCol)).as("__norm"))
-      .select(col("__jid"), charShinglesOf(col("__norm"), shingleLen).as("__sh"))
+    val sh = docs.select(col(idCol).as("__jid"),
+      graft.functions.native.char_shingle_hashes(col(textCol), shingleLen).as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
