@@ -271,6 +271,20 @@ object SparkEntry {
         month(col("o_orderdate")).cast("long").as("m"),
         date_trunc("month", col("o_orderdate")).as("month_start"))),
 
+    // As-of join: each event enriched with the user's most recent
+    // signup at-or-before the event time (CDC point-in-time lookup).
+    "q_asof_join" -> ((s, dir) => {
+      val e = ld(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ld(s, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+      graft.ops.AsOfJoin.asOf(e, signups, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("right_signup_event").as("signup_event"),
+          col("right_ts").as("signup_ts"))
+    }),
+
     // S2 — stream/batch repartition: spreads input across the cluster;
     // row multiset unchanged (the oracle checks exactly that).
     "cdc_repartition" -> ((s, dir) =>
@@ -686,11 +700,19 @@ object SparkEntry {
 
     "q_date_funcs" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, quarter(o_orderdate) AS q,
-        |  month(o_orderdate) AS m, date_trunc('month', o_orderdate) AS month_start
+        |  month(o_orderdate) AS m, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
         |FROM orders""".stripMargin,
 
     "cdc_repartition" ->
       "SELECT * FROM events",
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  s.signup_event, s.ts AS signup_ts
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS signup_event FROM events
+        |   WHERE event_type = 'signup') s
+        |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,

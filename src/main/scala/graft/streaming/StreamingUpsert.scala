@@ -58,6 +58,41 @@ object StreamingUpsert {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
   }
 
+  private[streaming] def foldGroupTtl(ttlMs: Long)(
+      key: String,
+      events: Iterator[KeyedEvent],
+      state: GroupState[KeyState]): Iterator[KeyState] = {
+    if (state.hasTimedOut) {
+      // idle key: drop its state; emit nothing (the lake already has
+      // the final value — this only bounds the in-flight state store)
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = foldGroup(key, events, state)
+      if (state.exists) state.setTimeoutDuration(ttlMs)
+      out
+    }
+  }
+
+  /** [[upsert]] with processing-time state TTL: keys idle for `ttlMs`
+    * are evicted from the state store. At 100 TB of churn the live-key
+    * working set — not the all-time key count — bounds state size;
+    * late arrivals for an evicted key simply re-insert (LWW still
+    * converges because the lake merge downstream is itself LWW).
+    *
+    * Note: with `ProcessingTimeTimeout` the engine re-runs micro-batches
+    * continuously to fire timeouts, so `processAllAvailable()` on a
+    * query over this Dataset does not quiesce — use a real trigger
+    * interval in production and `TestGroupState` in tests.
+    */
+  def upsertWithTtl(events: Dataset[KeyedEvent], ttlMs: Long): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.ProcessingTimeTimeout)(foldGroupTtl(ttlMs))
+  }
+
   /** Adapt a CDC DataFrame (any payload schema + `__op` + an ordering
     * column) into the keyed envelope: key = PKs joined with a unit
     * separator, order = microseconds of the ordering timestamp, payload
