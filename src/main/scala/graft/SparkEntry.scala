@@ -285,6 +285,93 @@ object SparkEntry {
           col("right_ts").as("signup_ts"))
     }),
 
+    // Gap-based sessionization (30-min idle gap) — the event-pipeline
+    // primitive behind DAU/session metrics. One shuffle on user_id;
+    // the session id is a running sum over the same partitioning, so
+    // the window and the groupBy share one exchange.
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ld(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+    }),
+
+    // lag/lead neighbors per user — change detection / inter-event gap.
+    "q_lag_lead" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ld(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("prev_event_id", lag(col("event_id"), 1).over(byUser))
+        .withColumn("next_event_id", lead(col("event_id"), 1).over(byUser))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+    }),
+
+    // Running (cumulative) aggregates per user — exact decimal so the
+    // result is order-independent across engines.
+    "q_running_agg" -> ((s, dir) => {
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ld(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("running_n", count(lit(1)).over(run))
+        .withColumn("running_sum", sum(dec(col("value"))).over(run).cast("double"))
+    }),
+
+    // Interpolated percentiles per group (continuous quantiles).
+    "q_percentiles" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+
+    // GROUPING SETS — finer than rollup/cube: exactly the three
+    // aggregation levels the report needs, one shuffle.
+    "q_grouping_sets" -> ((s, dir) =>
+      ld(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sumD(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // Pivot event_type → columns (explicit value list keeps the plan
+    // static and broadcast-free; one shuffle on user_id).
+    "q_pivot" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sumD(col("value")))),
+
+    // Array aggregation surface: sorted distinct collection per key,
+    // serialized to CSV so the hash is engine-portable.
+    "q_array_funcs" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          countDistinct(col("event_type")).as("n_types"),
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types_csv"))),
+
+    // Fixed-width histogram of `value` — the profiling primitive.
+    "q_histogram" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(floor(col("value") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))),
+
     // S2 — stream/batch repartition: spreads input across the cluster;
     // row multiset unchanged (the oracle checks exactly that).
     "cdc_repartition" -> ((s, dir) =>
@@ -713,6 +800,75 @@ object SparkEntry {
         |  (SELECT user_id, ts, event_id AS signup_event FROM events
         |   WHERE event_type = 'signup') s
         |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, us
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    "q_lag_lead" ->
+      """SELECT event_id, user_id, ts,
+        |  lag(event_id) OVER w AS prev_event_id,
+        |  lead(event_id) OVER w AS next_event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_running_agg" ->
+      """SELECT event_id, user_id, ts,
+        |  value,
+        |  COUNT(*) OVER w AS running_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
