@@ -285,6 +285,24 @@ object SparkEntry {
           col("right_ts").as("signup_ts"))
     }),
 
+    // Range join: events within 7 days after a same-user signup.
+    // Bucketized to a hash equi-join (see ops.RangeJoin) — the naive
+    // range predicate would plan as a quadratic nested-loop join.
+    "q_range_join" -> ((s, dir) => {
+      val week = 604800000000L // 7 days in µs
+      val ev = ld(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+      val sg = ld(s, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_event"),
+          unix_micros(col("ts")).as("lo_us"),
+          (unix_micros(col("ts")) + lit(week)).as("hi_us"))
+      graft.ops.RangeJoin.pointInInterval(ev, sg, "ts_us", "lo_us", "hi_us",
+          bucketWidth = week, keys = Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("signup_event"))
+    }),
+
     // Gap-based sessionization (30-min idle gap) — the event-pipeline
     // primitive behind DAU/session metrics. One shuffle on user_id;
     // the session id is a running sum over the same partitioning, so
@@ -800,6 +818,14 @@ object SparkEntry {
         |  (SELECT user_id, ts, event_id AS signup_event FROM events
         |   WHERE event_type = 'signup') s
         |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.user_id, e.event_id, e.ts, s.event_id AS signup_event
+        |FROM events e JOIN events s
+        |  ON e.user_id = s.user_id
+        | AND s.event_type = 'signup'
+        | AND epoch_us(e.ts) >= epoch_us(s.ts)
+        | AND epoch_us(e.ts) <= epoch_us(s.ts) + 604800000000""".stripMargin,
 
     "q_sessionize" ->
       """WITH gaps AS (

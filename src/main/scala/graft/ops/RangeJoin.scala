@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range join (equi keys AND `lo <= point <= hi`) planned as a pure
+  * equi-join — an operator Spark lacks natively: Catalyst plans a bare
+  * range predicate as a broadcast-nested-loop join, which is quadratic
+  * and falls over long before 100 TB.
+  *
+  * The scale path: pick a bucket width, explode each interval into the
+  * fixed-width buckets it covers, give each point its single bucket,
+  * hash-join on (keys, bucket), then apply the exact range predicate.
+  * Cost is `points + intervals × (span/bucketWidth + 1)` rows through
+  * one shuffle hash join — linear, AQE-skew-splittable, and each
+  * (point, interval) pair meets in exactly one bucket so no dedup pass
+  * is needed.
+  */
+object RangeJoin {
+
+  /** @param pointCol    numeric column on `points` (cast timestamps to
+    *                    epoch micros first)
+    * @param loCol/hiCol inclusive interval bounds on `intervals`
+    * @param bucketWidth bucket size in `pointCol` units; choose ≈ the
+    *                    typical interval span so intervals explode into
+    *                    ~2 buckets
+    * @param keys        extra equi-join columns present on both sides
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    val pts = points.withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
+    val ivs = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / w).cast("long"),
+        floor(col(hiCol) / w).cast("long"))))
+    pts.join(ivs, (keys :+ "__bucket").toSeq, "inner")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

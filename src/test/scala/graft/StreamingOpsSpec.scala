@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark suppresses redelivery across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamingOps.dedupWithinWatermark(
+      input.toDF().toDF("event_id", "ts", "payload"),
+      Seq("event_id"), "ts", "10 minutes")
+    val query = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), "a"), (2L, ts("2024-01-01 00:00:30"), "b"))
+      query.processAllAvailable()
+      // batch 2: event 1 redelivered (at-least-once), new event 3
+      input.addData((1L, ts("2024-01-01 00:00:00"), "a"), (3L, ts("2024-01-01 00:01:00"), "c"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp, Long)]
+    val buys = MemoryStream[(String, Timestamp, Long)]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("user", "ts", "click_id"),
+      buys.toDF().toDF("user", "ts", "buy_id"),
+      key = "user", leftTs = "ts", rightTs = "ts",
+      before = "0 seconds", after = "1 hour", watermark = "2 hours")
+    val query = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ij_out").start()
+    try {
+      clicks.addData(("u1", ts("2024-01-01 10:00:00"), 1L), ("u2", ts("2024-01-01 10:00:00"), 2L))
+      buys.addData(
+        ("u1", ts("2024-01-01 10:30:00"), 100L), // in window  -> match
+        ("u1", ts("2024-01-01 12:00:00"), 101L), // too late   -> no match
+        ("u2", ts("2024-01-01 09:59:00"), 102L)) // before click -> no match
+      query.processAllAvailable()
+      val got = spark.table("ij_out").select("click_id", "right_buy_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 100L)))
+    } finally query.stop()
+  }
+}
