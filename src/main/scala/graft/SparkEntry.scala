@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.CdcOps
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.sources.Tables
 
@@ -324,6 +324,19 @@ object SparkEntry {
           max(col("ts")).as("session_end"))
     }),
 
+    // Native session_window sessionization — same semantics as
+    // q_sessionize but via Spark's built-in session aggregation
+    // (merge-on-overlap, window end = last event + gap), checked
+    // against an independent SQL derivation of the boundaries.
+    "q_session_window" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("n_events"))),
+
     // lag/lead neighbors per user — change detection / inter-event gap.
     "q_lag_lead" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -604,6 +617,24 @@ object SparkEntry {
         col("doc_id"),
         length(blob).cast("long").as("n_bytes"),
         substring(hex(blob), 1, 8).as("hex_prefix"))
+    }),
+
+    // Full multimodal batch path: blob → typed metadata → evenly-spaced
+    // frame sampling → per-frame feature vectors, all via mapPartitions
+    // (one partition of blobs resident per task; shuffles move features,
+    // never media bytes). Codec is the deterministic stub.
+    "mm_frame_features" -> ((s, dir) => {
+      val blobs = ld(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("blob"))
+      val meta = Multimodal.withMediaMeta(blobs, "blob")
+        .select(col("doc_id"), col("media.format").as("format"),
+          col("media.n_frames").as("n_frames"))
+      val frames = Multimodal.sampleFrames(blobs, "blob", "doc_id",
+          maxFrames = 4, dim = 8)
+        .select(col("doc_id"), col("frame_idx"),
+          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 6)
+            .as("feat_sum"))
+      frames.join(meta, "doc_id")
     })
   )
 
@@ -845,6 +876,25 @@ object SparkEntry {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS w_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
 
     "q_lag_lead" ->
       """SELECT event_id, user_id, ts,
