@@ -361,6 +361,32 @@ object SparkEntry {
         .withColumn("running_sum", sum(dec(col("value"))).over(run).cast("double"))
     }),
 
+    // Statistical moments + correlation per group (sample formulas —
+    // identical definitions in both engines; scale-free values rounded).
+    "q_stats_moments" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("value")), 6).as("stddev_value"),
+          round(var_samp(col("value")), 6).as("var_value"),
+          round(corr(col("value"), col("user_id").cast("double")), 6)
+            .as("corr_value_user"))),
+
+    // RANGE-frame window: rolling 1-hour event count per user — the
+    // time-based frame (vs ROWS) the monitoring queries need.
+    "q_range_frame" -> ((s, dir) => {
+      val hour = 3600000000L // µs
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-hour, 0)
+      ld(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .drop("us")
+    }),
+
     // Interpolated percentiles per group (continuous quantiles).
     "q_percentiles" -> ((s, dir) =>
       ld(s, dir, "events")
@@ -912,6 +938,19 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "q_stats_moments" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  round(stddev_samp(value), 6) AS stddev_value,
+        |  round(var_samp(value), 6) AS var_value,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,
