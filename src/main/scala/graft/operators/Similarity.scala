@@ -86,13 +86,27 @@ object Similarity {
       .select(col(idCol).as("cell_id"), col(vecCol).as("cent_vec"))
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(round(col("__sim"), 6).desc, col("cell_id").asc)
-      df.join(broadcast(centroids))
-        .withColumn("__sim", cosineSimilarity(col(vec), col("cent_vec")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .drop("cent_vec", "__sim", "__r")
+      val scored = df.join(broadcast(centroids))
+        .withColumn("__sim", round(cosineSimilarity(col(vec), col("cent_vec")), 6))
+      if (keep == 1)
+        // argmax as a map-side-combinable aggregate: the corpus-side
+        // assignment never sorts, it folds (×nCells rows collapse back
+        // to one per vector inside each scan task). Tie-break matches
+        // the window form: highest sim, then lowest cell_id.
+        scored
+          .groupBy(col(id))
+          .agg(max_by(struct(col(vec), col("cell_id")),
+            struct(col("__sim"), negate(col("cell_id")))).as("__best"))
+          .select(col(id), col(s"__best.$vec").as(vec),
+            col("__best.cell_id").as("cell_id"))
+      else {
+        val w = Window.partitionBy(col(id))
+          .orderBy(col("__sim").desc, col("cell_id").asc)
+        scored
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= keep)
+          .drop("cent_vec", "__sim", "__r")
+      }
     }
 
     val assigned = assign(
