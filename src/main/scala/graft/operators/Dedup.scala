@@ -174,9 +174,20 @@ object Dedup {
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     textCol: String, idCol: String,
                     shingleLen: Int = 5, threshold: Double = 0.7): DataFrame = {
+    // materialize the candidate pairs once (the LSH band-join subtree
+    // would otherwise re-run for each use below), then shingle only
+    // documents that appear in some pair: after LSH pruning that set is
+    // a small fraction of the corpus, so the (expensive) shingle kernel
+    // runs over candidates, not 100 TB
+    val cands = candidates.localCheckpoint()
+    val inPairs = cands.select(col("id_a").as("__jid"))
+      .union(cands.select(col("id_b"))).distinct()
     val sh = docs.select(col(idCol).as("__jid"),
-      graft.functions.native.char_shingle_hashes(col(textCol), shingleLen).as("__sh"))
-    candidates
+      col(textCol))
+      .join(inPairs, Seq("__jid"), "left_semi")
+      .select(col("__jid"),
+        graft.functions.native.char_shingle_hashes(col(textCol), shingleLen).as("__sh"))
+    cands
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
