@@ -215,6 +215,33 @@ object SparkEntry {
         .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
           .cast("double").as("revenue"), count(lit(1)).as("n"))),
 
+    // q4-style EXISTS: orders with at least one returned lineitem. The
+    // semi-join needs no distinct on the probe side and aggregates
+    // after — two shuffles total, both on keys AQE can coalesce.
+    "q4_order_priority" -> ((s, dir) => {
+      val late = ld(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey"))
+      ld(s, dir, "orders")
+        .join(late, Seq("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Correlated-subquery pattern decorrelated by hand: orders above
+    // their customer's average order value. The per-customer average is
+    // a groupBy re-joined on the same key — one shuffle, reused by the
+    // join co-partitioning.
+    "q_above_avg" -> ((s, dir) => {
+      val orders = ld(s, dir, "orders")
+      val custAvg = orders.groupBy(col("o_custkey"))
+        .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      orders.join(custAvg, Seq("o_custkey"))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     "q_rollup" -> ((s, dir) =>
       ld(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -902,6 +929,22 @@ object SparkEntry {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_above_avg" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o JOIN (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM orders GROUP BY o_custkey) a
+        |ON o.o_custkey = a.o_custkey
+        |WHERE o.o_totalprice > a.avg_price""".stripMargin,
 
     "q_session_window" ->
       """WITH gaps AS (
