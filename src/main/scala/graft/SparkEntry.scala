@@ -579,6 +579,37 @@ object SparkEntry {
     // ---- streaming + end-to-end pipeline ------------------------
     // CDC events through a REAL StreamExecution: MemoryStream →
     // flatMapGroupsWithState LWW upsert → memory sink → live rows.
+    // Streaming watermarked dedup: every event delivered twice across
+    // two micro-batches (at-least-once Kafka redelivery); the stream
+    // emits each event_id exactly once. Oracle = the events table
+    // itself.
+    "stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = ld(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      implicit val sqlCtx = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      val sinkName = s"graft_sdedup_${System.nanoTime()}"
+      val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        Seq("event_id"), "ts", "10 minutes")
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try {
+        val rows = ev.collect().toIndexedSeq
+        input.addData(rows)
+        q.processAllAvailable()
+        input.addData(rows) // full redelivery
+        q.processAllAvailable()
+        s.table(sinkName).localCheckpoint(true)
+      } finally {
+        q.stop(); s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     "stream_upsert" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingUpsert
@@ -741,6 +772,9 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
          |  FROM cdc WHERE __op = 'u') WHERE __rn = 1""".stripMargin,
+
+    "stream_dedup" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events",
 
     "stream_upsert" ->
       s"""$cdcSql SELECT event_id, user_id, value, props FROM (
