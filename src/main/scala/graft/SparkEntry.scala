@@ -306,7 +306,8 @@ object SparkEntry {
       val signups = ld(s, dir, "events")
         .filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
-      graft.ops.AsOfJoin.asOf(e, signups, Seq("user_id"), "ts", "ts")
+      graft.ops.AsOfJoin.asOf(e, signups, Seq("user_id"), "ts", "ts",
+          rightTiebreak = Seq("signup_event"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("right_signup_event").as("signup_event"),
           col("right_ts").as("signup_ts"))
@@ -351,10 +352,11 @@ object SparkEntry {
           max(col("ts")).as("session_end"))
     }),
 
-    // Native session_window sessionization — same semantics as
-    // q_sessionize but via Spark's built-in session aggregation
-    // (merge-on-overlap, window end = last event + gap), checked
-    // against an independent SQL derivation of the boundaries.
+    // Native session_window sessionization — same boundary rule as
+    // q_sessionize (a gap of exactly 30 min still merges: Spark opens a
+    // new session only when sessionStart > currentSessionEnd), via
+    // Spark's built-in session aggregation (window end = last event +
+    // gap), checked against an independent SQL derivation.
     "q_session_window" -> ((s, dir) =>
       ld(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -987,7 +989,7 @@ object SparkEntry {
         |  FROM events),
         |marked AS (
         |  SELECT user_id, ts, us,
-        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800 * 1000000
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM gaps),
         |sessions AS (

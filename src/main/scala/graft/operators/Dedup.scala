@@ -174,12 +174,14 @@ object Dedup {
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     textCol: String, idCol: String,
                     shingleLen: Int = 5, threshold: Double = 0.7): DataFrame = {
-    // materialize the candidate pairs once (the LSH band-join subtree
-    // would otherwise re-run for each use below), then shingle only
-    // documents that appear in some pair: after LSH pruning that set is
-    // a small fraction of the corpus, so the (expensive) shingle kernel
-    // runs over candidates, not 100 TB
-    val cands = candidates.localCheckpoint()
+    // cache the candidate pairs (the LSH band-join subtree would
+    // otherwise re-run for each use below — lazy, evictable persist
+    // rather than an eager checkpoint, so building the plan stays
+    // side-effect-free), then shingle only documents that appear in
+    // some pair: after LSH pruning that set is a small fraction of the
+    // corpus, so the (expensive) shingle kernel runs over candidates,
+    // not 100 TB
+    val cands = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inPairs = cands.select(col("id_a").as("__jid"))
       .union(cands.select(col("id_b"))).distinct()
     val sh = docs.select(col(idCol).as("__jid"),

@@ -20,12 +20,18 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
-  /** @param rightPrefix prefix applied to right-side payload columns in
-    *                    the output (collision-proofing).
+  /** @param rightPrefix   prefix applied to right-side payload columns
+    *                      in the output (collision-proofing).
+    * @param rightTiebreak right-side payload columns used to order
+    *                      right rows that tie on (keys, ts) — the
+    *                      greatest tiebreak value wins. Without it,
+    *                      which tied right row is carried forward
+    *                      depends on physical row order.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightPrefix: String = "right_"): DataFrame = {
+           rightPrefix: String = "right_",
+           rightTiebreak: Seq[String] = Nil): DataFrame = {
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val rightStruct = StructType(rightPayload.map(c => right.schema(c)))
 
@@ -39,9 +45,12 @@ object AsOfJoin {
         struct(left.columns.map(col): _*).as("__l")): _*)
 
     // right (side 0) sorts before left (side 1) at equal ts, so a right
-    // row at exactly leftTs is visible — the `>=` convention.
+    // row at exactly leftTs is visible — the `>=` convention. Tied
+    // right rows order by the caller's tiebreak (nulls first, so left
+    // rows — whose __r is null — never outrank a real right row).
+    val tiebreak = rightTiebreak.map(c => col(s"__r.$c").asc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc +: col("__side").asc +: tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedRight.unionByName(taggedLeft)

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Range join (equi keys AND `lo <= point <= hi`) planned as a pure
   * equi-join — an operator Spark lacks natively: Catalyst plans a bare
@@ -26,15 +27,28 @@ object RangeJoin {
     *                    ~2 buckets
     * @param keys        extra equi-join columns present on both sides
     */
+  /** floor(c / w) that stays exact for integral columns: `c / w` on
+    * longs promotes to double, whose 53-bit mantissa misplaces boundary
+    * values above 2^53 (epoch nanos are ~2^60) into the adjacent
+    * bucket — a silently dropped match. Integral types use exact long
+    * arithmetic; fractional types keep floating floor (their values are
+    * doubles to begin with).
+    */
+  private def bucketOf(df: DataFrame, c: String, w: Long): Column =
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        expr(s"(`$c` - pmod(`$c`, ${w}L)) div ${w}L")
+      case _ => floor(col(c) / lit(w)).cast("long")
+    }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
                       bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val w = lit(bucketWidth)
-    val pts = points.withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
+    val pts = points.withColumn("__bucket", bucketOf(points, pointCol, bucketWidth))
     val ivs = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / w).cast("long"),
-        floor(col(hiCol) / w).cast("long"))))
+      explode(sequence(bucketOf(intervals, loCol, bucketWidth),
+        bucketOf(intervals, hiCol, bucketWidth))))
     pts.join(ivs, (keys :+ "__bucket").toSeq, "inner")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")

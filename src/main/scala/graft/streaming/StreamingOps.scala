@@ -16,9 +16,11 @@ object StreamingOps {
     * the property plain `dropDuplicates` on a stream lacks.
     */
   def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
-                           tsCol: String, delay: String): DataFrame =
+                           tsCol: String, delay: String): DataFrame = {
+    require(keys.nonEmpty, "dedupWithinWatermark needs at least one key column")
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Stream-stream interval join: left events matched to right events
     * with the same `key` whose timestamp lies in

@@ -32,6 +32,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == naive(left, right).sortBy(_._1))
   }
 
+  test("tied right rows resolve deterministically via rightTiebreak (greatest wins)") {
+    val left = Seq(("k", 1L, 10L)).toDF("k", "lid", "ts")
+    val right = Seq(("k", 10L, "t1"), ("k", 10L, "t9"), ("k", 10L, "t5"))
+      .toDF("k", "ts", "tag")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+      rightTiebreak = Seq("tag"))
+      .select($"right_tag").as[String].collect().toSeq
+    assert(got == Seq("t9"))
+  }
+
   test("left rows and row count are preserved exactly (left-outer semantics)") {
     val left = (1L to 100L).map(i => ("k", i, i))
     val right = Seq(("k", 50L, "mid"))

@@ -34,6 +34,17 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == naive(points, intervals).sorted)
   }
 
+  test("long values above 2^53 bucket exactly (epoch-nanos scale)") {
+    val base = 1700000000000000000L // ~2^60, beyond double's mantissa
+    val w = 604800000000000L        // one week of nanos
+    // point exactly on an interval's lower bound, near a bucket edge
+    val points = Seq(("k", 1L, base)).toDF("k", "pid", "v")
+    val intervals = Seq(("k", 2L, base, base + w - 1)).toDF("k", "iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+      bucketWidth = w, keys = Seq("k"))
+    assert(got.count() == 1)
+  }
+
   test("no equi keys: global point-in-interval still matches exactly once per pair") {
     val points = Seq(("x", 1L, 15L)).toDF("k", "pid", "v").drop("k")
     val intervals = Seq(("x", 9L, 0L, 100L)).toDF("k", "iid", "lo", "hi").drop("k")
