@@ -452,6 +452,49 @@ object SparkEntry {
           countDistinct(col("event_type")).as("n_types"),
           array_join(array_sort(collect_set(col("event_type"))), ",").as("types_csv"))),
 
+    // Unpivot (melt): wide metric columns → (metric, val) rows, then
+    // one aggregate per metric — the schema-normalization primitive.
+    "q_unpivot" -> ((s, dir) =>
+      ld(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(sumD(col("val")).as("sum_val"), count(lit(1)).as("n"))),
+
+    // Full ranking-function surface over one window (deterministic:
+    // the ordering key is unique per partition).
+    "q_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ld(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prank", round(percent_rank().over(w), 6))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+    }),
+
+    // Token histogram: explode → count — the vocabulary profile over
+    // the corpus (threshold keeps the result set stable, hash-compare
+    // sorts rows).
+    "q_token_histogram" -> ((s, dir) =>
+      ld(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 50)),
+
+    // JSON path extraction from the props payload column.
+    "q_json_extract" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy(col("k_val"))
+        .agg(count(lit(1)).as("n"))),
+
     // Fixed-width histogram of `value` — the profiling primitive.
     "q_histogram" -> ((s, dir) =>
       ld(s, dir, "events")
@@ -1058,6 +1101,36 @@ object SparkEntry {
       """SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
         |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT metric, CAST(SUM(CAST(val AS DECIMAL(12,2))) AS DOUBLE) AS sum_val,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |GROUP BY metric""".stripMargin,
+
+    "q_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "q_token_histogram" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token HAVING COUNT(*) >= 50""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) AS k_val, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
