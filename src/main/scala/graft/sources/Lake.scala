@@ -21,6 +21,21 @@ object Lake {
       .format(format)
       .save(dir)
 
+  /** Clustered write: range-partition on the cluster keys, sort within
+    * partitions, then write. Files then carry tight min/max ranges on
+    * the keys, so later scans with key predicates prune at the
+    * row-group level (parquet statistics) on top of directory-level
+    * partition pruning — the difference between touching 100 TB and
+    * touching one key's worth of files. `nFiles` bounds output file
+    * count (small-files control, the scalable form of the reference's
+    * `coalesce(1)` at `history_data_handler.py:149`).
+    */
+  def writeClustered(df: DataFrame, dir: String, clusterCols: Seq[String],
+                     nFiles: Int, format: String = "parquet"): Unit =
+    df.repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Append).format(format).save(dir)
+
   /** S6 — read one day of the raw layer. The reference constructs the
     * partition path by hand (`daily_data_handler.py:51-58`); here the
     * table root is read and Catalyst partition-prunes the filter — the

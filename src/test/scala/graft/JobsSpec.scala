@@ -29,6 +29,30 @@ class JobsSpec extends AnyFunSuite {
   private def envelope(t: Timestamp, op: String, id: String, product: String): (Timestamp, String) =
     (t, s"""{"ID":"$id","PRODUCT":${if (product == null) "null" else s""""$product""""},"__op":"$op","__deleted":"false"}""")
 
+  test("writeClustered produces disjoint per-file key ranges and preserves rows") {
+    val dir = tmp("clustered")
+    val df = spark.range(0, 1000).select(
+      (col("id") * 7919 % 1000).as("k"), col("id").as("payload"))
+    Lake.writeClustered(df, dir, Seq("k"), nFiles = 4)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("payload")).as[Long].head() == (0L until 1000).sum)
+
+    // range-partitioned files: per-file [min,max] on k must not overlap
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= 4 && files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("k"), max("k")).as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
   test("raw ingest streams envelopes into a date-partitioned lake exactly once") {
     val root = tmp("raw")
     val spec = TableSpec("t", "graft_db", Seq("ID"),
