@@ -331,6 +331,24 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts"), col("signup_event"))
     }),
 
+    // Incremental aggregate maintenance: cohort aggregates built from
+    // the first half-month of CDC, then MAINTAINED through the second
+    // half (retract replaced rows ⊕ add new) — work ∝ changed keys,
+    // never the base table. Must equal the from-scratch aggregate over
+    // the fully merged state (the oracle).
+    "cdc_incremental_agg" -> ((s, dir) => {
+      import graft.ops.IncrementalAgg
+      val ev = cdcEvents(s, dir).withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val first = ev.filter(col("timestamp") < split)
+      val batch = ev.filter(col("timestamp") >= split)
+      val state1 = CdcOps.foldMerge(first, Seq("user_id"), Seq("timestamp", "event_id"))
+      val agg1 = IncrementalAgg.recompute(state1, Seq("cohort"), "value")
+      IncrementalAgg.maintain(agg1, state1, batch, Seq("user_id"),
+          Seq("timestamp", "event_id"), Seq("cohort"), "value")
+        .select(col("cohort"), col("sum_val").cast("double").as("sum_value"), col("n"))
+    }),
+
     // Gap-based sessionization (30-min idle gap) — the event-pipeline
     // primitive behind DAU/session metrics. One shuffle on user_id;
     // the session id is a running sum over the same partitioning, so
@@ -981,6 +999,16 @@ object SparkEntry {
         |  (SELECT user_id, ts, event_id AS signup_event FROM events
         |   WHERE event_type = 'signup') s
         |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+
+    "cdc_incremental_agg" ->
+      s"""$cdcSql SELECT user_id % 10 AS cohort,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+         |  COUNT(*) AS n
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'
+         |GROUP BY 1""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.user_id, e.event_id, e.ts, s.event_id AS signup_event
