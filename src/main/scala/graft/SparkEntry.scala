@@ -194,6 +194,16 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
     }),
 
+    // Heap-based top-k per group (operators.TopK): map-side partial
+    // aggregation shrinks every partition to ≤ k entries before the
+    // shuffle — same result as the q_window_topn window, different
+    // (bounded-state) plan.
+    "q_topk_agg" -> ((s, dir) =>
+      graft.operators.TopK.topKPerGroup(
+        ld(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)),
+
     "q_agg_stats" -> ((s, dir) =>
       ld(s, dir, "events")
         .groupBy(col("event_type"))
@@ -937,6 +947,13 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
 
     "q6_filtered_agg" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TopK
+
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("heap top-k equals window top-k, including ties and short groups") {
+    val rows = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0), ("a", 5L, 7.0),
+      ("b", 6L, 2.0), // group smaller than k
+      ("c", 7L, 3.0), ("c", 8L, 3.0), ("c", 9L, 3.0), ("c", 10L, 3.0)) // all tied
+    val df = rows.toDF("g", "tag", "score")
+
+    val got = TopK.topKPerGroup(df, Seq("g"), "score", "tag", k = 3)
+      .select($"g", $"tag", $"score", $"rank")
+      .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"tag".asc)
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"g", $"tag", $"score", $"rank")
+      .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+
+    assert(got == want)
+  }
+
+  test("partial aggregation bounds state: 10k rows, one group, k=5") {
+    val df = spark.range(0, 10000).select(
+      lit("g").as("g"), col("id").as("tag"),
+      (col("id") % 997).cast("double").as("score"))
+    val got = TopK.topKPerGroup(df, Seq("g"), "score", "tag", k = 5)
+      .select($"tag", $"score", $"rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3).toSeq
+    // max score 996 at tags 996, 1993, ... — smallest tag wins ties
+    assert(got.map(_._2) == Seq(996.0, 996.0, 996.0, 996.0, 996.0))
+    assert(got.map(_._1) == Seq(996L, 1993L, 2990L, 3987L, 4984L))
+  }
+}
