@@ -15,10 +15,13 @@ object Bench {
     val spark = graft.session.Sessions.local(cpus, cpus, "graft-bench")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // noop sink: materializes every row and column (a bare count() lets
+    // Catalyst prune the payload or answer from parquet metadata, which
+    // would flatter scan-heavy queries)
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
