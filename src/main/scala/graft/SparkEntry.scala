@@ -776,6 +776,14 @@ object SparkEntry {
         substring(hex(blob), 1, 8).as("hex_prefix"))
     }),
 
+    // One-pass table profile (data-quality primitive): every metric for
+    // every column computed in a single scan. The HLL distinct estimate
+    // is excluded here (not oracle-comparable; bounded-error-checked in
+    // ProfileSpec instead).
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(ld(s, dir, "events"))
+        .filter(col("metric") =!= "approx_distinct")),
+
     // Full multimodal batch path: blob → typed metadata → evenly-spaced
     // frame sampling → per-frame feature vectors, all via mapPartitions
     // (one partition of blobs resident per task; shuffles move features,
@@ -1176,6 +1184,20 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k_val, COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_profile" -> {
+      val numeric = Seq("event_id", "user_id", "value")
+      val all = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      all.flatMap { c =>
+        Seq(
+          s"""SELECT '$c' AS "column", 'count' AS metric, CAST(COUNT($c) AS DOUBLE) AS value FROM events""",
+          s"""SELECT '$c', 'null_count', CAST(COUNT(*) - COUNT($c) AS DOUBLE) FROM events""") ++
+          (if (numeric.contains(c)) Seq(
+            s"""SELECT '$c', 'min', CAST(MIN($c) AS DOUBLE) FROM events""",
+            s"""SELECT '$c', 'max', CAST(MAX($c) AS DOUBLE) FROM events""")
+          else Nil)
+      }.mkString(" UNION ALL ")
+    },
 
     "q_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
