@@ -25,13 +25,17 @@ object Profile {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }.toSet
 
+    // backquote so names containing dots profile as columns, not as
+    // nested-field paths
+    def ref(c: String) = col(s"`${c.replace("`", "``")}`")
+
     val aggs = df.columns.flatMap { c =>
       val base = Seq(
-        count(col(c)).as(s"__cnt__$c"),
-        approx_count_distinct(col(c)).as(s"__dst__$c"))
+        count(ref(c)).as(s"__cnt__$c"),
+        approx_count_distinct(ref(c)).as(s"__dst__$c"))
       val num = if (numeric(c)) Seq(
-        min(col(c)).cast("double").as(s"__min__$c"),
-        max(col(c)).cast("double").as(s"__max__$c"))
+        min(ref(c)).cast("double").as(s"__min__$c"),
+        max(ref(c)).cast("double").as(s"__max__$c"))
       else Nil
       base ++ num
     }

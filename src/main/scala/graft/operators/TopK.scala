@@ -56,6 +56,7 @@ object TopK {
 
   /** Top-k rows per group: returns (groupCols..., tag, score, rank)
     * with rank 1 = highest score; score ties broken by smallest tag.
+    * Rows with NULL score are ignored.
     *
     * @param scoreCol double column ranked descending
     * @param tagCol   long id column carried through (join back for
@@ -66,7 +67,10 @@ object TopK {
                    scoreCol: String, tagCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val agg = udaf(new HeapAgg(k))
-    df.groupBy(groupCols.map(col): _*)
+    // NULL scores are ignored (the tuple encoder would otherwise
+    // fabricate them as 0.0 and give them invented ranks)
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(agg(col(scoreCol).cast("double"), col(tagCol).cast("long")).as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__i", "__e")): _*)
       .select(groupCols.map(col) ++ Seq(

@@ -52,6 +52,42 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got.find(_._1 == "b").get._2 == 55.0) // 30 + moved 25
   }
 
+  test("a late batch event older than a prior delete does not resurrect the key") {
+    val day1 = Seq(ev(1, "c", 1, "a", 99.0), ev(9, "d", 1, "a", 0.0)).toDF(cols: _*)
+    val state1 = CdcOps.foldMerge(day1, Seq("id"), Seq("timestamp")) // empty
+    val agg1 = IncrementalAgg.recompute(state1, Seq("grp"), "v")
+    val tombs = Seq((ts(9), 1L)).toDF("timestamp", "id")
+    val lateBatch = Seq(ev(5, "u", 1, "a", 42.0)).toDF(cols: _*) // older than the delete
+
+    val maintained = IncrementalAgg.maintain(agg1, state1, lateBatch,
+      Seq("id"), Seq("timestamp"), Seq("grp"), "v", prevTombstones = Some(tombs))
+    assert(maintained.count() == 0) // delete still wins
+  }
+
+  test("NULL group keys merge null-safely instead of duplicating the group") {
+    val day1 = Seq((ts(1), "c", 1L, null: String, 10.0)).toDF(cols: _*)
+    val day2 = Seq((ts(2), "c", 2L, null: String, 5.0)).toDF(cols: _*)
+    val state1 = CdcOps.foldMerge(day1, Seq("id"), Seq("timestamp"))
+    val agg1 = IncrementalAgg.recompute(state1, Seq("grp"), "v")
+    val got = IncrementalAgg.maintain(agg1, state1, day2,
+      Seq("id"), Seq("timestamp"), Seq("grp"), "v")
+      .select($"grp", $"sum_val".cast("double"), $"n")
+      .as[(Option[String], Double, Long)].collect().toSeq
+    assert(got == Seq((None, 15.0, 2L)))
+  }
+
+  test("a group whose values are all NULL keeps sum_val NULL, matching SQL SUM") {
+    val day1 = Seq((ts(1), "c", 1L, "a", Some(1.0))).toDF(cols: _*)
+    val day2 = Seq((ts(2), "c", 2L, "b", None: Option[Double])).toDF(cols: _*)
+    val state1 = CdcOps.foldMerge(day1, Seq("id"), Seq("timestamp"))
+    val agg1 = IncrementalAgg.recompute(state1, Seq("grp"), "v")
+    val got = IncrementalAgg.maintain(agg1, state1, day2,
+      Seq("id"), Seq("timestamp"), Seq("grp"), "v")
+      .select($"grp", $"sum_val".cast("double"), $"n")
+      .as[(String, Option[Double], Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", Some(1.0), 1L), ("b", None, 1L)))
+  }
+
   test("empty batch is a no-op") {
     val day1 = Seq(ev(1, "c", 1, "a", 10.0)).toDF(cols: _*)
     val state1 = CdcOps.foldMerge(day1, Seq("id"), Seq("timestamp"))

@@ -31,16 +31,17 @@ class JoinPropertySpec extends AnyFunSuite {
       val l = l0.zipWithIndex.map { case ((k, ts), i) => (k, i.toLong, ts) }
       // unique (k, ts, tag) triples; tiebreak on tag makes ties defined
       val r = r0.distinct
+      // sorted Seq, not Map: a join-multiplication regression must fail
       val got = AsOfJoin.asOf(
         l.toDF("k", "lid", "ts"), r.toDF("k", "ts", "tag"),
         Seq("k"), "ts", "ts", rightTiebreak = Seq("tag"))
         .select($"lid", $"right_tag").as[(Long, Option[Long])].collect()
-        .toMap
+        .sortBy(_._1).toSeq
       val want = l.map { case (k, lid, ts) =>
         val m = r.filter(x => x._1 == k && x._2 <= ts)
         lid -> (if (m.isEmpty) None
                 else Some(m.maxBy(x => (x._2, x._3))._3))
-      }.toMap
+      }.sortBy(_._1)
       got == want
     })
   }

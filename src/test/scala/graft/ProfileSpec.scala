@@ -21,6 +21,14 @@ class ProfileSpec extends AnyFunSuite {
     assert(!p.contains(("s", "min"))) // non-numeric: no min/max
   }
 
+  test("column names containing dots profile as columns, not nested paths") {
+    val df = Seq((1L, 2L)).toDF("user.id", "plain")
+    val p = Profile.profile(df).as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(p(("user.id", "count")) == 1.0)
+    assert(p(("user.id", "max")) == 1.0)
+  }
+
   test("approx_distinct is within 5% of exact on 10k distinct values") {
     val df = spark.range(0, 10000).toDF("id")
     val p = Profile.profile(df).as[(String, String, Double)].collect()

@@ -30,6 +30,15 @@ class TopKSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("NULL scores are ignored, never fabricated as 0.0") {
+    val df = Seq(("a", 1L, Some(-5.0)), ("a", 2L, None), ("a", 3L, Some(7.0)))
+      .toDF("g", "tag", "score")
+    val got = TopK.topKPerGroup(df, Seq("g"), "score", "tag", k = 3)
+      .select($"tag", $"score", $"rank").as[(Long, Double, Long)]
+      .collect().sortBy(_._3).toSeq
+    assert(got == Seq((3L, 7.0, 1L), (1L, -5.0, 2L))) // null row absent
+  }
+
   test("partial aggregation bounds state: 10k rows, one group, k=5") {
     val df = spark.range(0, 10000).select(
       lit("g").as("g"), col("id").as("tag"),
