@@ -996,7 +996,7 @@ object SparkEntry {
 
     "q_conditional_agg" ->
       """SELECT user_id, COUNT(*) AS n,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
         |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
         |  MAX(CASE WHEN event_type = 'error' THEN ts END) AS last_error
@@ -1045,18 +1045,18 @@ object SparkEntry {
 
     "q_sessionize" ->
       """WITH gaps AS (
-        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events),
         |marked AS (
-        |  SELECT user_id, ts, us,
+        |  SELECT user_id, event_id, ts,
         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM gaps),
         |sessions AS (
         |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, us
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
