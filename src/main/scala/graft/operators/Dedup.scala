@@ -92,11 +92,14 @@ object Dedup {
           graft.functions.native.char_shingle_hashes(col(textCol), shingleLen), k).as("__mh"))
       .select(col("id"),
         struct((0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*).as("sig"))
+    // the band key is the exact minhash tuple (not a hash of it): same
+    // shuffle width (the tuple is 4 longs), zero false-positive bucket
+    // collisions, and the bucketing is reproducible by the oracle
     val banded = signed.select(
       col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"sig.mh$i")): _*)
+        struct((0 until rowsPerBand).map(j =>
+          col(s"sig.mh${b * rowsPerBand + j}").as(s"k$j")): _*)
       }: _*)).as(Seq("band", "bucket")))
     // cap pathological buckets so a degenerate key can't go quadratic
     val capped = banded
@@ -159,7 +162,7 @@ object Dedup {
     a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -209,8 +212,10 @@ object Dedup {
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      // 6-dp rounding BEFORE the threshold filter: deterministic,
+      // engine-portable boundary behavior
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
+        round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

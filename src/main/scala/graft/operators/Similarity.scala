@@ -1,25 +1,41 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two tiers:
+  * Three tiers:
   *  - [[bruteForceTopK]] — exact cosine top-k; the correctness baseline.
   *    Queries are broadcast (they're the small side by construction), so
-  *    the 100 TB candidate scan never shuffles; top-k is a window over
-  *    (query, cosine) — per-query heap via rank.
+  *    the 100 TB candidate scan never shuffles.
   *  - [[lshTopK]] — hyperplane-LSH bucketed: candidates limited to the
   *    query's bucket(s); recall traded for a bucket-local join. The
   *    scale path when the candidate set is the whole corpus.
-  *  - [[ivfTopK]] — IVF-style: coarse centroids (sampled rows) define
-  *    cells; probe the nProbe nearest cells only.
+  *  - [[ivfTopK]] — IVF-style: coarse centroids define cells; probe the
+  *    nProbe nearest cells only.
+  *
+  * All three end in [[TopK.topKPerGroup]] — a bounded min-heap
+  * aggregator with map-side partial aggregation — instead of a
+  * `row_number` window: the window form shuffles and sorts EVERY scored
+  * pair into per-query partitions (corpus-sized row sets per task at
+  * scale); the heap shrinks each partition to ≤ k entries before the
+  * exchange.
   */
 object Similarity {
+
+  /** Final top-k over scored (query_id, candidate_id, cosine) rows:
+    * rank by 6-dp-rounded cosine descending, ties to the smallest
+    * candidate id (deterministic and engine-portable).
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    TopK.topKPerGroup(
+      scored.select(col("query_id"), col("candidate_id"),
+        round(col("cosine"), 6).as("cosine")),
+      Seq("query_id"), "cosine", "candidate_id", k)
+      .select(col("query_id"), col("candidate_id"), col("cosine"), col("rank"))
 
   /** Exact top-k: for each query row, the k nearest candidates by
     * cosine. `queries` must be small (it is broadcast).
@@ -31,18 +47,12 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("candidate_id"))
       .select(col("query_id"), col("candidate_id"),
         cosineSimilarity(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("candidate_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("candidate_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    topK(scored, k)
   }
 
   /** LSH-bucketed ANN top-k: candidates restricted to the query's
     * hyperplane bucket. Recall can be raised with multiple seeds
-    * (multi-probe): results are unioned before the final top-k window.
+    * (multi-probe): results are unioned before the final top-k.
     */
   def lshTopK(candidates: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
@@ -57,74 +67,63 @@ object Similarity {
         .select(col("query_id"), col("candidate_id"),
           cosineSimilarity(col("q_vec"), col("c_vec")).as("cosine"))
     }.reduce(_ unionByName _).distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("candidate_id").asc)
-    probed
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("candidate_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    topK(probed, k)
   }
 
-  /** IVF-style ANN: `nCells` coarse centroids chosen as a deterministic
-    * sample of the corpus (rows where id % step == 0 — no training
-    * needed for a reproducible index); every vector is assigned to its
-    * nearest centroid (broadcast); queries probe their `nProbe` nearest
-    * cells. Returns top-k within probed cells.
+  /** IVF-style ANN: the `nCells` lowest-id vectors serve as
+    * deterministic coarse centroids (no training pass, reproducible for
+    * any id distribution); every vector is assigned to its nearest
+    * centroid as a PURE PROJECTION over the scan (struct-argmax over
+    * the fitted centroid literals — no shuffle, no window, no extra
+    * action); queries probe their `nProbe` nearest cells. Returns
+    * top-k within probed cells.
     *
-    * At 100 TB the assignment pass is one broadcast-join scan, the
-    * search is a cell-key equi-join — both shuffle-free on the corpus
-    * side except the final per-query window.
+    * Collecting the centroids is bounded model fitting (`nCells` rows,
+    * like a k-means fit) — the corpus itself is never collected. At
+    * 100 TB the corpus side is scan → project → join(broadcast
+    * queries) → heap-aggregate: zero corpus shuffles.
     */
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val n = candidates.count()
-    val step = math.max(n / nCells, 1L)
-    val centroids = candidates
-      .filter(pmod(col(idCol), lit(step)) === 0 && col(idCol) < step * nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cent_vec"))
+    val session = candidates.sparkSession
+    import session.implicits._
+    val cents: Array[(Long, Seq[Double])] = candidates
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol).cast("long"))
+      .limit(nCells)
+      .as[(Long, Seq[Double])]
+      .collect()
+    require(cents.nonEmpty, "IVF needs at least one candidate vector")
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(centroids))
-        .withColumn("__sim", round(cosineSimilarity(col(vec), col("cent_vec")), 6))
-      if (keep == 1)
-        // argmax as a map-side-combinable aggregate: the corpus-side
-        // assignment never sorts, it folds (×nCells rows collapse back
-        // to one per vector inside each scan task). Tie-break matches
-        // the window form: highest sim, then lowest cell_id.
-        scored
-          .groupBy(col(id))
-          .agg(max_by(struct(col(vec), col("cell_id")),
-            struct(col("__sim"), negate(col("cell_id")))).as("__best"))
-          .select(col(id), col(s"__best.$vec").as(vec),
-            col("__best.cell_id").as("cell_id"))
-      else {
-        val w = Window.partitionBy(col(id))
-          .orderBy(col("__sim").desc, col("cell_id").asc)
-        scored
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= keep)
-          .drop("cent_vec", "__sim", "__r")
-      }
+    // (sim, -cell_id, cell_id) structs: lexicographic struct ordering
+    // gives argmax-by-sim with smallest-cell tie-break.
+    def cellStructs(vec: Column): Seq[Column] = cents.toSeq.map { case (id, v) =>
+      struct(
+        round(cosineSimilarity(vec, typedlit(v)), 6).as("sim"),
+        lit(-id).as("neg"),
+        lit(id).as("cell_id"))
     }
+    def bestCell(vec: Column): Column = {
+      val ss = cellStructs(vec)
+      (if (ss.size == 1) ss.head else greatest(ss: _*)).getField("cell_id")
+    }
+    def probeCells(vec: Column): Column =
+      slice(reverse(array_sort(array(cellStructs(vec): _*))), 1, nProbe)
 
-    val assigned = assign(
-      candidates.select(col(idCol).as("candidate_id"), col(vecCol).as("c_vec")),
-      "candidate_id", "c_vec", 1)
-    val probedQ = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "query_id", "q_vec", nProbe)
+    val assigned = candidates
+      .select(col(idCol).cast("long").as("candidate_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell_id", bestCell(col("c_vec")))
+    val probedQ = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id"), col("q_vec"),
+        explode(probeCells(col("q_vec"))).as("__cell"))
+      .select(col("query_id"), col("q_vec"), col("__cell.cell_id").as("cell_id"))
 
     val scored = assigned.join(broadcast(probedQ), Seq("cell_id"))
       .filter(col("query_id") =!= col("candidate_id"))
       .select(col("query_id"), col("candidate_id"),
         cosineSimilarity(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("candidate_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("candidate_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    topK(scored, k)
   }
 }
