@@ -1,0 +1,302 @@
+package graft
+
+import graft.functions.ShingleKernels
+
+/** Machine-generated DuckDB oracle SQL for the hash-based dedup / ANN /
+  * multimodal queries — the ones whose semantics depend on exact 64-bit
+  * integer mixing (FNV-1a, splitmix64, rotl) or exact IEEE-754 float
+  * behavior. DuckDB has no native 64-bit *unsigned* arithmetic, so the
+  * hash pipelines are emulated in HUGEINT (int128) with explicit
+  * `% 2^64` masking; signedness conversions are explicit CASEs.
+  *
+  * Every fractional literal is CAST to DOUBLE: bare decimal literals in
+  * DuckDB are DECIMAL, and DECIMAL intermediates round differently than
+  * the double/float arithmetic the Spark side performs.
+  *
+  * Corpus assumptions (verified against the driver testdata, all SFs;
+  * the Spark kernels in [[graft.functions.ShingleKernels]] iterate
+  * UTF-16 units and use `Character.isWhitespace`/`toLowerCase`, while
+  * DuckDB's `ord`/`substr` are code-point based and its RE2 `\s` is
+  * ASCII-only):
+  *  - text is BMP-only (no astral chars → UTF-16 unit == code point);
+  *  - whitespace is ASCII (0x20 only in the corpus);
+  *  - case mapping is ASCII (per-char `toLowerCase` == `lower()`);
+  *  - `text` is never NULL (a NULL doc would get a NULL signature on
+  *    the Spark side but a COALESCE'd all-MaxLong one in the oracle).
+  */
+object OracleGen {
+
+  private val M64 = BigInt(1) << 64
+  private val Pow63 = BigInt(1) << 63
+  private val FnvOffset = BigInt("14695981039346656037") // 0xcbf29ce484222325
+  private val FnvPrime = BigInt(1099511628211L)          // 0x100000001b3
+
+  /** unsigned decimal rendering of a signed long's 64-bit pattern */
+  private def u64(x: Long): BigInt = BigInt(java.lang.Long.toUnsignedString(x))
+
+  // ------------------------------------------------------------------
+  // FNV-1a 64 in HUGEINT SQL
+  // ------------------------------------------------------------------
+
+  /** One FNV-1a step `h = (h ^ c) * prime (mod 2^64)` where `c` is a
+    * UTF-16 unit (< 2^16): the xor touches only the low 16 bits, so it
+    * is expressed as split-recombine around a BIGINT xor.
+    */
+  private def fnvStep(acc: String, c: String): String =
+    s"((($acc) // 65536 * 65536 + xor(CAST(($acc) % 65536 AS BIGINT), CAST(($c) AS BIGINT))) * $FnvPrime) % $M64::HUGEINT"
+
+  /** FNV-1a 64 of the n-char shingle at 1-based position `i` of `textcol`. */
+  private def fnvShingle(textcol: String, i: String, n: Int): String =
+    (0 until n).foldLeft(s"$FnvOffset::HUGEINT") { (acc, k) =>
+      fnvStep(acc, s"ord(substr($textcol, CAST($i+$k AS INT), 1))")
+    }
+
+  /** FNV-1a 64 of a whole token column via list_reduce over char codes. */
+  private def fnvToken(tok: String): String = {
+    val st = fnvStep("acc", "c")
+    s"list_reduce(list_prepend($FnvOffset::HUGEINT, " +
+      s"list_transform(range(1, length($tok)+1), i -> CAST(ord(substr($tok, CAST(i AS INT), 1)) AS HUGEINT))), " +
+      s"(acc, c) -> $st)"
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash mixes (mirror of ShingleKernels.minHashes)
+  // ------------------------------------------------------------------
+
+  /** `signed(rotl(h, r_i) ^ salt_i)` for mix i; `h` an unsigned HUGEINT
+    * expression. The xor is done in two 32-bit BIGINT halves.
+    */
+  private def mixSql(h: String, i: Int): String = {
+    val r = (i * 23 + 17) % 63 + 1
+    val salt = u64(ShingleKernels.salt(i))
+    val hi = salt >> 32
+    val lo = salt & 0xFFFFFFFFL
+    val rot = s"(($h) % ${BigInt(1) << (64 - r)}::HUGEINT * ${BigInt(1) << r}::HUGEINT + ($h) // ${BigInt(1) << (64 - r)}::HUGEINT)"
+    val x = s"(CAST(xor(CAST($rot // 4294967296 AS BIGINT), $hi) AS HUGEINT) * 4294967296 " +
+      s"+ CAST(xor(CAST($rot % 4294967296 AS BIGINT), $lo) AS HUGEINT))"
+    s"CAST(CASE WHEN $x >= $Pow63::HUGEINT THEN $x - $M64::HUGEINT ELSE $x END AS BIGINT)"
+  }
+
+  /** Shared CTE chain for the MinHash-LSH pipeline, ending in
+    * `pairs(id_a, id_b)` — mirrors [[graft.operators.Dedup.minHashCandidates]]:
+    * normalize → distinct 5-gram FNV hashes (`dh`) → k signed minhash
+    * mixes (`sigs`, empty docs = MaxLong) → per-band tuple buckets →
+    * bucket cap → in-bucket pairs.
+    */
+  private def minhashCtes(k: Int, bands: Int, rpb: Int, maxBucket: Int, shingleLen: Int): String = {
+    val mhAggs = (0 until k).map(i => s"MIN(${mixSql("h", i)}) AS mh$i").mkString(",\n    ")
+    val banded = (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band, ${(0 until rpb).map(j => s"mh${b * rpb + j} AS k$j").mkString(", ")} FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val coal = (0 until k).map(i => s"COALESCE(g.mh$i, ${Long.MaxValue}) AS mh$i").mkString(", ")
+    val keyEq = (0 until rpb).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+    s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+dh AS (SELECT DISTINCT doc_id, ${fnvShingle("t", "i", shingleLen)} AS h
+       FROM norm, LATERAL unnest(range(1, greatest(length(t) - ${shingleLen - 1}, 0) + 1)) AS u(i)),
+gsigs AS (SELECT doc_id, $mhAggs FROM dh GROUP BY doc_id),
+sigs AS (SELECT n.doc_id, $coal FROM norm n LEFT JOIN gsigs g ON n.doc_id = g.doc_id),
+banded AS ($banded),
+capped AS (SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, ${(0 until rpb).map("k" + _).mkString(", ")}) AS bn FROM banded)
+  WHERE bn <= $maxBucket),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND $keyEq AND a.doc_id < b.doc_id)"""
+  }
+
+  /** Oracle for `dedup_minhash_lsh` (k=16, bands=4, rpb=4, cap=1000, 5-grams). */
+  def dedupMinhashLsh: String = {
+    val k = 16
+    val eq = (0 until k).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""${minhashCtes(k, 4, 4, 1000, 5)}
+SELECT p.id_a, p.id_b, CAST($eq AS DOUBLE) / $k AS jaccard_est
+FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b"""
+  }
+
+  /** Oracle for `dedup_verify_pipeline`: MinHash-LSH candidates, then
+    * exact shingle-hash-set Jaccard over candidate pairs only
+    * (threshold 0.5; an empty-vs-empty pair scores 1.0, matching
+    * [[graft.functions.TextFunctions.jaccard]]).
+    */
+  def dedupVerifyPipeline: String =
+    s"""${minhashCtes(16, 4, 4, 1000, 5)},
+pids AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+psh AS (SELECT dh.doc_id, dh.h FROM dh JOIN pids ON dh.doc_id = pids.id),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM psh GROUP BY doc_id),
+ints AS (SELECT p.id_a, p.id_b, COUNT(*) AS i
+         FROM pairs p JOIN psh sa ON sa.doc_id = p.id_a
+                      JOIN psh sb ON sb.doc_id = p.id_b AND sb.h = sa.h
+         GROUP BY p.id_a, p.id_b),
+jac AS (SELECT p.id_a, p.id_b, COALESCE(i.i, 0) AS i,
+    COALESCE(za.n, 0) + COALESCE(zb.n, 0) - COALESCE(i.i, 0) AS u
+  FROM pairs p
+  LEFT JOIN ints i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  LEFT JOIN sz za ON za.doc_id = p.id_a
+  LEFT JOIN sz zb ON zb.doc_id = p.id_b)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    CASE WHEN u = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END AS jaccard
+  FROM jac) WHERE jaccard >= CAST(0.5 AS DOUBLE)"""
+
+  /** Oracle for `dedup_simhash` (bands=4, maxHamming=16): whitespace
+    * tokens (duplicates kept) → FNV-1a per lowercased token → 64
+    * per-bit ±1 vote sums → signature → 16-bit band chunks → in-chunk
+    * pairs with bit_count hamming. Docs with no tokens get signature 0,
+    * matching the kernel.
+    */
+  def dedupSimhash: String = {
+    val sums = (0 until 64).map(j =>
+      s"SUM(CASE WHEN (h // ${BigInt(1) << j}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n    ")
+    val sigExpr = (0 until 64).map(j =>
+      s"(CASE WHEN v.s$j > 0 THEN ${BigInt(1) << j}::HUGEINT ELSE 0::HUGEINT END)").mkString(" + ")
+    val banded = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, (usig // ${BigInt(1) << (b * 16)}::HUGEINT) % 65536 AS chunk, ssig FROM ss"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+th AS (SELECT doc_id, ${fnvToken("tok")} AS h FROM toks),
+vs AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+sigs AS (SELECT d.doc_id, $sigExpr AS usig
+  FROM documents d LEFT JOIN vs v ON v.doc_id = d.doc_id),
+ss AS (SELECT doc_id, usig,
+    CAST(CASE WHEN usig >= $Pow63::HUGEINT THEN usig - $M64::HUGEINT ELSE usig END AS BIGINT) AS ssig
+  FROM sigs),
+banded AS ($banded)
+SELECT id_a, id_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(bit_count(xor(a.ssig, b.ssig)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+WHERE hamming <= 16"""
+  }
+
+  // ------------------------------------------------------------------
+  // Hyperplane LSH (mirror of VectorFunctions.hyperplaneBucket)
+  // ------------------------------------------------------------------
+
+  private def hyperplaneComp(seed: Long, b: Int, j: Int): Double = {
+    var z = seed + b.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Bucket int expr over a DOUBLE-list column `vcol`: bit b =
+    * sign(v · comps_b), comps inlined as DOUBLE[] literals.
+    */
+  private def bucketSql(vcol: String, seed: Long, bits: Int, dim: Int): String =
+    (0 until bits).map { b =>
+      val arr = (0 until dim).map(j => if (hyperplaneComp(seed, b, j) > 0) "1.0" else "-1.0")
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+      s"(CASE WHEN list_dot_product($vcol, $arr) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val cosSql =
+    (a: String, an: String, b: String, bn: String) =>
+      s"CASE WHEN $an * $bn = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_dot_product($a, $b) / ($an * $bn) END"
+
+  /** Oracle for `dedup_embedding` (dim=64, bits=10, seed=42, threshold 0.1). */
+  def dedupEmbedding: String = {
+    val bucket = bucketSql("v", 42L, 10, 64)
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+b AS (SELECT vec_id, v, $bucket AS bucket, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+prs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+    round(CAST(${cosSql("a.v", "a.nrm", "c.v", "c.nrm")} AS DOUBLE), 6) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT DISTINCT id_a, id_b, cosine FROM prs WHERE cosine >= CAST(0.1 AS DOUBLE)"""
+  }
+
+  /** Oracle for `knn_lsh` (queries vec_id < 5, k=3, dim=64, bits=8,
+    * seeds 42 & 43; UNION = the Spark union+distinct).
+    */
+  def knnLsh: String = {
+    def branch(cte: String) =
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+    ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS cos
+  FROM $cte q JOIN $cte c ON q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id"""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s1 AS (SELECT vec_id, v, nrm, ${bucketSql("v", 42L, 8, 64)} AS bucket FROM n),
+s2 AS (SELECT vec_id, v, nrm, ${bucketSql("v", 43L, 8, 64)} AS bucket FROM n),
+cand AS (
+  ${branch("s1")}
+  UNION
+  ${branch("s2")}),
+r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS "rank"
+  FROM cand)
+SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
+  }
+
+  /** Oracle for `knn_ivf` (nCells=16 lowest-id centroids, nProbe=4,
+    * k=3, queries vec_id < 5). Assignment/probing rank by 6-dp-rounded
+    * centroid cosine DESC then cell_id ASC — exactly the struct-argmax
+    * ordering in [[graft.operators.Similarity.ivfTopK]].
+    */
+  def knnIvf: String =
+    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+sims AS (SELECT n.vec_id, c.cell_id,
+    round(CAST(${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} AS DOUBLE), 6) AS sim
+  FROM n CROSS JOIN cents c),
+assigned AS (SELECT vec_id AS candidate_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+    FROM sims) WHERE rn = 1),
+probed AS (SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+    FROM sims WHERE vec_id < 5) WHERE rn <= 4),
+scored AS (SELECT p.query_id, a.candidate_id,
+    ${cosSql("qn.v", "qn.nrm", "cn2.v", "cn2.nrm")} AS cos
+  FROM probed p JOIN assigned a ON a.cell_id = p.cell_id AND a.candidate_id <> p.query_id
+  JOIN n qn ON qn.vec_id = p.query_id
+  JOIN n cn2 ON cn2.vec_id = a.candidate_id),
+r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS "rank"
+  FROM scored)
+SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
+
+  // ------------------------------------------------------------------
+  // Multimodal stub codec (mirror of Multimodal.StubCodec)
+  // ------------------------------------------------------------------
+
+  /** Oracle for `mm_frame_features`. The blob is unhex(md5(text)) — 16
+    * bytes extracted here from the md5 hex digits. Float32 arithmetic
+    * (`b/255.0f` accumulation in [[graft.operators.Multimodal.StubCodec]])
+    * is emulated exactly: a 256-entry DOUBLE lut holds the exact values
+    * of `(b/255.0f).toDouble`, and each slot's two-term float add is
+    * `CAST(exact double sum AS REAL)` — bit-identical to JVM float
+    * addition (both round the exact sum to nearest-even float32).
+    */
+  def mmFrameFeatures: String = {
+    val lut = (0 to 255).map(b => s"CAST(${(b / 255.0f).toDouble} AS DOUBLE)")
+      .mkString("[", ",", "]")
+    def hexv(pos: Int) = s"(strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1)"
+    val bytes = (0 until 16).map(k => s"CAST(16 * ${hexv(2 * k + 1)} + ${hexv(2 * k + 2)} AS INT)")
+      .mkString("[", ", ", "]")
+    // slot s of frame f: contributions from byte indices (s-f) mod 8 and +8
+    val slotSum = (0 until 8).map { s =>
+      val i1 = s"((($s - frame_idx) % 8 + 8) % 8)"
+      s"CAST(CAST(fl[$i1 + 1] + fl[$i1 + 9] AS REAL) AS DOUBLE)"
+    }.mkString(" + ")
+    s"""WITH lut AS (SELECT $lut AS l),
+h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+bytes AS (SELECT doc_id, $bytes AS bl FROM h),
+fb AS (SELECT doc_id, bl, list_transform(bl, b -> l[b + 1]) AS fl FROM bytes CROSS JOIN lut),
+meta AS (SELECT doc_id, fl,
+    CASE bl[1] % 4 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' WHEN 2 THEN 'video' ELSE 'other' END AS format,
+    CAST(1 + (bl[4] % 16) AS BIGINT) AS n_frames
+  FROM fb),
+frames AS (SELECT doc_id, fl, format, n_frames,
+    CAST(u.i * GREATEST(CAST(n_frames AS INT) // LEAST(CAST(n_frames AS INT), 4), 1) AS BIGINT) AS frame_idx
+  FROM meta, LATERAL unnest(range(0, LEAST(CAST(n_frames AS INT), 4))) AS u(i))
+SELECT doc_id, frame_idx, round($slotSum, 6) AS feat_sum, format, n_frames
+FROM frames"""
+  }
+}

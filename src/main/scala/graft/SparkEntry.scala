@@ -793,10 +793,10 @@ object SparkEntry {
         .select(col("doc_id"), unhex(md5(col("text"))).as("blob"))
       val meta = Multimodal.withMediaMeta(blobs, "blob")
         .select(col("doc_id"), col("media.format").as("format"),
-          col("media.n_frames").as("n_frames"))
+          col("media.n_frames").cast("long").as("n_frames"))
       val frames = Multimodal.sampleFrames(blobs, "blob", "doc_id",
           maxFrames = 4, dim = 8)
-        .select(col("doc_id"), col("frame_idx"),
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 6)
             .as("feat_sum"))
       frames.join(meta, "doc_id")
@@ -1320,6 +1320,15 @@ object SparkEntry {
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(unhex(md5(text))) AS n_bytes,
         |  substr(hex(unhex(md5(text))), 1, 8) AS hex_prefix
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // hash-kernel / float-exact oracles, machine-generated (OracleGen)
+    "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
+    "dedup_simhash" -> OracleGen.dedupSimhash,
+    "dedup_embedding" -> OracleGen.dedupEmbedding,
+    "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,
+    "knn_lsh" -> OracleGen.knnLsh,
+    "knn_ivf" -> OracleGen.knnIvf,
+    "mm_frame_features" -> OracleGen.mmFrameFeatures
   )
 }

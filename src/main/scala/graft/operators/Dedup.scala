@@ -92,9 +92,10 @@ object Dedup {
           graft.functions.native.char_shingle_hashes(col(textCol), shingleLen), k).as("__mh"))
       .select(col("id"),
         struct((0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*).as("sig"))
-    // the band key is the exact minhash tuple (not a hash of it): same
-    // shuffle width (the tuple is 4 longs), zero false-positive bucket
-    // collisions, and the bucketing is reproducible by the oracle
+    // the band key is the exact minhash tuple (not a hash of it): the
+    // 32-byte tuple key widens the exchange vs a 4-byte int hash — the
+    // accepted cost for zero false-positive bucket collisions and a
+    // bucketing the oracle can reproduce exactly
     val banded = signed.select(
       col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>

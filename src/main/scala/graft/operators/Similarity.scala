@@ -89,6 +89,8 @@ object Similarity {
     val session = candidates.sparkSession
     import session.implicits._
     val cents: Array[(Long, Seq[Double])] = candidates
+      // NULL ids/vectors would throw at Dataset decode / typedlit time
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol).cast("long"))
       .limit(nCells)
