@@ -57,6 +57,21 @@ object SparkEntry {
   private def routed(s: SparkSession, dir: String): CdcOps.Routed =
     CdcOps.routeOps(cdcEvents(s, dir), Seq("user_id"))
 
+  /** Streaming read of the events table (file source — the scale path;
+    * NANOS parquet ts read as long, truncated to µs like Tables.load).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   // ---------------------------------------------------------------
   // Flagship
   // ---------------------------------------------------------------
@@ -650,67 +665,54 @@ object SparkEntry {
     }),
 
     // ---- streaming + end-to-end pipeline ------------------------
-    // CDC events through a REAL StreamExecution: MemoryStream →
-    // flatMapGroupsWithState LWW upsert → memory sink → live rows.
-    // Streaming watermarked dedup: every event delivered twice across
-    // two micro-batches (at-least-once Kafka redelivery); the stream
-    // emits each event_id exactly once. Oracle = the events table
-    // itself.
+    // CDC events through a REAL StreamExecution, fed from file sources
+    // (nothing is ever collected to the driver — the 100 TB path).
+    // Streaming watermarked dedup: the same file set delivered by TWO
+    // independent file sources (at-least-once Kafka redelivery); the
+    // stream emits each event_id exactly once. Oracle = the events
+    // table itself.
     "stream_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val ev = ld(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
-      implicit val sqlCtx = s.sqlContext
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
-      val sinkName = s"graft_sdedup_${System.nanoTime()}"
+      def src() = eventsStream(s, dir)
+      val redelivered = src().unionByName(src())
       val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
-        input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-        Seq("event_id"), "ts", "10 minutes")
+        redelivered, Seq("event_id"), "ts", "10 minutes")
+      val sinkName = s"graft_sdedup_${System.nanoTime()}"
       val q = deduped.writeStream.outputMode("append")
-        .format("memory").queryName(sinkName).start()
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
       try {
-        val rows = ev.collect().toIndexedSeq
-        input.addData(rows)
-        q.processAllAvailable()
-        input.addData(rows) // full redelivery
-        q.processAllAvailable()
+        q.awaitTermination()
         s.table(sinkName).localCheckpoint(true)
-      } finally {
-        q.stop(); s.catalog.dropTempView(sinkName)
-      }
+      } finally s.catalog.dropTempView(sinkName)
     }),
 
+    // Streaming LWW upsert over flatMapGroupsWithState, file-source
+    // fed; state sharded by key, only live (non-tombstoned) rows out.
     "stream_upsert" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingUpsert
-      val cdc = cdcEvents(s, dir)
-      val keyed = cdc.select(
+      val keyed = eventsStream(s, dir).select(
         col("user_id").cast("string").as("key"),
         col("event_id").as("order"),
-        col(CdcOps.OpColumn).as("op"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "view", "r")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u").as("op"),
         to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"))).as("payload")
       ).as[StreamingUpsert.KeyedEvent]
-
-      implicit val sqlCtx = s.sqlContext
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[StreamingUpsert.KeyedEvent]
       val sinkName = s"graft_upsert_${System.nanoTime()}"
-      val q = StreamingUpsert.upsert(input.toDS()).writeStream
-        .outputMode("update").format("memory").queryName(sinkName).start()
+      val q = StreamingUpsert.upsert(keyed).writeStream
+        .outputMode("update").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
       try {
-        input.addData(keyed.collect().toIndexedSeq)
-        q.processAllAvailable()
-        val live = StreamingUpsert.liveRows(
+        q.awaitTermination()
+        StreamingUpsert.liveRows(
           s.table(sinkName).as[StreamingUpsert.KeyState],
           StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, props STRING"))
-        live.localCheckpoint(true)
-      } finally {
-        q.stop()
-        s.catalog.dropTempView(sinkName)
-      }
+          .localCheckpoint(true)
+      } finally s.catalog.dropTempView(sinkName)
     }),
 
     // Event-time windowed streaming aggregation with watermark — the
@@ -718,16 +720,7 @@ object SparkEntry {
     // (SURVEY §2.5 notes it has no watermarks/windows). Complete-mode
     // memory sink over AvailableNow ⇒ deterministic final counts.
     "stream_windowed_agg" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = stream
+      val agg = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
