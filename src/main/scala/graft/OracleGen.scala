@@ -26,6 +26,34 @@ import graft.functions.ShingleKernels
   */
 object OracleGen {
 
+  /** Assert the corpus assumptions above against the actual testdata.
+    * Returns human-readable violation strings (empty = assumptions hold).
+    * One bounded single-row aggregate over `documents` — cheap at any SF
+    * next to the queries themselves. Run by [[graft.Verify]] before the
+    * dump so a future testdata-generator change fails loudly instead of
+    * silently reporting corpus drift as engine bugs; pinned in
+    * OracleAssumptionsSpec too.
+    */
+  def guardViolations(spark: org.apache.spark.sql.SparkSession, sfDir: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val row = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null"),
+      // anything beyond printable ASCII + \t\n\r: astral chars, Unicode
+      // whitespace, non-ASCII case mappings, control chars — every class
+      // the UTF-16/code-point and `\s`/isWhitespace mismatches hide in
+      sum(when(col("text").rlike("[^\\x20-\\x7e\\t\\n\\r]"), 1L).otherwise(0L)).as("n_non_ascii"))
+      .collect()(0)
+    if (row.getLong(0) == 0L) Seq("documents table is empty")
+    else {
+      val out = Seq.newBuilder[String]
+      if (row.getLong(1) != 0L) out += s"${row.getLong(1)} docs with NULL text"
+      if (row.getLong(2) != 0L) out += s"${row.getLong(2)} docs with non-printable-ASCII chars"
+      out.result()
+    }
+  }
+
   private val M64 = BigInt(1) << 64
   private val Pow63 = BigInt(1) << 63
   private val FnvOffset = BigInt("14695981039346656037") // 0xcbf29ce484222325
@@ -231,15 +259,21 @@ r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
 SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
   }
 
-  /** Oracle for `knn_ivf` (nCells=16 lowest-id centroids, nProbe=4,
-    * k=3, queries vec_id < 5). Assignment/probing rank by 6-dp-rounded
-    * centroid cosine DESC then cell_id ASC — exactly the struct-argmax
-    * ordering in [[graft.operators.Similarity.ivfTopK]].
+  /** Oracle for `knn_ivf` (nCells=16 hash-strided centroids, nProbe=4,
+    * k=3, queries vec_id < 5). Centroids are the 16 vectors with the
+    * smallest (signed FNV-1a of the id string, id) — the same
+    * decorrelated deterministic sample
+    * [[graft.operators.Similarity.ivfTopK]] fits. Assignment/probing
+    * rank by 6-dp-rounded centroid cosine DESC then cell_id ASC —
+    * exactly the struct-argmax ordering in `ivfTopK`.
     */
-  def knnIvf: String =
+  def knnIvf: String = {
+    val h = fnvToken("CAST(vec_id AS VARCHAR)")
+    val signedH =
+      s"CAST(CASE WHEN $h >= $Pow63::HUGEINT THEN $h - $M64::HUGEINT ELSE $h END AS BIGINT)"
     s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n ORDER BY vec_id LIMIT 16),
+cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n ORDER BY $signedH, vec_id LIMIT 16),
 sims AS (SELECT n.vec_id, c.cell_id,
     round(CAST(${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} AS DOUBLE), 6) AS sim
   FROM n CROSS JOIN cents c),
@@ -261,6 +295,7 @@ r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
       ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS "rank"
   FROM scored)
 SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
+  }
 
   // ------------------------------------------------------------------
   // Multimodal stub codec (mirror of Multimodal.StubCodec)

@@ -61,7 +61,8 @@ object SparkEntry {
     * NANOS parquet ts read as long, truncated to µs like Tables.load).
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // relies on spark.sql.legacy.parquet.nanosAsLong=true, set once at
+    // session build (Sessions.common) — not mutated per-query here
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -229,6 +230,21 @@ object SparkEntry {
           (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
+
+    // Explicit two-phase salted aggregation (ops.Skew) over the
+    // deliberately hot grouping key (events.event_type has ~5 distinct
+    // values — at 100 TB each key's rows would land on ONE reducer in a
+    // plain groupBy): phase 1 pre-aggregates on (key, salt) spreading
+    // each hot key over `salts` reducers, phase 2 combines the ≤
+    // keys×salts partials. Must equal the plain one-phase groupBy —
+    // which is exactly what the oracle runs.
+    "q_skew_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedAggregate(
+        ld(s, dir, "events").select(col("event_type"), col("value")),
+        keys = Seq("event_type"), salts = 8,
+        partial = Seq(count(lit(1)).as("__n"), sum(dec(col("value"))).as("__s")),
+        fin = Seq(sum(col("__n")).as("n"),
+          sum(col("__s")).cast("double").as("sum_value")))),
 
     // q6-style: pure filter + global aggregate — everything pushes to
     // the scan (PushedFilters shows all three predicates).
@@ -684,7 +700,10 @@ object SparkEntry {
       try {
         q.awaitTermination()
         s.table(sinkName).localCheckpoint(true)
-      } finally s.catalog.dropTempView(sinkName)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
     }),
 
     // Streaming LWW upsert over flatMapGroupsWithState, file-source
@@ -708,11 +727,18 @@ object SparkEntry {
         .start()
       try {
         q.awaitTermination()
+        // the update-mode sink appends one row per changed key per
+        // micro-batch — fold to the winning row per key before
+        // extracting live rows (correct for any batch split, not just
+        // the single-AvailableNow-batch case)
         StreamingUpsert.liveRows(
-          s.table(sinkName).as[StreamingUpsert.KeyState],
+          StreamingUpsert.latestPerKey(s.table(sinkName).as[StreamingUpsert.KeyState]),
           StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, props STRING"))
           .localCheckpoint(true)
-      } finally s.catalog.dropTempView(sinkName)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
     }),
 
     // Event-time windowed streaming aggregation with watermark — the
@@ -734,7 +760,10 @@ object SparkEntry {
       try {
         q.awaitTermination()
         s.table(sinkName).localCheckpoint(true)
-      } finally s.catalog.dropTempView(sinkName)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
     }),
 
     // End-to-end file pipeline: synthesize the raw Kafka envelope,
@@ -1202,6 +1231,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
         |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the salted two-phase aggregation must equal the plain groupBy
+    "q_skew_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
 
     "text_token_count" ->

@@ -70,18 +70,24 @@ object Similarity {
     topK(probed, k)
   }
 
-  /** IVF-style ANN: the `nCells` lowest-id vectors serve as
-    * deterministic coarse centroids (no training pass, reproducible for
-    * any id distribution); every vector is assigned to its nearest
+  /** IVF-style ANN: the `nCells` vectors with the smallest (FNV-1a of
+    * the id string, id) serve as deterministic coarse centroids — a
+    * hashed sample, not a training pass. Ordering by the id HASH rather
+    * than the id itself decorrelates the pick from insertion order
+    * (the lowest-id rows are often the oldest/most-correlated slice of
+    * a corpus, which skews cells and hurts recall; a hash-strided pick
+    * approximates a uniform sample while staying reproducible and
+    * oracle-expressible). Every vector is assigned to its nearest
     * centroid as a PURE PROJECTION over the scan (struct-argmax over
     * the fitted centroid literals — no shuffle, no window, no extra
     * action); queries probe their `nProbe` nearest cells. Returns
     * top-k within probed cells.
     *
     * Collecting the centroids is bounded model fitting (`nCells` rows,
-    * like a k-means fit) — the corpus itself is never collected. At
-    * 100 TB the corpus side is scan → project → join(broadcast
-    * queries) → heap-aggregate: zero corpus shuffles.
+    * like a k-means fit), served by a distributed top-k
+    * (TakeOrderedAndProject), not a full sort — the corpus itself is
+    * never collected. At 100 TB the corpus side is scan → project →
+    * join(broadcast queries) → heap-aggregate: zero corpus shuffles.
     */
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
@@ -91,9 +97,13 @@ object Similarity {
     val cents: Array[(Long, Seq[Double])] = candidates
       // NULL ids/vectors would throw at Dataset decode / typedlit time
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol).cast("long"))
+      .select(col(idCol).cast("long").as("__cid"),
+        col(vecCol).cast("array<double>").as("__cv"),
+        element_at(graft.functions.native.token_hashes(
+          col(idCol).cast("long").cast("string")), 1).as("__chash"))
+      .orderBy(col("__chash"), col("__cid"))
       .limit(nCells)
+      .select(col("__cid"), col("__cv"))
       .as[(Long, Seq[Double])]
       .collect()
     require(cents.nonEmpty, "IVF needs at least one candidate vector")

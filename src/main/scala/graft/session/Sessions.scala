@@ -27,6 +27,18 @@ object Sessions {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.parquet.compression.codec" -> "snappy",
+    // The driver testdata writes events.ts as a parquet NANOS timestamp,
+    // which Spark's vectorized reader rejects; read it as long and
+    // truncate downstream (Tables.load / SparkEntry.eventsStream). Set
+    // once here so no query builder mutates session state as a side
+    // effect.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Benchmarks/tests run many short-lived stateful streaming queries;
+    // the background state-store maintenance task races session shutdown
+    // and spews RpcEnv-stopped stack traces into stdout. One-shot
+    // AvailableNow queries don't need maintenance — push it out past any
+    // plausible run length.
+    "spark.sql.streaming.stateStore.maintenanceInterval" -> "3600s",
     // The reference disables auto-broadcast for the history job so its
     // only broadcast is the explicit hint (`history_load.py:40`). We keep
     // auto-broadcast ON globally (dimension tables at any SF are tiny)

@@ -110,6 +110,20 @@ object StreamingUpsert {
       .as[KeyedEvent]
   }
 
+  /** Collapse a sink of per-batch [[KeyState]] emissions to the winning
+    * row per key. An update-mode memory/file sink APPENDS one row per
+    * changed key per micro-batch — reading it back as current state is
+    * only correct after this fold (a single-AvailableNow-batch run emits
+    * each key once, but rate limits or multi-file globs split batches).
+    * `reduceGroups` keeps the fold map-side-combinable.
+    */
+  def latestPerKey(states: Dataset[KeyState]): Dataset[KeyState] = {
+    import states.sparkSession.implicits._
+    states.groupByKey(_.key)
+      .reduceGroups((a, b) => if (a.order >= b.order) a else b)
+      .map(_._2)
+  }
+
   /** Live (non-tombstoned) rows of an upsert result, parsed back to the
     * payload schema — the streaming equivalent of the daily table.
     */

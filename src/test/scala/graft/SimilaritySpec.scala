@@ -1,0 +1,91 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TopK}
+
+/** Pins the equivalence claims the ANN paths rest on: the bounded-heap
+  * [[TopK.topKPerGroup]] must produce exactly what the window
+  * `row_number` form would (same rows, same ranks, same tie-breaks) —
+  * the heap is a pure plan-shape optimization, not a semantics change.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference implementation: the window form the heap replaced. */
+  private def windowTopK(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("candidate_id").asc)
+    df.filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("candidate_id"),
+        col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  test("heap top-k equals window top-k on random scores, ties included") {
+    val rnd = new Random(7)
+    // deliberately collide scores (3-value quantization) so tie-breaks
+    // are exercised, and include a NULL-score row (must be ignored)
+    val rows = (1L to 400L).map { i =>
+      (i % 8, i, math.floor(rnd.nextDouble() * 3) / 3.0)
+    }
+    val scored = rows.toDF("query_id", "candidate_id", "cosine")
+      .union(Seq((0L, 9999L, Double.NaN)).toDF("query_id", "candidate_id", "cosine")
+        .select(col("query_id"), col("candidate_id"), lit(null).cast("double").as("cosine")))
+
+    for (k <- Seq(1, 5, 17)) {
+      val heap = TopK.topKPerGroup(scored, Seq("query_id"), "cosine", "candidate_id", k)
+        .select("query_id", "candidate_id", "cosine", "rank")
+      val window = windowTopK(scored, k)
+      assert(heap.exceptAll(window).isEmpty && window.exceptAll(heap).isEmpty,
+        s"heap vs window mismatch at k=$k")
+    }
+  }
+
+  test("bruteForceTopK equals the window-form reference on random embeddings") {
+    val rnd = new Random(11)
+    val dim = 8
+    def vec() = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val embs = (1L to 60L).map(i => (i, vec())).toDF("id", "emb")
+    val queries = embs.filter(col("id") <= 3)
+
+    val heap = Similarity.bruteForceTopK(embs, queries, "emb", "id", k = 5)
+
+    // independent reference: explicit cosine + window ranking
+    val q = queries.select(col("id").as("query_id"), col("emb").as("q_vec"))
+    val c = embs.select(col("id").as("candidate_id"), col("emb").as("c_vec"))
+    val scored = c.crossJoin(q).filter(col("query_id") =!= col("candidate_id"))
+      .select(col("query_id"), col("candidate_id"),
+        round(graft.functions.VectorFunctions.cosineSimilarity(
+          col("q_vec"), col("c_vec")), 6).as("cosine"))
+    val reference = windowTopK(scored, 5)
+
+    assert(heap.exceptAll(reference).isEmpty && reference.exceptAll(heap).isEmpty)
+  }
+
+  test("planted near-duplicates land in the same minhash band bucket") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " now"),                       // near-dup of 1
+      (3L, "completely different content about spark catalyst optimizer rules"),
+      (4L, base)                                  // exact dup of 1
+    ).toDF("doc_id", "text")
+
+    val pairs = graft.operators.Dedup
+      .minHashCandidates(docs, "text", "doc_id", shingleLen = 5, bands = 4, rowsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must share every band")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "planted near-dup must share at least one band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not appear in any candidate pair")
+  }
+}

@@ -69,4 +69,34 @@ class StreamingUpsertSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructType.fromDDL("ID STRING, PRODUCT STRING"))
     assert(live.collect().map(_.getString(0)).toSeq == Seq("1"))
   }
+
+  test("latestPerKey collapses multi-batch sink emissions to current state") {
+    // an update-mode sink that saw three micro-batches: k1 updated in
+    // each (orders 1, 5, 3 — out of order across batches), k2 inserted
+    // then tombstoned
+    val sink = Seq(
+      KeyState("k1", 1, "c", "v1@1"),
+      KeyState("k2", 2, "c", "v2@2"),
+      KeyState("k1", 5, "u", "v1@5"),
+      KeyState("k2", 6, "d", ""),
+      KeyState("k1", 3, "u", "v1@3")).toDS()
+
+    val latest = StreamingUpsert.latestPerKey(sink).collect()
+      .map(s => s.key -> s).toMap
+    assert(latest.size == 2)
+    assert(latest("k1").payload == "v1@5" && latest("k1").order == 5)
+    assert(latest("k2").op == "d")
+
+    // liveRows after the fold: the tombstoned key is gone, the winning
+    // payload (not the stale batch-1 row) survives
+    val live = StreamingUpsert.liveRows(
+      StreamingUpsert.latestPerKey(Seq(
+        KeyState("1", 1, "c", """{"ID":"1","PRODUCT":"OLD"}"""),
+        KeyState("1", 9, "u", """{"ID":"1","PRODUCT":"NEW"}"""),
+        KeyState("2", 2, "c", """{"ID":"2","PRODUCT":"X"}"""),
+        KeyState("2", 3, "d", "")).toDS()),
+      org.apache.spark.sql.types.StructType.fromDDL("ID STRING, PRODUCT STRING"))
+      .collect()
+    assert(live.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("1", "NEW")))
+  }
 }

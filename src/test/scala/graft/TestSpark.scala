@@ -2,18 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for all suites. */
+/** One shared local session for all suites — built through
+  * [[graft.session.Sessions.tuned]] so tests run under the same confs
+  * (AQE, UTC, nanosAsLong, state-store maintenance backoff) as the
+  * Bench/Verify entry points.
+  */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.warehouse.dir", s"target/tmp/test-warehouse-${System.nanoTime()}")
-      .getOrCreate()
+    val s = graft.session.Sessions.tuned(b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
