@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The env-var CLI entry points (`raw_load.py` / `daily_load.py` /
+  * `history_load.py` equivalents): settings parsing, Kafka YAML config
+  * loading, and the full raw → daily → history pipeline driven through
+  * the exact `run()` code paths the `main`s call.
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = new java.io.File(s"target/tmp/cli-$name-${System.nanoTime()}")
+    d.mkdirs(); d.getAbsolutePath
+  }
+
+  private def settingsJson(root: String, mode: String = "merge"): String =
+    s"""{"primary_keys": ["ID"], "data_dir": "$root/lake",
+        "ckpt_dir": "$root/ckpt", "kafka_topic": "topic", "mode": "$mode"}"""
+
+  test("parseSpec maps the reference settings dict onto TableSpec") {
+    val env = Map(
+      "table_name" -> "acct", "db" -> "graft_db",
+      "settings" -> settingsJson("/data"))
+    val spec = Cli.parseSpec(env)
+    assert(spec.name == "acct" && spec.db == "graft_db")
+    assert(spec.primaryKeys == Seq("ID"))
+    assert(spec.dataDir == "/data/lake" && spec.checkpointDir == "/data/ckpt")
+    assert(spec.kafkaTopic == "topic" && spec.mode == "merge")
+    assert(spec.orderColumns == Seq("timestamp")) // default LWW ordering
+    assert(spec.dailyTable == "graft_db.acct_daily")
+  }
+
+  test("parseSpec fails loudly on missing required keys") {
+    val err = intercept[RuntimeException] {
+      Cli.parseSpec(Map("table_name" -> "t", "db" -> "d", "settings" -> "{}"))
+    }
+    assert(err.getMessage.contains("primary_keys"))
+    val err2 = intercept[RuntimeException] {
+      Cli.parseSpec(Map("table_name" -> "t", "db" -> "d"))
+    }
+    assert(err2.getMessage.contains("settings"))
+  }
+
+  test("loadYamlConfig reads the reference's flat kafka_config.yml shape") {
+    val f = Paths.get(tmp("yaml"), "kafka_config.yml")
+    Files.write(f,
+      """brokers: broker1:9092,broker2:9092
+        |user: cdc_reader
+        |password: "s3cret"
+        |""".stripMargin.getBytes("UTF-8"))
+    val kc = Cli.loadYamlConfig(f.toString)
+    assert(kc == Map(
+      "brokers" -> "broker1:9092,broker2:9092",
+      "user" -> "cdc_reader", "password" -> "s3cret"))
+  }
+
+  test("RawLoad/DailyLoad/HistoryLoad run the three-stage pipeline from env maps") {
+    val root = tmp("e2e")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.cli_daily")
+    spark.sql("DROP TABLE IF EXISTS graft_db.cli_history")
+    val env = Map(
+      "table_name" -> "cli", "db" -> "graft_db", "ds" -> "2024-01-01",
+      "source_dir" -> s"$root/in",
+      "settings" -> settingsJson(root))
+
+    def envelope(t: Timestamp, op: String, id: String, product: String) =
+      (t, s"""{"ID":"$id","PRODUCT":"$product","__op":"$op","__deleted":"false"}""")
+    Seq(
+      envelope(Timestamp.valueOf("2024-01-01 00:00:01"), "c", "1", "LOAN"),
+      envelope(Timestamp.valueOf("2024-01-01 00:00:02"), "u", "1", "DEPOSIT"),
+      envelope(Timestamp.valueOf("2024-01-01 00:00:03"), "c", "2", "CARD"))
+      .toDF("timestamp", "value").write.parquet(s"$root/in")
+
+    RawLoad.run(spark, env)
+    assert(spark.read.parquet(s"$root/lake").count() == 3)
+
+    DailyLoad.run(spark, env)
+    val daily = spark.table("graft_db.cli_daily")
+      .select($"ID", $"PRODUCT").as[(String, String)].collect().toMap
+    assert(daily == Map("1" -> "DEPOSIT", "2" -> "CARD"))
+
+    // history reads ds-1 → run with ds = Jan 2; backfill path (no table yet)
+    HistoryLoad.run(spark, env.updated("ds", "2024-01-02"))
+    val hist = spark.table("graft_db.cli_history")
+      .select($"id", $"product").as[(String, String)].collect().toMap
+    assert(hist == Map("1" -> "DEPOSIT", "2" -> "CARD"))
+    assert(spark.table("graft_db.cli_daily").count() == 0) // staging truncated
+  }
+
+  test("HistoryLoad increment mode appends via the same env contract") {
+    val root = tmp("incr")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.clif_history")
+    val env = Map(
+      "table_name" -> "clif", "db" -> "graft_db", "ds" -> "2024-01-02",
+      "settings" -> settingsJson(root, mode = "increment"))
+
+    Seq((Timestamp.valueOf("2024-01-01 00:00:01"),
+      """{"ID":"1","PRODUCT":"A","__op":"c","__deleted":"false"}"""))
+      .toDF("timestamp", "value")
+      .transform(df => { graft.sources.Lake.appendPartitioned(
+        graft.ops.CdcOps.withDatePartitions(df), s"$root/lake"); df })
+    HistoryLoad.run(spark, env)
+    assert(spark.table("graft_db.clif_history").count() == 1)
+  }
+}
