@@ -22,7 +22,8 @@ import graft.sources.RawSource
   *    reference's Python-dict literal, `ast.literal_eval` at
   *    `daily_load.py:17`) with keys `primary_keys` (array),
   *    `data_dir`, `ckpt_dir`, `kafka_topic`, `mode`, and optional
-  *    `order_columns`
+  *    `order_columns` and `format` ("parquet" default; "orc" = the
+  *    reference's lake format, `raw_data_handler.py:86`)
   *  - `shuffle_partitions`, `master`, `app_cores` — session shaping
   *    (the reference's `spark_app_*_config` resource dicts,
   *    `raw_load.py:14-20`; instance/memory counts come from
@@ -79,7 +80,8 @@ object Cli {
       orderColumns = strs("order_columns") match {
         case Nil  => Seq("timestamp")
         case cols => cols
-      })
+      },
+      format = str("format").getOrElse("parquet"))
   }
 
   def parseDs(env: Map[String, String]): LocalDate =

@@ -141,6 +141,26 @@ SELECT p.id_a, p.id_b, CAST($eq AS DOUBLE) / $k AS jaccard_est
 FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b"""
   }
 
+  /** Oracle for `dedup_clusters`: MinHash-LSH candidate pairs (same
+    * parameters as `dedup_minhash_lsh`), resolved to connected
+    * components by a recursive transitive closure (the oracle-side
+    * equivalent of [[graft.operators.Cluster.connectedComponents]]'s
+    * converged label propagation — both yield min-node-id labels);
+    * unpaired documents represent themselves.
+    */
+  def dedupClusters: String =
+    s"""${minhashCtes(16, 4, 4, 1000, 5).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+cc AS (
+  SELECT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+lbl AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS canonical_id,
+  COALESCE(l.comp, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id"""
+
   /** Oracle for `dedup_verify_pipeline`: MinHash-LSH candidates, then
     * exact shingle-hash-set Jaccard over candidate pairs only
     * (threshold 0.5; an empty-vs-empty pair scores 1.0, matching

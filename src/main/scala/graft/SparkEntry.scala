@@ -617,6 +617,17 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")),
 
+    // Candidate PAIRS resolved to duplicate GROUPS (operators.Cluster):
+    // connected components by iterative min-label propagation over the
+    // LSH pair list, every doc mapped to its cluster's smallest id.
+    // Without this step transitive duplicates (A~B, B~C but A!~C by
+    // LSH) survive pairwise dedup.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      graft.operators.Cluster.canonicalize(
+        docs, Dedup.minHashCandidates(docs, "text", "doc_id"), "doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashCandidates(ld(s, dir, "documents"), "text", "doc_id",
         bands = 4, maxHamming = 16)),
@@ -1352,6 +1363,7 @@ object SparkEntry {
 
     // hash-kernel / float-exact oracles, machine-generated (OracleGen)
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
+    "dedup_clusters" -> OracleGen.dedupClusters,
     "dedup_simhash" -> OracleGen.dedupSimhash,
     "dedup_embedding" -> OracleGen.dedupEmbedding,
     "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,

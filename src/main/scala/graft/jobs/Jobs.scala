@@ -33,7 +33,7 @@ object Jobs {
       .option("checkpointLocation", spec.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cast = CdcOps.castEnvelope(batch)
-        Lake.appendPartitioned(CdcOps.withDatePartitions(cast), spec.dataDir)
+        Lake.appendPartitioned(CdcOps.withDatePartitions(cast), spec.dataDir, spec.format)
       }
       .start()
     q.awaitTermination()
@@ -47,7 +47,7 @@ object Jobs {
     */
   def readDayEvents(spark: SparkSession, spec: TableSpec, ds: LocalDate,
                     lowerNames: Boolean = false): Option[DataFrame] = {
-    val day = Lake.readDay(spark, spec.dataDir, ds.getYear, ds.getMonthValue, ds.getDayOfMonth)
+    val day = Lake.readDay(spark, spec.dataDir, ds.getYear, ds.getMonthValue, ds.getDayOfMonth, spec.format)
       .drop(Lake.partitionColumns: _*)
     if (day.isEmpty) None
     else Some(parseRaw(day, lowerNames))
@@ -88,7 +88,7 @@ object Jobs {
         readDayEvents(spark, spec, ds.minusDays(1), lowered).foreach { events =>
           Lake.appendTable(
             CdcOps.withDatePartitions(CdcOps.incrementBatch(events)),
-            spec.historyTable, Lake.partitionColumns)
+            spec.historyTable, Lake.partitionColumns, spec.format)
         }
       case _ =>
         val wrote =
@@ -103,12 +103,12 @@ object Jobs {
             // tombstoned across batches, `daily_data_handler.py:88-101`).
             // A from-scratch rebuild has cleaner correct semantics: the
             // LWW fold of the full event log. Deliberate divergence.
-            val all = Lake.readAll(spark, spec.dataDir).drop(Lake.partitionColumns: _*)
+            val all = Lake.readAll(spark, spec.dataDir, spec.format).drop(Lake.partitionColumns: _*)
             if (all.isEmpty) false
             else {
               val folded = CdcOps.foldMerge(
                 parseRaw(all, lowered).distinct(), spec.primaryKeys, spec.orderColumns)
-              Lake.overwriteTableSafely(folded, spec.historyTable)
+              Lake.overwriteTableSafely(folded, spec.historyTable, format = spec.format)
               true
             }
           }
@@ -128,6 +128,6 @@ object Jobs {
       if (Lake.tableExists(spark, table)) spark.table(table)
       else CdcOps.emptyLike(routed.inserts)
     val merged = CdcOps.mergeBatch(existing, routed, spec.primaryKeys, spec.orderColumns)
-    Lake.overwriteTableSafely(merged, table)
+    Lake.overwriteTableSafely(merged, table, format = spec.format)
   }
 }

@@ -32,7 +32,13 @@ final case class TableSpec(
       * nondeterministic under ties — a documented deliberate divergence
       * (SURVEY §7.4.2).
       */
-    orderColumns: Seq[String] = Seq("timestamp")
+    orderColumns: Seq[String] = Seq("timestamp"),
+    /** Lake file format. The reference writes ORC everywhere
+      * (`raw_data_handler.py:86`, `daily_data_handler.py:134`); parquet
+      * is this engine's default (the driver testdata is parquet), with
+      * "orc" as the parity switch — both columnar, same write paths.
+      */
+    format: String = "parquet"
 ) {
   def dailyTable: String = s"$db.${name}_daily"
   def historyTable: String = s"$db.${name}_history"

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: the step after candidate generation
+  * ([[Dedup.minHashCandidates]] et al.) that a real corpus-dedup
+  * pipeline needs — near-dup PAIRS must become duplicate GROUPS with
+  * one canonical representative each, or transitive duplicates (A~B,
+  * B~C) survive pairwise filtering.
+  *
+  * Implemented as hash-to-min label propagation (the standard
+  * MapReduce connected-components algorithm): every node starts
+  * labeled with itself; each iteration every node takes the min of its
+  * own label and its neighbors' labels; converged labels = min node id
+  * of the component. Each iteration is one join + one groupBy on the
+  * edge list — at 100 TB scale that is O(diameter) shuffles over the
+  * EDGE set (LSH candidate pairs, a tiny fraction of the corpus), not
+  * the corpus itself. Near-dup components are shallow (duplicates of a
+  * document are duplicates of each other), so convergence is fast; the
+  * per-iteration `localCheckpoint` keeps the plan from growing
+  * linearly with iterations (lineage blowup is the classic iterative-
+  * algorithm failure mode on Spark).
+  */
+object Cluster {
+
+  /** Connected components of an undirected edge list.
+    *
+    * @return (id, comp) for every node appearing in some edge; comp =
+    *         smallest node id in the component (deterministic).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // symmetrize once so propagation is direction-free
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // min label among each node's neighbors
+        val nbrMin = sym
+          .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nbr_comp")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+          .localCheckpoint(true) // cut lineage: plan stays O(1) per iter
+        converged = next
+          .join(labels.select(col("id"), col("comp").as("prev")), "id")
+          .filter(col("comp") =!= col("prev"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      labels
+    } finally sym.unpersist()
+  }
+
+  /** Assign every document a canonical representative: the smallest
+    * doc id of its near-dup component (docs in no pair represent
+    * themselves). `keep = canonical == id` marks the one row per
+    * cluster a dedup pass would retain.
+    */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(cc.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("canonical_id"))
+      .withColumn("keep", (col("canonical_id") === col(idCol)).cast("boolean"))
+  }
+}

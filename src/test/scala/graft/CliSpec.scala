@@ -95,6 +95,30 @@ class CliSpec extends AnyFunSuite {
     assert(spark.table("graft_db.cli_daily").count() == 0) // staging truncated
   }
 
+  test("format=orc runs the raw+daily pipeline on the reference's lake format") {
+    val root = tmp("orc")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.cliorc_daily")
+    val env = Map(
+      "table_name" -> "cliorc", "db" -> "graft_db", "ds" -> "2024-01-01",
+      "source_dir" -> s"$root/in",
+      "settings" ->
+        s"""{"primary_keys": ["ID"], "data_dir": "$root/lake",
+            "ckpt_dir": "$root/ckpt", "kafka_topic": "t", "format": "orc"}""")
+    Seq((Timestamp.valueOf("2024-01-01 00:00:01"),
+      """{"ID":"1","PRODUCT":"LOAN","__op":"c","__deleted":"false"}"""))
+      .toDF("timestamp", "value").write.parquet(s"$root/in")
+
+    RawLoad.run(spark, env)
+    // raw layer really is ORC
+    assert(spark.read.orc(s"$root/lake").count() == 1)
+    val leaf = new java.io.File(s"$root/lake/op_year=2024/op_month=1/op_day=1")
+    assert(leaf.listFiles.exists(_.getName.endsWith(".orc")))
+
+    DailyLoad.run(spark, env)
+    assert(spark.table("graft_db.cliorc_daily").count() == 1)
+  }
+
   test("HistoryLoad increment mode appends via the same env contract") {
     val root = tmp("incr")
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cluster
+
+/** Connected-components / canonicalization: label propagation must
+  * resolve transitive duplicate chains, leave singletons alone, and
+  * converge to the min-id label regardless of edge order.
+  */
+class ClusterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chains, triangles and singletons resolve to min-id components") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20} isolated node in docs only
+    val edges = Seq((2L, 1L), (3L, 4L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long path converges (diameter > a couple of iterations)") {
+    // path 0-1-2-...-12: needs several propagation rounds
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 13 && cc.values.forall(_ == 0L))
+  }
+
+  test("canonicalize marks one keeper per cluster and keeps singletons") {
+    val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Cluster.canonicalize(docs, pairs, "doc_id")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 7L, true)))
+  }
+}
