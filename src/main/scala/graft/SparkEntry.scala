@@ -599,6 +599,31 @@ object SparkEntry {
         col("doc_id"),
         TF.contentFingerprint(col("text")).as("fp"))),
 
+    // TF-IDF top terms per document (smoothed idf, sklearn-style
+    // ln((N+1)/(df+1))+1). Two corpus shuffles (tf groupBy, df groupBy)
+    // + a broadcast of the 1-row N — and the ranking window partitions
+    // by doc_id, so each window group is ONE document's term list
+    // (bounded), never corpus-sized: scale-safe unlike a global-key
+    // window.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6)
+            .as("tfidf"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    }),
+
     // ---- dedup --------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")),
@@ -669,6 +694,24 @@ object SparkEntry {
       ld(s, dir, "embeddings").select(
         col("vec_id"),
         round(VF.l2Norm(col("embedding")), 6).as("norm"))),
+
+    // Int8 scalar quantization of the embedding column (4× storage
+    // cut for billion-scale ANN). Pure projection over the scan — no
+    // shuffle; verified via per-vector code summaries (sum, L1, max
+    // dequantization error) rather than the raw array so the oracle
+    // compare stays scalar.
+    "embed_quantize" -> ((s, dir) =>
+      ld(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VF.quantizeInt8(col("embedding")).as("__qz"))
+        .select(col("vec_id"),
+          round(col("__qz.scale"), 6).as("scale"),
+          aggregate(col("__qz.q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          aggregate(col("__qz.q"), lit(0L), (a, x) => a + abs(x).cast("long")).as("q_l1"),
+          round(aggregate(
+            zip_with(col("__qz.q"), col("embedding"),
+              (q, x) => abs(q.cast("double") * col("__qz.scale") - x.cast("double"))),
+            lit(0.0), (a, x) => greatest(a, x)), 6).as("max_err"))),
 
     "knn_bruteforce" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
@@ -1282,6 +1325,36 @@ object SparkEntry {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""",
+
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, tok AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * (ln((nn.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  round(COALESCE(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(qv[CAST(i AS INT)] * scale - v[CAST(i AS INT)]))), 0.0), 6) AS max_err
+        |FROM q""".stripMargin,
 
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

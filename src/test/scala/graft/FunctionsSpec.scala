@@ -52,6 +52,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(z._2 == 0.0 && z._3 == 0.0 && z._4 == 0.0)
   }
 
+  test("quantizeInt8: max element hits ±127, zero vector yields zero codes") {
+    val df = Seq(
+      ("a", Array(2.54f, -1.27f, 0.0f)), // amax=2.54, scale=0.02
+      ("z", Array(0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val out = df.select($"id", VF.quantizeInt8($"v").as("qz"))
+      .select($"id", $"qz.scale", $"qz.q")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    val (aScale, aQ) = out("a")
+    assert(math.abs(aScale - 2.54f.toDouble / 127.0) < 1e-12)
+    assert(aQ == Seq(127, -64, 0)) // -63.5 rounds away from zero
+    assert(out("z") == ((0.0, Seq(0, 0, 0))))
+  }
+
   test("bruteForceTopK returns the true nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
