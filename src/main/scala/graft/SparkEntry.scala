@@ -599,6 +599,27 @@ object SparkEntry {
         col("doc_id"),
         TF.contentFingerprint(col("text")).as("fp"))),
 
+    // PII scrubbing as a pure projection: per-pattern match counts on
+    // the original text plus a fingerprint of the redacted text (the
+    // scrub itself is a codegen'd regexp_replace chain — zero shuffle
+    // at any scale).
+    "text_redact" -> ((s, dir) =>
+      ld(s, dir, "documents").select(
+        (col("doc_id") +:
+          TF.piiPatterns.map { case (kind, pat) =>
+            TF.piiCount(col("text"), pat).cast("long").as(s"n_$kind")
+          }) :+
+          md5(TF.redactPii(col("text"))).as("redacted_fp"): _*)),
+
+    // Sliding-window token chunks (50-token windows every 40 tokens —
+    // the training-sample prep shape): projection + explode, the
+    // ×(1/stride) row growth is the intended output, no shuffle.
+    "text_chunks" -> ((s, dir) =>
+      ld(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokenChunks(col("text"), 50, 40)).as("c"))
+        .select(col("doc_id"), col("c.chunk_start").as("chunk_start"),
+          col("c.n_tokens").as("n_tokens"), col("c.fp").as("fp"))),
+
     // TF-IDF top terms per document (smoothed idf, sklearn-style
     // ln((N+1)/(df+1))+1). Two corpus shuffles (tf groupBy, df groupBy)
     // + a broadcast of the 1-row N — and the ranking window partitions
@@ -1325,6 +1346,30 @@ object SparkEntry {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""",
+
+    "text_redact" -> {
+      val Seq(email, ssn, phone) = TF.piiPatterns.map(_._2)
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$ssn')) AS BIGINT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ssn', '<SSN>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS redacted_fp
+         |FROM documents""".stripMargin
+    },
+
+    "text_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |ch AS (SELECT doc_id, tk, unnest(range(0, len(tk), 40)) AS cs
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(cs AS BIGINT) AS chunk_start,
+        |  CAST(LEAST(50, len(tk) - cs) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(tk[CAST(cs + 1 AS INT):CAST(cs + 50 AS INT)], ' ')) AS fp
+        |FROM ch""".stripMargin,
 
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, tok AS term FROM (

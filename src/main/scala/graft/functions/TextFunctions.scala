@@ -172,6 +172,64 @@ object TextFunctions {
   }
 
   // -------------------------------------------------------------------
+  // PII redaction
+  // -------------------------------------------------------------------
+
+  /** Sensitive-pattern regexes, chosen from the RE2/Java common subset
+    * so the engine and the DuckDB oracle agree: no backrefs, no
+    * lookarounds. Order matters — SSN-shaped strings must be redacted
+    * before the looser phone pattern can consume them.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "phone" -> "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b")
+
+  /** Count matches of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact all PII patterns, each replaced by its `<KIND>` tag —
+    * training-data scrubbing as a pure projection (one codegen'd
+    * regexp_replace chain per row, no shuffle at any scale).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<${kind.toUpperCase}>")
+    }
+
+  // -------------------------------------------------------------------
+  // Chunking
+  // -------------------------------------------------------------------
+
+  /** Whitespace tokens with empties dropped (split of an empty string
+    * yields [""]).
+    */
+  def nonEmptyTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Sliding-window token chunks for training-sample preparation:
+    * windows of `chunkSize` tokens every `stride` tokens (overlap =
+    * chunkSize − stride). Returns array<struct(start, n_tokens, fp)> —
+    * one row per chunk after `explode`; the text itself is re-joined
+    * only to fingerprint, so exploded rows stay narrow. Pure
+    * projection + explode: no shuffle, and the ×(1/stride) row
+    * multiplication is the intended output shape.
+    */
+  def tokenChunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = nonEmptyTokens(text)
+    val n = size(toks)
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    transform(starts, start =>
+      struct(
+        start.cast("long").as("chunk_start"),
+        least(lit(chunkSize), n - start).cast("long").as("n_tokens"),
+        md5(array_join(slice(toks, start + 1, lit(chunkSize)), " ")).as("fp")))
+  }
+
+  // -------------------------------------------------------------------
   // Fingerprinting
   // -------------------------------------------------------------------
 

@@ -52,6 +52,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(z._2 == 0.0 && z._3 == 0.0 && z._4 == 0.0)
   }
 
+  test("PII redaction: planted emails/SSNs/phones counted and scrubbed") {
+    val df = Seq(
+      (1L, "contact john.doe+spam@ex-ample.co.uk or 555-123-4567 today"),
+      (2L, "ssn 123-45-6789 and backup ssn 987-65-4321"),
+      (3L, "nothing sensitive here 12-34")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TF.piiCount($"text", TF.piiPatterns.toMap.apply("email")).as("e"),
+      TF.piiCount($"text", TF.piiPatterns.toMap.apply("ssn")).as("s"),
+      TF.piiCount($"text", TF.piiPatterns.toMap.apply("phone")).as("p"),
+      TF.redactPii($"text").as("red"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "contact <EMAIL> or <PHONE> today")
+    assert(out(2L)._2 == 2 && out(2L)._4 == "ssn <SSN> and backup ssn <SSN>")
+    assert(out(3L) == ((0, 0, 0, "nothing sensitive here 12-34")))
+  }
+
+  test("tokenChunks: sliding windows cover all tokens with overlap") {
+    val text = (1 to 95).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "only three tokens"), (3L, "   ")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TF.tokenChunks($"text", 50, 40).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    // 95 tokens → starts 0, 40, 80 with sizes 50, 50, 15
+    assert(out(1L).map(c => (c.getLong(0), c.getLong(1))) == Seq((0L, 50L), (40L, 50L), (80L, 15L)))
+    assert(out(2L).map(c => (c.getLong(0), c.getLong(1))) == Seq((0L, 3L)))
+    assert(out(3L).isEmpty) // whitespace-only doc: no chunks
+  }
+
   test("quantizeInt8: max element hits ±127, zero vector yields zero codes") {
     val df = Seq(
       ("a", Array(2.54f, -1.27f, 0.0f)), // amax=2.54, scale=0.02
