@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.CdcOps
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.sources.Tables
 
@@ -28,6 +28,14 @@ object SparkEntry {
   /** exact decimal view of a 2-dp double column */
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
   private def sumD(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Stratified-sampling mixture for `corpus_sample_stratified`:
+    * downsample the dominant `en`, keep all of low-resource `zh`,
+    * default rate for the rest. Shared by the query and its oracle so
+    * the md5 thresholds stay in lockstep.
+    */
+  private val mixRates = Map("en" -> 0.3, "zh" -> 1.0)
+  private val defaultMixRate = 0.8
 
   // ---------------------------------------------------------------
   // CDC event stream synthesized from the `events` table:
@@ -645,6 +653,26 @@ object SparkEntry {
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     }),
 
+    // ---- corpus-level pipeline ops ------------------------------
+    // Benchmark-contamination check: distinct word 5-grams of each
+    // training doc vs the (broadcast) benchmark-set grams — the
+    // decontamination pass a training pipeline runs before export.
+    "corpus_contamination" -> ((s, dir) =>
+      Corpus.contamination(ld(s, dir, "documents"), col("doc_id") % 50 === 0)),
+
+    // Deterministic stratified sampling (domain mixing): downsample the
+    // dominant language, keep the low-resource ones, on a reproducible
+    // md5 coin — a pure filter, no shuffle at any scale.
+    "corpus_sample_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(
+        ld(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "lang", mixRates, defaultMixRate)),
+
+    // Hash-shard export stats: 16 deterministic md5 shards with
+    // per-shard doc/token counts and min/max content fingerprints.
+    "corpus_shard_stats" -> ((s, dir) =>
+      Corpus.shardStats(ld(s, dir, "documents"))),
+
     // ---- dedup --------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")),
@@ -829,6 +857,37 @@ object SparkEntry {
           col("n"), col("sum_value"))
       val sinkName = s"graft_winagg_${System.nanoTime()}"
       val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        s.table(sinkName).localCheckpoint(true)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
+    // Stream-stream interval join: each purchase matched to the same
+    // user's clicks in the preceding 30 minutes. Both sides watermarked
+    // so join state purges as event time advances — the bounded-state
+    // form of a stream join (unbounded buffering is what breaks at
+    // scale). Inner-join matches emit in the batch they occur, so an
+    // AvailableNow pass over the file source is deterministic.
+    "stream_interval_join" -> ((s, dir) => {
+      def side(tpe: String) = eventsStream(s, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        side("purchase"), side("click"), "user_id",
+        leftTs = "ts", rightTs = "ts",
+        before = "30 minutes", after = "0 seconds", watermark = "1 hour")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          col("right_event_id").as("click_id"), col("right_ts").as("click_ts"))
+      val sinkName = s"graft_ivjoin_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(sinkName)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -1407,6 +1466,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
 
+    // µs-cast both sides BEFORE comparing: the engine reads ts
+    // truncated to µs, so the interval boundaries must be evaluated on
+    // the truncated values too.
+    "stream_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""".stripMargin,
+
     "corpus_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, text,
@@ -1438,6 +1510,42 @@ object SparkEntry {
           }
           s"CASE ${inner.mkString(" ")} ELSE '${langScoreSqls.last._1}' END"
         }),
+
+    "corpus_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(tk) >= 5 THEN list_distinct(list_transform(range(0, len(tk) - 4),
+        |      i -> array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')))
+        |    ELSE [] END AS grams
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, len(grams) AS n_grams, grams FROM g WHERE doc_id % 50 <> 0),
+        |sh AS (SELECT t.doc_id, COUNT(b.gram) AS n_shared
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) t
+        |  LEFT JOIN bench b ON b.gram = t.gram GROUP BY t.doc_id)
+        |SELECT tr.doc_id, CAST(tr.n_grams AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CASE WHEN tr.n_grams > 0
+        |    THEN round(CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / tr.n_grams, 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS contamination
+        |FROM tr LEFT JOIN sh ON sh.doc_id = tr.doc_id""".stripMargin,
+
+    "corpus_sample_stratified" -> {
+      val cases = mixRates.map { case (l, r) =>
+        s"WHEN '$l' THEN '${Corpus.hexThreshold(r)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE lang $cases ELSE '${Corpus.hexThreshold(defaultMixRate)}' END""".stripMargin
+    },
+
+    "corpus_shard_stats" ->
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  MIN(md5(text)) AS fp_min, MAX(md5(text)) AS fp_max
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(norm) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level training-data-pipeline operators: benchmark
+  * contamination detection, deterministic stratified sampling (domain
+  * mixing), and hash-sharding for training-data export. (The reference,
+  * a CDC pipeline, has no corpus surface; these extend the
+  * training-pipeline tier alongside [[Dedup]]/[[Similarity]].)
+  *
+  * All three are built on deterministic, engine-portable primitives
+  * (md5, word shingles) so every one is DuckDB-oracle-checkable — no
+  * `rand()` anywhere.
+  */
+object Corpus {
+
+  /** Benchmark-contamination check: for every training document, how
+    * many of its distinct word `n`-grams also occur in the benchmark
+    * set (`isBenchmark` rows). The standard decontamination pass run
+    * before a model ever sees the corpus.
+    *
+    * Scale shape: the benchmark n-gram set is broadcast (benchmark
+    * suites are small by construction — that is the premise of the
+    * check), so the corpus side is scan → project shingles →
+    * explode_outer → broadcast left join → one groupBy(doc_id) with
+    * map-side combine. Zero corpus-vs-corpus shuffles; `explode_outer`
+    * keeps gram-less (short) documents in the report.
+    */
+  def contamination(docs: DataFrame, isBenchmark: Column, n: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shingled = docs.select(col(idCol), isBenchmark.as("__bench"),
+      TextFunctions.wordShingles(col(textCol), n).as("grams"))
+    val bench = shingled.filter(col("__bench"))
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("__hit", lit(1L))
+    shingled.filter(!col("__bench"))
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(first(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        when(col("n_grams") > 0,
+          round(col("n_shared").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
+
+  /** Uniform-in-[0,1) deterministic coin for a row id: the first 8 hex
+    * chars of `md5(id)` compared as a STRING against a precomputed hex
+    * threshold — engine-portable (md5 hex is lowercase in both Spark
+    * and DuckDB, and hex strings order lexicographically like their
+    * values), reproducible across runs, and a pure projection.
+    */
+  def hashKeep(id: Column, rate: Double): Column =
+    substring(md5(id.cast("string")), 1, 8) < lit(hexThreshold(rate))
+
+  /** 8-hex-digit threshold for `rate`; rates ≥ 1.0 use a sentinel above
+    * every hex digit so the comparison keeps everything.
+    */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0, s"sampling rate must be >= 0, got $rate")
+    if (rate >= 1.0) "zzzzzzzz"
+    else f"${math.round(rate * 4294967296.0)}%08x"
+  }
+
+  /** Deterministic stratified sampling — the domain/language mixing
+    * step of a training-data pipeline (downsample the dominant stratum,
+    * keep the low-resource ones). Each row keeps or drops on its own
+    * [[hashKeep]] coin at its stratum's rate: a pure filter projection,
+    * no shuffle, no state, exactly reproducible at any scale.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
+  }
+
+  /** Deterministic hash-sharding stats for training-data export: shard
+    * by the first hex digit of `md5(id)` (16 shards) and report per
+    * shard the doc count, total whitespace tokens, and min/max content
+    * fingerprints (an order-independent integrity check a downstream
+    * loader can re-verify per shard).
+    *
+    * One 16-group aggregation with map-side partial agg — the shard
+    * assignment itself is a projection, so at 100 TB this is a single
+    * scan plus a trivial shuffle of 16 rows per task.
+    */
+  def shardStats(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(substring(md5(col(idCol).cast("string")), 1, 1).as("shard"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_toks"),
+      md5(col(textCol)).as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+}

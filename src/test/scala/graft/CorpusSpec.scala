@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** Corpus-level pipeline operators: contamination, stratified
+  * sampling, shard stats.
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("contamination: planted benchmark overlap is counted, clean docs score 0") {
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (0L, bench), // benchmark doc (id % 50 == 0)
+      (1L, s"prefix words $bench suffix"), // contains all bench 5-grams
+      (2L, "totally unrelated words about something else entirely here"),
+      (3L, "tiny doc") // < 5 tokens: zero grams
+    ).toDF("doc_id", "text")
+    val out = Corpus.contamination(df, $"doc_id" % 50 === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // benchmark doc excluded
+    // bench has 2 distinct 5-grams; doc 1 (9 tokens -> 5 grams) contains both
+    assert(out(1L)._2 == 2 && out(1L)._1 == 5)
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    assert(out(3L) == ((0L, 0L, 0.0))) // gram-less doc still reported
+  }
+
+  test("stratifiedSample: deterministic subset, rate 0 drops all, rate 1 keeps all") {
+    val df = (0L until 400L).map(i => (i, if (i % 4 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Corpus.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.0, "zh" -> 1.0), defaultRate = 0.5)
+    val langs = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!langs.contains("en")) // rate 0: all dropped
+    assert(langs("zh") == 300L) // rate 1: all kept
+    // determinism: same input -> identical row set
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Corpus.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.0, "zh" -> 1.0), 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a fractional rate actually samples (not all, not none)
+    val half = Corpus.stratifiedSample(df.filter($"lang" === "en"), "doc_id", "lang",
+      Map.empty, defaultRate = 0.5).count()
+    assert(half > 20 && half < 80) // 100 en docs at rate .5
+  }
+
+  test("shardStats: counts partition the corpus and tokens sum up") {
+    val df = (0L until 200L).map(i => (i, s"word$i tok tok")).toDF("doc_id", "text")
+    val stats = Corpus.shardStats(df).collect()
+    assert(stats.map(_.getString(0)).forall(s => s.length == 1 && "0123456789abcdef".contains(s)))
+    assert(stats.map(_.getLong(1)).sum == 200L)
+    assert(stats.map(_.getLong(2)).sum == 600L) // 3 tokens per doc
+    assert(stats.forall(r => r.getString(3) <= r.getString(4))) // fp_min <= fp_max
+  }
+}
