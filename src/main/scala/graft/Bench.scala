@@ -65,13 +65,20 @@ object Bench {
     // diagnostics line first (may scroll out of the driver's tail window)
     println(s"""{"metric":"medians","passes":$passes,"queries":${jmap(median)}}""")
 
-    // quiesce: stop any stray streaming query, then the session, and only
-    // then emit the line the driver parses — nothing may print after it.
+    // quiesce: stop any stray streaming query, unload state-store
+    // providers (kills the maintenance pool whose post-shutdown RpcEnv
+    // stack trace clobbered round 3's bench line), then the session, and
+    // only then emit the line the driver parses.
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
     Thread.sleep(500) // let shutdown-time logger threads drain first
     System.out.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"errors":$errJson,"queries":${jmap(best)}}""")
     System.out.flush()
+    // forked JVM (run / fork := true): halt so no late background thread
+    // (executor shutdown, metrics, state-store) can print after the line.
+    Runtime.getRuntime.halt(0)
   }
 }
