@@ -129,6 +129,16 @@ object SparkEntry {
         ld(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"))),
 
+    // J1 beyond broadcast scale: bloom-filter-pruned anti-join. The
+    // sketch prunes, the exact anti-join verifies — result is identical
+    // to a plain anti-join (same oracle shape as cdc_anti_join).
+    "cdc_bloom_anti_join" -> ((s, dir) =>
+      CdcOps.bloomPrunedAntiJoin(
+        ld(s, dir, "customer"),
+        ld(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))),
+
     "cdc_union_dedup" -> ((s, dir) => {
       val r = routed(s, dir)
       r.inserts.unionByName(r.updates).dropDuplicates()
@@ -201,6 +211,29 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
           .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q2-style correlated "min per group, then decorate" lookup:
+    // cheapest supplier per small part. The correlated subquery is
+    // decorrelated by hand into groupBy + window-over-filtered-keys —
+    // the part filter semi-joins the cost table BEFORE the window so
+    // the per-part sort only runs over parts that survive the filter.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val cost = ld(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(sumD(col("l_extendedprice")) / sumD(col("l_quantity")), 6)
+          .as("unit_cost"))
+      val smallParts = ld(s, dir, "part").filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_name"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("unit_cost").asc, col("l_suppkey").asc)
+      cost.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .join(broadcast(ld(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ld(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("n_name").as("nation"), col("unit_cost"))
     }),
 
     "q_broadcast_join" -> ((s, dir) =>
@@ -673,6 +706,11 @@ object SparkEntry {
     "corpus_shard_stats" -> ((s, dir) =>
       Corpus.shardStats(ld(s, dir, "documents"))),
 
+    // Gopher-style repetition metrics (dup/top 2-gram fractions) — the
+    // repetition filter that runs next to the quality score.
+    "text_repetition" -> ((s, dir) =>
+      Corpus.repetitionStats(ld(s, dir, "documents"))),
+
     // ---- dedup --------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")),
@@ -1038,6 +1076,12 @@ object SparkEntry {
       """SELECT * FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
 
+    // the bloom filter only prunes — the oracle is the exact anti-join
+    "cdc_bloom_anti_join" ->
+      """SELECT * FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
     "cdc_union_dedup" ->
       s"""$cdcSql SELECT $payloadCols FROM cdc WHERE __op IN ('c','r')
          |UNION
@@ -1097,6 +1141,23 @@ object SparkEntry {
          |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
          |  AND r_name = 'EUROPE'
          |GROUP BY n_name""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+        |    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |sp AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 10),
+        |best AS (SELECT * FROM (
+        |    SELECT c.l_partkey, c.l_suppkey, c.unit_cost, sp.p_name,
+        |      row_number() OVER (PARTITION BY c.l_partkey
+        |        ORDER BY c.unit_cost, c.l_suppkey) AS rn
+        |    FROM cost c JOIN sp ON sp.p_partkey = c.l_partkey)
+        |  WHERE rn = 1)
+        |SELECT b.l_partkey AS p_partkey, b.p_name, s.s_name,
+        |  n.n_name AS nation, b.unit_cost
+        |FROM best b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey""".stripMargin,
 
     "q_broadcast_join" ->
       """SELECT p_brand,
@@ -1546,6 +1607,29 @@ object SparkEntry {
         |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
         |  MIN(md5(text)) AS fp_min, MAX(md5(text)) AS fp_max
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, GREATEST(len(tk) - 1, 0)),
+        |      i -> tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)])) AS gram
+        |  FROM toks),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |    COUNT(*) AS n_distinct, MAX(c) AS top_count
+        |  FROM gc GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.n_distinct, 0) AS n_distinct,
+        |  COALESCE(a.top_count, 0) AS top_count,
+        |  CASE WHEN COALESCE(a.n_grams, 0) > 0
+        |    THEN round(CAST(a.n_grams - a.n_distinct AS DOUBLE) / a.n_grams, 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_gram_frac,
+        |  CASE WHEN COALESCE(a.n_grams, 0) > 0
+        |    THEN round(CAST(a.top_count AS DOUBLE) / a.n_grams, 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS top_gram_frac
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(norm) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

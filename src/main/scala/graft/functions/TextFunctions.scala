@@ -71,6 +71,18 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesOf(tokens(lower(text)), n)
 
+  /** Word n-gram shingles WITH duplicates kept (no `array_distinct`) —
+    * the form repetition metrics need, where how often a gram repeats is
+    * the signal being measured, not noise to collapse.
+    */
+  def wordShinglesAllOf(toks: Column, n: Int): Column = {
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    when(count > 0,
+      transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    ).otherwise(array().cast("array<string>"))
+  }
+
   /** N-gram Jaccard similarity of two texts' shingle sets. */
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {
     val inter = size(array_intersect(shinglesA, shinglesB))

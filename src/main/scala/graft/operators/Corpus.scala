@@ -82,6 +82,51 @@ object Corpus {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
   }
 
+  /** Gopher-style repetition metrics per document (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1 quality rules, adapted to token
+    * n-grams): how much of a document is the same n-gram over and over.
+    * High duplicate-gram or top-gram fractions flag boilerplate, SEO
+    * spam, and degenerate generations — the standard repetition filter
+    * that runs next to [[graft.functions.TextFunctions.qualityScore]].
+    *
+    * Output per doc: `n_grams` (n-gram occurrences), `n_distinct`,
+    * `top_count` (occurrences of the most frequent gram),
+    * `dup_gram_frac` = (n_grams − n_distinct)/n_grams,
+    * `top_gram_frac` = top_count/n_grams (6 dp).
+    *
+    * Scale shape: project grams (no shuffle) → explode → two-level
+    * groupBy((doc, gram) then doc), both hash aggregates with map-side
+    * combine keyed by doc id — so the shuffle volume is one row per
+    * distinct (doc, gram), bounded by corpus token count, and there is
+    * no window/sort anywhere. Docs with fewer than `n` tokens surface
+    * with zero counts via the left join (they trivially pass a
+    * repetition filter).
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextFunctions.wordShinglesAllOf(
+        TextFunctions.nonEmptyTokens(lower(col(textCol))), n)).as("gram"))
+    val perDoc = grams
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"))
+      .withColumn("dup_gram_frac",
+        when(col("n_grams") > 0,
+          round((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("top_gram_frac",
+        when(col("n_grams") > 0,
+          round(col("top_count").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Deterministic hash-sharding stats for training-data export: shard
     * by the first hex digit of `md5(id)` (16 shards) and report per
     * shard the doc count, total whitespace tokens, and min/max content

@@ -184,6 +184,59 @@ object CdcOps {
                     primaryKeys: Seq[String]): DataFrame =
     existing.join(broadcast(tombstoneKeys), primaryKeys, "left_anti")
 
+  /** J1 at beyond-broadcast scale: bloom-filter-pruned LEFT ANTI join.
+    *
+    * [[antiJoinByKey]] broadcasts the tombstones — right until one batch's
+    * tombstone set outgrows the broadcast budget, at which point Spark
+    * falls back to shuffling the ENTIRE existing table (the 100 TB side).
+    * This variant keeps that cliff from mattering: build a bloom filter
+    * over the tombstone keys with `bloom_filter_agg` (a distributed
+    * aggregate — only the fixed-size sketch ever reaches the driver),
+    * broadcast the one-row sketch, and split the existing table into
+    *
+    *  - definite keeps (`might_contain` = false — the overwhelming
+    *    majority of a replica vs. one day's changes), which skip the join
+    *    entirely and never shuffle, and
+    *  - possible hits (true positives + the filter's false-positive rate),
+    *    which go through the exact anti-join for verification.
+    *
+    * The result is therefore EXACTLY `antiJoinByKey` — the bloom filter
+    * only prunes, never decides — while the shuffled volume drops from
+    * |existing| to |existing| × (|tombstones|/|keyspace| + fpp).
+    *
+    * An empty tombstone set yields a NULL sketch; `might_contain(NULL, _)`
+    * is NULL, coalesced to false = keep everything, matching the anti-join.
+    */
+  def bloomPrunedAntiJoin(existing: DataFrame, tombstoneKeys: DataFrame,
+                          primaryKeys: Seq[String],
+                          expectedItems: Long = 1L << 22,
+                          numBits: Long = 1L << 26): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    // BloomFilterAggregate/BloomFilterMightContain are what Spark's own
+    // InjectRuntimeFilter plants; they are not in the public function
+    // registry, so wrap the expressions directly.
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(primaryKeys.map(col): _*)),
+        Bridge.expression(lit(expectedItems)),
+        Bridge.expression(lit(numBits))).toAggregateExpression())
+    // might_contain demands its filter side be a constant or scalar
+    // subquery: run the sketch-building aggregate as a scalar subquery,
+    // whose (single binary) result is computed once and shipped to every
+    // task probing the existing table.
+    val bloom = Bridge.scalarSubquery(tombstoneKeys.agg(bloomAgg.as("__bf")))
+    val probed = existing
+      .withColumn("__might",
+        coalesce(Bridge.column(BloomFilterMightContain(
+          Bridge.expression(bloom),
+          Bridge.expression(xxhash64(primaryKeys.map(col): _*)))), lit(false)))
+    probed.filter(!col("__might")).drop("__might")
+      .unionByName(probed.filter(col("__might")).drop("__might")
+        .join(tombstoneKeys, primaryKeys, "left_anti"))
+  }
+
   /** The full batch merge (`_overwrite_daily_table`,
     * `daily_data_handler.py:75-104`):
     *

@@ -14,6 +14,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a one-row-one-column DataFrame as a scalar-subquery
+    * expression (what `might_contain` requires its bloom-filter side to
+    * be: a constant or scalar subquery, never a join column). The
+    * subquery executes once and its result is inlined as a constant for
+    * the main scan — the same mechanism Spark's InjectRuntimeFilter
+    * uses.
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed))
+
   /** Register a temp SQL function on a live session (the
     * extensions-free path; `GraftExtensions` covers the
     * `spark.sql.extensions` config path).

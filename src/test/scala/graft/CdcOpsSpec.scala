@@ -120,6 +120,20 @@ class CdcOpsSpec extends AnyFunSuite {
     assert(rates("2") == None)        // pre-drift row null-padded
   }
 
+  test("bloomPrunedAntiJoin is exactly antiJoinByKey, including empty tombstones") {
+    val existing = (0L until 500L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val tombstones = (0L until 500L by 7L).map(Tuple1(_)).toDF("k")
+    val viaBloom = CdcOps.bloomPrunedAntiJoin(existing, tombstones, Seq("k"))
+      .collect().map(_.getLong(0)).toSet
+    val viaAnti = CdcOps.antiJoinByKey(existing, tombstones, Seq("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBloom == viaAnti)
+    assert(viaBloom == (0L until 500L).filterNot(_ % 7 == 0).toSet)
+    // empty tombstone set -> NULL sketch -> keep everything
+    val none = CdcOps.bloomPrunedAntiJoin(existing, tombstones.where(lit(false)), Seq("k"))
+    assert(none.count() == 500L)
+  }
+
   test("withDatePartitions derives op_year/op_month/op_day") {
     val out = CdcOps.withDatePartitions(Seq(ts(1)).toDF("timestamp"))
     val r = out.collect()(0)

@@ -49,6 +49,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(half > 20 && half < 80) // 100 en docs at rate .5
   }
 
+  test("repetitionStats: fractions match hand-computed 2-gram counts") {
+    val df = Seq(
+      (1L, "a b a b a"),        // grams: "a b","b a","a b","b a" -> 4 total, 2 distinct, top 2
+      (2L, "x y z"),            // grams: "x y","y z" -> all distinct
+      (3L, "solo"),             // < 2 tokens: zero grams
+      (4L, "w w w w")           // grams: "w w" x3 -> fully repeated
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((4L, 2L, 2L, 0.5, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.0, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0, 0.0)))
+    assert(out(4L)._1 == 3L && out(4L)._2 == 1L && out(4L)._4 > 0.66 && out(4L)._5 == 1.0)
+  }
+
   test("shardStats: counts partition the corpus and tokens sum up") {
     val df = (0L until 200L).map(i => (i, s"word$i tok tok")).toDF("doc_id", "text")
     val stats = Corpus.shardStats(df).collect()
