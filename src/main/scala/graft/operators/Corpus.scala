@@ -31,8 +31,15 @@ object Corpus {
     */
   def contamination(docs: DataFrame, isBenchmark: Column, n: Int = 5,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shingled = docs.select(col(idCol), isBenchmark.as("__bench"),
-      TextFunctions.wordShingles(col(textCol), n).as("grams"))
+    // stage tokenization through a projected column: embedding the
+    // tokenizer expression inside the shingle lambda would re-run the
+    // regex split once per gram (O(tokens²) per doc, and a generated
+    // method big enough to take seconds to JIT)
+    val shingled = docs
+      .select(col(idCol), isBenchmark.as("__bench"),
+        TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), col("__bench"),
+        TextFunctions.wordShinglesOf(col("__toks"), n).as("grams"))
     val bench = shingled.filter(col("__bench"))
       .select(explode(col("grams")).as("gram")).distinct()
       .withColumn("__hit", lit(1L))
@@ -104,9 +111,11 @@ object Corpus {
     */
   def repetitionStats(docs: DataFrame, n: Int = 2, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(idCol),
-      explode(TextFunctions.wordShinglesAllOf(
-        TextFunctions.nonEmptyTokens(lower(col(textCol))), n)).as("gram"))
+    val grams = docs
+      .select(col(idCol),
+        TextFunctions.nonEmptyTokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.wordShinglesAllOf(col("__toks"), n)).as("gram"))
     val perDoc = grams
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
