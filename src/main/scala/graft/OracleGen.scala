@@ -317,6 +317,56 @@ r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
 SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
   }
 
+  /** Oracle for `embed_kmeans` — mirrors
+    * [[graft.operators.KMeans.sphericalKMeans]] (k=8, 2 Lloyd
+    * iterations, 64 dims): 6-dp-rounded components, hash-strided init
+    * labeled 0..k−1 in pick order, argmax of 6-dp cosine with
+    * lowest-cell tie-break, per-cell means via exact DECIMAL(25,12)
+    * sums (order-independent; 6-dp doubles cannot hit a scale-12
+    * rounding tie, so HALF_UP and HALF_EVEN engines agree) cast to
+    * double and re-rounded to 6 dp.
+    */
+  def embedKmeans(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
+    val h = fnvToken("CAST(vec_id AS VARCHAR)")
+    val signedH =
+      s"CAST(CASE WHEN $h >= $Pow63::HUGEINT THEN $h - $M64::HUGEINT ELSE $h END AS BIGINT)"
+    // one assignment round against centroid CTE `cents` (cell, cv)
+    def simCte(name: String, cents: String) =
+      s"""$name AS (SELECT n.vec_id, c.cell,
+    round(CAST(${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} AS DOUBLE), 6) AS sim
+  FROM n0 n CROSS JOIN (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $cents) c)"""
+    def assignCte(name: String, sim: String) =
+      s"""$name AS (SELECT vec_id, cell, sim FROM (
+    SELECT vec_id, cell, sim,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM $sim) WHERE rn = 1)"""
+    def meansCte(name: String, assign: String) =
+      s"""${name}m AS (SELECT a.cell, u.i AS i,
+    round(CAST(SUM(CAST(e.v[CAST(u.i AS INT)] AS DECIMAL(25,12))) AS DOUBLE)
+      / COUNT(*), 6) AS m
+  FROM $assign a JOIN e ON e.vec_id = a.vec_id,
+    LATERAL unnest(range(1, ${dim + 1})) AS u(i)
+  GROUP BY a.cell, u.i),
+$name AS (SELECT cell, list(m ORDER BY i) AS cv FROM ${name}m GROUP BY cell)"""
+    val iterCtes = (1 to iters).map { t =>
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      Seq(simCte(s"s$t", prev), assignCte(s"a$t", s"s$t"), meansCte(s"c$t", s"a$t"))
+        .mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+  FROM embeddings),
+n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+c0 AS (SELECT (row_number() OVER (ORDER BY $signedH, vec_id)) - 1 AS cell, v AS cv
+  FROM e ORDER BY $signedH, vec_id LIMIT $k),
+$iterCtes,
+${simCte("sf", s"c$iters")}
+SELECT vec_id, CAST(cell AS BIGINT) AS cell_id, sim AS cosine FROM (
+  SELECT vec_id, cell, sim,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+  FROM sf) WHERE rn = 1"""
+  }
+
   // ------------------------------------------------------------------
   // Multimodal stub codec (mirror of Multimodal.StubCodec)
   // ------------------------------------------------------------------

@@ -800,6 +800,14 @@ object SparkEntry {
               (q, x) => abs(q.cast("double") * col("__qz.scale") - x.cast("double"))),
             lit(0.0), (a, x) => greatest(a, x)), 6).as("max_err"))),
 
+    // Spherical k-means (2 Lloyd iterations, k=8, hash-strided init) —
+    // the training pass behind a properly-fitted IVF index. Per
+    // iteration: one argmax projection + one k-row decimal aggregate;
+    // only the k×dim centroid matrix reaches the driver.
+    "embed_kmeans" -> ((s, dir) =>
+      graft.operators.KMeans.sphericalKMeans(
+        ld(s, dir, "embeddings"), "embedding", "vec_id")),
+
     "knn_bruteforce" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
@@ -1672,6 +1680,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // hash-kernel / float-exact oracles, machine-generated (OracleGen)
+    "embed_kmeans" -> OracleGen.embedKmeans(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
     "dedup_clusters" -> OracleGen.dedupClusters,
     "dedup_simhash" -> OracleGen.dedupSimhash,

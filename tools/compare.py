@@ -8,6 +8,7 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -27,6 +28,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 ok, bad = [], []
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     sql = oracle[name]
     try:
         want = con.execute(sql).fetchdf()
