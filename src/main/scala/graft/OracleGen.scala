@@ -317,6 +317,51 @@ r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
 SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
   }
 
+  /** Oracle for `knn_pq` — mirrors [[graft.operators.Similarity.pqTopK]]
+    * (m=8 subspaces × 8 dims, subK=16 hash-strided training vectors,
+    * k=3, queries vec_id < 5): 6-dp-rounded components, per-subspace
+    * argmin of 6-dp-rounded L2² (ties to the lowest centroid index),
+    * LUT inner products rounded to 6 dp so the m-term ADC sum is
+    * order-immune, final score re-rounded.
+    */
+  def knnPq(m: Int = 8, subK: Int = 16, k: Int = 3, dim: Int = 64): String = {
+    val sub = dim / m
+    val h = fnvToken("CAST(vec_id AS VARCHAR)")
+    val signedH =
+      s"CAST(CASE WHEN $h >= $Pow63::HUGEINT THEN $h - $M64::HUGEINT ELSE $h END AS BIGINT)"
+    val diff = s"list_transform(range(1, $sub + 1), " +
+      s"i -> e.v[CAST(c.j * $sub + i AS INT)] - c.cv[CAST(i AS INT)])"
+    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+  FROM embeddings),
+tr AS (SELECT (row_number() OVER (ORDER BY $signedH, vec_id)) - 1 AS t, v
+  FROM e ORDER BY $signedH, vec_id LIMIT $subK),
+cents AS (SELECT tr.t, u.j,
+    tr.v[CAST(u.j * $sub + 1 AS INT):CAST(u.j * $sub + $sub AS INT)] AS cv
+  FROM tr, LATERAL unnest(range(0, $m)) AS u(j)),
+dists AS (SELECT e.vec_id, c.j, c.t,
+    round(list_dot_product($diff, $diff), 6) AS dd
+  FROM e CROSS JOIN cents c),
+codes AS (SELECT vec_id, j, t AS code FROM (
+    SELECT vec_id, j, t,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, t) AS rn
+    FROM dists) WHERE rn = 1),
+luts AS (SELECT q.vec_id AS query_id, c.j, c.t,
+    round(list_dot_product(
+      q.v[CAST(c.j * $sub + 1 AS INT):CAST(c.j * $sub + $sub AS INT)], c.cv), 6) AS ip
+  FROM e q CROSS JOIN cents c WHERE q.vec_id < 5),
+scored AS (SELECT l.query_id, cd.vec_id AS candidate_id,
+    round(SUM(l.ip), 6) AS approx_ip
+  FROM codes cd JOIN luts l ON l.j = cd.j AND l.t = cd.code
+    AND l.query_id <> cd.vec_id
+  GROUP BY l.query_id, cd.vec_id)
+SELECT query_id, candidate_id, approx_ip, "rank" FROM (
+  SELECT query_id, candidate_id, approx_ip,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_ip DESC, candidate_id) AS "rank"
+  FROM scored) WHERE "rank" <= $k"""
+  }
+
   /** Oracle for `embed_kmeans` — mirrors
     * [[graft.operators.KMeans.sphericalKMeans]] (k=8, 2 Lloyd
     * iterations, 64 dims): 6-dp-rounded components, hash-strided init

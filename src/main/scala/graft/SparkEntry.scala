@@ -815,6 +815,15 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Product-quantization ADC: candidates compressed to m byte codes,
+    // queries carry per-subspace LUTs — the 32× I/O cut that makes
+    // billion-scale ANN affordable.
+    "knn_pq" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3)
+    }),
+
     "knn_lsh" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
@@ -1681,6 +1690,7 @@ object SparkEntry {
 
     // hash-kernel / float-exact oracles, machine-generated (OracleGen)
     "embed_kmeans" -> OracleGen.embedKmeans(),
+    "knn_pq" -> OracleGen.knnPq(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
     "dedup_clusters" -> OracleGen.dedupClusters,
     "dedup_simhash" -> OracleGen.dedupSimhash,

@@ -89,6 +89,81 @@ object Similarity {
     * never collected. At 100 TB the corpus side is scan → project →
     * join(broadcast queries) → heap-aggregate: zero corpus shuffles.
     */
+  /** Product-quantization ANN (inner-product ADC): the memory-bounded
+    * scale path — each candidate vector is compressed to `m` one-byte
+    * codes (its nearest sub-centroid per subspace, by squared L2 over
+    * that subspace), and query scoring touches ONLY the codes:
+    * per query a (m × subK) look-up table of subspace inner products is
+    * computed once on the (broadcast) query side, and a candidate's
+    * approximate inner product is m LUT reads + adds. At 100 TB the
+    * corpus scan reads 8-byte codes instead of 256-byte vectors — a 32×
+    * I/O cut — and the plan is scan → project codes → broadcast-join
+    * LUTs → heap top-k: zero corpus shuffles.
+    *
+    * Determinism/oracle parity: components rounded to 6 dp, sub-centroid
+    * training set = the `subK` hash-strided vectors (as [[ivfTopK]] /
+    * KMeans init), encoding argmin on 6-dp-rounded L2² with
+    * smallest-index tie-break, LUT entries rounded to 6 dp (so the final
+    * m-term sum is order-immune far beyond double error), final score
+    * re-rounded to 6 dp.
+    */
+  def pqTopK(candidates: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int,
+             m: Int = 8, subK: Int = 16): DataFrame = {
+    val session = candidates.sparkSession
+    import session.implicits._
+    val e = candidates
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("candidate_id"),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
+    val train: Array[Seq[Double]] = e
+      .select(col("candidate_id"), col("v"),
+        element_at(graft.functions.native.token_hashes(
+          col("candidate_id").cast("string")), 1).as("__h"))
+      .orderBy(col("__h"), col("candidate_id"))
+      .limit(subK)
+      .select(col("v")).as[Seq[Double]].collect()
+    require(train.nonEmpty, "PQ needs at least one training vector")
+    val dim = train.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // cents(j)(t) = subvector j of training vector t
+    val cents: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => train.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
+
+    def l2sq(a: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(a, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // encode: per subspace, (rounded L2², index) struct-min = argmin
+    val codeCols = (0 until m).map { j =>
+      val sl = slice(col("v"), j * sub + 1, sub)
+      val ss = cents(j).zipWithIndex.map { case (cv, t) =>
+        struct(round(l2sq(sl, cv), 6).as("d"), lit(t).as("t"))
+      }
+      (if (ss.size == 1) ss.head else least(ss: _*)).getField("t").as(s"code$j")
+    }
+    val coded = e.select(col("candidate_id") +: codeCols: _*)
+
+    val lutCols = (0 until m).map { j =>
+      val sl = slice(col("qv"), j * sub + 1, sub)
+      array(cents(j).map(cv =>
+        round(graft.functions.VectorFunctions.dotProduct(sl, typedlit(cv)), 6)): _*)
+        .as(s"lut$j")
+    }
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("qv"))
+      .select(col("query_id") +: lutCols: _*)
+
+    val scored = coded.join(broadcast(q), col("query_id") =!= col("candidate_id"))
+      .select(col("query_id"), col("candidate_id"),
+        round((0 until m).map(j =>
+          element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _), 6)
+          .as("approx_ip"))
+    TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
+      .select(col("query_id"), col("candidate_id"), col("approx_ip"), col("rank"))
+  }
+
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
