@@ -711,6 +711,17 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       Corpus.repetitionStats(ld(s, dir, "documents"))),
 
+    // Token-rarity score: integer-exact corpus-frequency signal (the
+    // engine-portable stand-in for an LM-perplexity filter).
+    "text_rarity" -> ((s, dir) =>
+      Corpus.tokenRarity(ld(s, dir, "documents"))),
+
+    // The composite keep/drop decision of a training-data export:
+    // dedup-canonical + token budget + quality + language allowlist,
+    // with every reason surfaced.
+    "corpus_quality_filter" -> ((s, dir) =>
+      Corpus.qualityFilter(ld(s, dir, "documents"), langs = Set("en"))),
+
     // ---- dedup --------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")),
@@ -1647,6 +1658,45 @@ object SparkEntry {
         |    THEN round(CAST(a.top_count AS DOUBLE) / a.n_grams, 6)
         |    ELSE CAST(0.0 AS DOUBLE) END AS top_gram_frac
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "text_rarity" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |dfr AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+        |agg AS (SELECT dt.doc_id, COUNT(*) AS n_tokens_distinct,
+        |    SUM(CASE WHEN dfr.df <= 2 THEN 1 ELSE 0 END) AS n_rare
+        |  FROM dt JOIN dfr ON dfr.tok = dt.tok GROUP BY dt.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_tokens_distinct, 0) AS BIGINT) AS n_tokens_distinct,
+        |  CAST(COALESCE(a.n_rare, 0) AS BIGINT) AS n_rare,
+        |  CASE WHEN COALESCE(a.n_tokens_distinct, 0) > 0
+        |    THEN round(CAST(a.n_rare AS DOUBLE) / a.n_tokens_distinct, 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS rare_frac
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "corpus_quality_filter" ->
+      s"""WITH f AS (SELECT doc_id, length(text) AS n_chars,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+         |    len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS n_punct,
+         |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         |    ${langScoreSqls.map { case (l, e) => s"$e AS score_$l" }.mkString(", ")}
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+         |    round(CAST((CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN CAST(n_nonspace AS DOUBLE)/n_words BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.3 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN CAST(n_alnum AS DOUBLE)/n_chars > 0.6 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / 4, 6) AS quality,
+         |    ${langPredSql.replace("score_", "f.score_")} AS lang_pred,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_canonical
+         |  FROM f)
+         |SELECT doc_id, n_tokens, quality, lang_pred, is_canonical,
+         |  (is_canonical AND n_tokens BETWEEN 5 AND 100000
+         |   AND quality >= 0.5 AND lang_pred IN ('en')) AS keep
+         |FROM g""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(norm) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

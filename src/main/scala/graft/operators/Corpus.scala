@@ -136,6 +136,73 @@ object Corpus {
           .otherwise(lit(0.0)))
   }
 
+  /** Token-rarity score — an integer-exact stand-in for the LM-perplexity
+    * quality signal (a doc made of corpus-rare tokens is "surprising"):
+    * for each document, the count of distinct tokens, how many of them
+    * are corpus-rare (document frequency ≤ `rareDf`), and the rare
+    * fraction. All arithmetic is integer counts + one final rounded
+    * division, so it is exactly engine-portable where a log-prob mean
+    * (whose float sum order and `ln` bit-patterns differ across
+    * engines) would not be.
+    *
+    * Scale shape: distinct (doc, token) explode → one groupBy(token)
+    * for the document-frequency table (map-side combined) → shuffle
+    * join back on token → groupBy(doc). Both shuffles are keyed by
+    * token/doc and pre-combined; nothing is ever corpus × corpus.
+    */
+  def tokenRarity(docs: DataFrame, rareDf: Long = 2, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val docTok = docs
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.nonEmptyTokens(lower(col(textCol)))))
+          .as("tok"))
+    val dfTable = docTok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    docs.select(col(idCol))
+      .join(
+        docTok.join(dfTable, "tok")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_tokens_distinct"),
+            sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens_distinct"), lit(0L)).as("n_tokens_distinct"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_frac",
+        when(col("n_tokens_distinct") > 0,
+          round(col("n_rare").cast("double") / col("n_tokens_distinct"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Composite corpus filter — the keep/drop decision a training-data
+    * export actually runs, folding the individual signals
+    * ([[graft.functions.TextFunctions.qualityScore]], language ID,
+    * token budget, exact-dup rank) into one row per document with the
+    * reasons spelled out. Pure projections plus one window over the
+    * content fingerprint (the exact-dup group), so the only shuffle is
+    * the dedup key.
+    */
+  def qualityFilter(docs: DataFrame, langs: Set[String],
+                    minTokens: Int = 5, maxTokens: Int = 100000,
+                    minQuality: Double = 0.5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    docs
+      .select(col(idCol),
+        TextFunctions.contentFingerprint(col(textCol)).as("__fp"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        round(TextFunctions.qualityScore(col(textCol)), 6).as("quality"),
+        TextFunctions.langId(col(textCol)).as("lang_pred"))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col(idCol), col("n_tokens"), col("quality"), col("lang_pred"),
+        col("is_canonical"),
+        (col("is_canonical") &&
+          col("n_tokens").between(minTokens, maxTokens) &&
+          col("quality") >= minQuality &&
+          col("lang_pred").isInCollection(langs)).as("keep"))
+  }
+
   /** Deterministic hash-sharding stats for training-data export: shard
     * by the first hex digit of `md5(id)` (16 shards) and report per
     * shard the doc count, total whitespace tokens, and min/max content

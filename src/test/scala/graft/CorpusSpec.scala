@@ -65,6 +65,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L)._1 == 3L && out(4L)._2 == 1L && out(4L)._4 > 0.66 && out(4L)._5 == 1.0)
   }
 
+  test("tokenRarity: rare tokens counted against corpus document frequency") {
+    val df = Seq(
+      (1L, "common words here unique1"),   // unique1 df=1 -> rare
+      (2L, "common words here unique2"),
+      (3L, "common words here"),           // no rare tokens (df=3 each)
+      (4L, "")                             // empty doc
+    ).toDF("doc_id", "text")
+    val out = Corpus.tokenRarity(df, rareDf = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("qualityFilter: canonical/dup, token bounds, and language gate the keep bit") {
+    val good = "the quick brown fox jumps over the lazy dog and runs on"
+    val df = Seq(
+      (1L, good),          // keep
+      (2L, good),          // exact dup of 1 -> not canonical
+      (3L, "a b"),         // too few tokens
+      (4L, "der und ist nicht ein mit zu das die der und ist") // German
+    ).toDF("doc_id", "text")
+    val out = Corpus.qualityFilter(df, langs = Set("en"), minTokens = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((true, true)))
+    assert(out(2L) == ((false, false))) // dup loses canonicality
+    assert(out(3L)._2 == false)
+    assert(out(4L) == ((true, false))) // canonical but wrong language
+  }
+
   test("shardStats: counts partition the corpus and tokens sum up") {
     val df = (0L until 200L).map(i => (i, s"word$i tok tok")).toDF("doc_id", "text")
     val stats = Corpus.shardStats(df).collect()
