@@ -603,6 +603,13 @@ object SparkEntry {
 
     // S2 — stream/batch repartition: spreads input across the cluster;
     // row multiset unchanged (the oracle checks exactly that).
+    // Morton (z-order) curve value — the clustering key behind
+    // Lake.writeZOrdered's multi-column data skipping. Pure integer
+    // projection, so the layout is reproducible and oracle-checkable.
+    "q_zorder" -> ((s, dir) =>
+      ld(s, dir, "events").select(col("event_id"), col("user_id"),
+        graft.sources.Lake.zValue(col("user_id"), col("event_id")).as("z"))),
+
     "cdc_repartition" -> ((s, dir) =>
       ld(s, dir, "events").repartition(32, col("user_id"))),
 
@@ -1136,6 +1143,13 @@ object SparkEntry {
 
     "cdc_increment_dedup" ->
       "SELECT DISTINCT event_id, ts, user_id, event_type, value, props FROM events",
+
+    "q_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((user_id >> $i) & 1) << ${2 * i})",
+        s"(((event_id >> $i) & 1) << ${2 * i + 1})"))
+      s"SELECT event_id, user_id, ${terms.mkString(" + ")} AS z FROM events"
+    },
 
     "cdc_bootstrap_empty" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE 1 = 0",

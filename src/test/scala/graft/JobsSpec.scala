@@ -53,6 +53,37 @@ class JobsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeZOrdered interleaves correctly and keeps BOTH columns' file ranges tight") {
+    // reference Morton implementation, driver-side
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val probe = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L), (65536L, 1L))
+      .toDF("x", "y")
+    val got = probe.select(col("x"), col("y"), Lake.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == morton(x & 0xFFFF, y & 0xFFFF, 16)) }
+
+    // a 2-d grid written z-ordered: every file's span on EACH key must be
+    // a fraction of the full domain (a lexicographic sort would leave one
+    // key's span at ~full range in every file)
+    val dir = tmp("zorder")
+    val n = 64
+    val grid = spark.range(0, n.toLong * n).select(
+      (col("id") % n).as("a"), floor(col("id") / n).cast("long").as("b"))
+    Lake.writeZOrdered(grid, dir, "a", "b", nFiles = 16)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 8)
+    val spans = files.map { f =>
+      val (alo, ahi, blo, bhi) = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("a"), max("a"), min("b"), max("b")).as[(Long, Long, Long, Long)].head()
+      (ahi - alo, bhi - blo)
+    }
+    val (avgA, avgB) = (spans.map(_._1).sum.toDouble / spans.length,
+      spans.map(_._2).sum.toDouble / spans.length)
+    assert(avgA < n * 0.6, s"mean a-span $avgA not tight")
+    assert(avgB < n * 0.6, s"mean b-span $avgB not tight")
+  }
+
   test("raw ingest streams envelopes into a date-partitioned lake exactly once") {
     val root = tmp("raw")
     val spec = TableSpec("t", "graft_db", Seq("ID"),
