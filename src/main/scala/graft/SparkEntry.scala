@@ -287,6 +287,37 @@ object SparkEntry {
         fin = Seq(sum(col("__n")).as("n"),
           sum(col("__s")).cast("double").as("sum_value")))),
 
+    // Salted skew join: the hot-keyed big side spreads over 8 salt
+    // shards, the small side replicates 8× — result must equal the
+    // plain join (the salt is mechanics, not semantics).
+    "q_skew_join" -> ((s, dir) => {
+      val events = ld(s, dir, "events").select(col("event_type"), col("value"))
+      val dim = events.select(col("event_type")).distinct()
+        .withColumn("type_len", length(col("event_type")).cast("long"))
+      graft.ops.Skew.saltedJoin(events, dim, Seq("event_type"), salts = 8)
+        .groupBy(col("event_type"), col("type_len"))
+        .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
+    }),
+
+    // Bucketed co-located join: both sides written bucketBy(8) on the
+    // join key, so the sort-merge join consumes bucket layout directly —
+    // ZERO exchanges in the joined plan (asserted in JobsSpec). At 100 TB
+    // this is the difference between shuffling two tables and reading
+    // them; the merge hint keeps the demo honest (no broadcast shortcut).
+    "q_bucketed_join" -> ((s, dir) => {
+      ld(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bk_orders")
+      ld(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bk_customer")
+      s.table("graft_bk_orders").hint("merge")
+        .join(s.table("graft_bk_customer").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("sum_price"))
+    }),
+
     // q6-style: pure filter + global aggregate — everything pushes to
     // the scan (PushedFilters shows all three predicates).
     "q6_filtered_agg" -> ((s, dir) =>
@@ -1475,6 +1506,20 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the salted join must equal the plain join
+    "q_skew_join" ->
+      """SELECT event_type, CAST(length(event_type) AS BIGINT) AS type_len,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the bucketed join must equal the plain join
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

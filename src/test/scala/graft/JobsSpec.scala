@@ -84,6 +84,18 @@ class JobsSpec extends AnyFunSuite {
     assert(avgB < n * 0.6, s"mean b-span $avgB not tight")
   }
 
+  test("bucketed co-located join plans with zero exchanges") {
+    val a = spark.range(0, 500).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(0, 500).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    a.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bkt_a")
+    b.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bkt_b")
+    val j = spark.table("bkt_a").hint("merge")
+      .join(spark.table("bkt_b").hint("merge"), "k")
+    assert(j.count() == 500)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+  }
+
   test("raw ingest streams envelopes into a date-partitioned lake exactly once") {
     val root = tmp("raw")
     val spec = TableSpec("t", "graft_db", Seq("ID"),
