@@ -54,6 +54,12 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
+      // unique warehouse per session: the catalog is in-memory (gone on
+      // exit) but saveAsTable locations persist on disk — a stale dir
+      // from a previous run would fail the next run's CREATE TABLE with
+      // LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        s"target/tmp/warehouse-${java.util.UUID.randomUUID()}")
     common.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
