@@ -279,6 +279,31 @@ object SparkEntry {
     // each hot key over `salts` reducers, phase 2 combines the ≤
     // keys×salts partials. Must equal the plain one-phase groupBy —
     // which is exactly what the oracle runs.
+    // Correlation + regression slope from manually-assembled co-moments:
+    // the five sums run in exact decimal (order-independent), and the
+    // closed-form combination runs in doubles in an identical expression
+    // order on both engines — portable where native corr() (Welford /
+    // co-moment update order differs per engine) is not. Also the
+    // map-side-combine form: one pass, one tiny shuffle.
+    "q_corr" -> ((s, dir) => {
+      val li = ld(s, dir, "lineitem")
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val g = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      g.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope_price_per_qty"))
+    }),
+
     "q_skew_agg" -> ((s, dir) =>
       graft.ops.Skew.saltedAggregate(
         ld(s, dir, "events").select(col("event_type"), col("value")),
@@ -1500,6 +1525,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_corr" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_price_per_qty
+        |FROM g""".stripMargin,
 
     // the salted two-phase aggregation must equal the plain groupBy
     "q_skew_agg" ->
