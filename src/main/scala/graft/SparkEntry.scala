@@ -785,6 +785,20 @@ object SparkEntry {
     "corpus_quality_filter" -> ((s, dir) =>
       Corpus.qualityFilter(ld(s, dir, "documents"), langs = Set("en"))),
 
+    // The whole export, end to end: quality/dedup filter → stratified
+    // domain mixing → hash-sharded export stats. Each stage is the
+    // already-verified operator; this pins that they COMPOSE (the thing
+    // a real pipeline actually runs).
+    "corpus_export_pipeline" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val kept = docs.join(
+        Corpus.qualityFilter(docs, langs = Set("en"))
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      Corpus.shardStats(
+        Corpus.stratifiedSample(kept, "doc_id", "lang", mixRates, defaultMixRate))
+    }),
+
     // ---- dedup --------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")),
@@ -1099,6 +1113,30 @@ object SparkEntry {
     case (lang, words) =>
       lang -> s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
   }
+
+  /** Shared CTE chain (f: per-doc raw features, g: derived
+    * tokens/quality/lang/canonicality) behind `corpus_quality_filter`
+    * and `corpus_export_pipeline` — one definition so the filter
+    * semantics cannot drift between the two oracles.
+    */
+  private lazy val qualityFilterCtes: String =
+    s"""WITH f AS (SELECT doc_id, length(text) AS n_chars,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+       |    len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS n_punct,
+       |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       |    ${langScoreSqls.map { case (l, e) => s"$e AS score_$l" }.mkString(", ")}
+       |  FROM documents),
+       |g AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+       |    round(CAST((CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN CAST(n_nonspace AS DOUBLE)/n_words BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.3 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN CAST(n_alnum AS DOUBLE)/n_chars > 0.6 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / 4, 6) AS quality,
+       |    ${langPredSql.replace("score_", "f.score_")} AS lang_pred,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_canonical
+       |  FROM f)""".stripMargin
 
   private val langPredSql: String = {
     val cases = langScoreSqls.zipWithIndex.dropRight(1).map { case ((lang, _), i) =>
@@ -1775,27 +1813,27 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     "corpus_quality_filter" ->
-      s"""WITH f AS (SELECT doc_id, length(text) AS n_chars,
-         |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
-         |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
-         |    len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS n_punct,
-         |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
-         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
-         |    ${langScoreSqls.map { case (l, e) => s"$e AS score_$l" }.mkString(", ")}
-         |  FROM documents),
-         |g AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
-         |    round(CAST((CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)
-         |      + (CASE WHEN CAST(n_nonspace AS DOUBLE)/n_words BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
-         |      + (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.3 THEN 1 ELSE 0 END)
-         |      + (CASE WHEN CAST(n_alnum AS DOUBLE)/n_chars > 0.6 THEN 1 ELSE 0 END)
-         |      AS DOUBLE) / 4, 6) AS quality,
-         |    ${langPredSql.replace("score_", "f.score_")} AS lang_pred,
-         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_canonical
-         |  FROM f)
+      s"""$qualityFilterCtes
          |SELECT doc_id, n_tokens, quality, lang_pred, is_canonical,
          |  (is_canonical AND n_tokens BETWEEN 5 AND 100000
          |   AND quality >= 0.5 AND lang_pred IN ('en')) AS keep
          |FROM g""".stripMargin,
+
+    "corpus_export_pipeline" ->
+      s"""$qualityFilterCtes,
+         |kept AS (SELECT d.* FROM documents d JOIN g ON g.doc_id = d.doc_id
+         |  WHERE g.is_canonical AND g.n_tokens BETWEEN 5 AND 100000
+         |    AND g.quality >= 0.5 AND g.lang_pred IN ('en')),
+         |samp AS (SELECT * FROM kept
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |    CASE lang ${mixRates.map { case (l, r) =>
+                 s"WHEN '$l' THEN '${Corpus.hexThreshold(r)}'"
+               }.mkString(" ")} ELSE '${Corpus.hexThreshold(defaultMixRate)}' END)
+         |SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+         |  MIN(md5(text)) AS fp_min, MAX(md5(text)) AS fp_max
+         |FROM samp GROUP BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(norm) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
