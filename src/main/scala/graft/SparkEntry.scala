@@ -1075,6 +1075,19 @@ object SparkEntry {
         substring(hex(blob), 1, 8).as("hex_prefix"))
     }),
 
+    // Batch media resize through the stub codec: binary → binary
+    // mapPartitions with typed output dims; blobs never shuffle.
+    "mm_resize" -> ((s, dir) => {
+      val blobs = ld(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("blob"))
+      Multimodal.resizeBlobs(blobs, "blob", factor = 2)
+        .select(col("doc_id"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          length(col("resized")).cast("long").as("n_bytes_out"),
+          md5(lower(hex(col("resized")))).as("resized_fp"))
+    }),
+
     // One-pass table profile (data-quality primitive): every metric for
     // every column computed in a single scan. The HLL distinct estimate
     // is excluded here (not oracle-comparable; bounded-error-checked in
@@ -1876,6 +1889,17 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // hash-kernel / float-exact oracles, machine-generated (OracleGen)
+    "mm_resize" -> {
+      def hexv(pos: Int) = s"(strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1)"
+      s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+         |SELECT doc_id,
+         |  CAST((16 + ((16 * ${hexv(3)} + ${hexv(4)}) % 128)) // 2 AS BIGINT) AS out_w,
+         |  CAST((16 + ((16 * ${hexv(5)} + ${hexv(6)}) % 128)) // 2 AS BIGINT) AS out_h,
+         |  CAST(4 AS BIGINT) AS n_bytes_out,
+         |  md5(substr(hx, 1, 8)) AS resized_fp
+         |FROM h""".stripMargin
+    },
+
     "embed_kmeans" -> OracleGen.embedKmeans(),
     "knn_pq" -> OracleGen.knnPq(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,

@@ -47,6 +47,18 @@ object Multimodal {
       (bytes.length.toLong, fmt, w, h, frames)
     }
 
+    /** STUB "resize" by integer `factor` per axis: halves the declared
+      * dimensions and keeps the first ceil(n/factor²) payload bytes (a
+      * real codec decodes, box-filters, re-encodes; the byte-count
+      * contraction and dim arithmetic here stand in for it
+      * deterministically).
+      */
+    def resize(bytes: Array[Byte], factor: Int): (Int, Int, Array[Byte]) = {
+      val (_, _, w, h, _) = decodeMeta(bytes)
+      val keep = math.max((bytes.length + factor * factor - 1) / (factor * factor), 0)
+      (w / factor, h / factor, bytes.take(keep))
+    }
+
     /** "Decode" one frame: a fixed-size feature vector (stub: byte
       * histogram folded to `dim`).
       */
@@ -75,6 +87,31 @@ object Multimodal {
         val (n, fmt, w, h, fr) = StubCodec.decodeMeta(
           if (bytes == null) Array.emptyByteArray else bytes)
         Row.fromSeq(r.toSeq :+ Row(n, fmt, w, h, fr))
+      }
+    }(enc)
+  }
+
+  /** Batch resize: binary → binary through the (stub) codec, one
+    * partition of blobs resident per task, output dims carried as
+    * typed columns. The pattern for any media transcode at 100 TB:
+    * blobs never shuffle (the transform is a projection-shaped
+    * mapPartitions), and downstream can project away the payload to
+    * keep exchanges feature-only.
+    */
+  def resizeBlobs(df: DataFrame, blobCol: String, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("resized", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val (w, h, out) = StubCodec.resize(
+          if (bytes == null) Array.emptyByteArray else bytes, factor)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, out))
       }
     }(enc)
   }
