@@ -121,4 +121,22 @@ class FunctionsSpec extends AnyFunSuite {
     val f1 = frames.filter($"doc_id" === 1L).collect()
     assert(f1.nonEmpty && f1.forall(_.getSeq[Float](2).length == 4))
   }
+
+  test("multimodal: resizeBlobs halves dims and contracts payload bytes") {
+    val blobs = Seq(
+      (1L, Array.tabulate[Byte](16)(_.toByte)), // w=16+10=26, h=16+2... bytes(1)=1 -> w=17
+      (2L, Array[Byte](1, 100, 50, 3)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.resizeBlobs(blobs, "blob", factor = 2)
+      .select($"doc_id", $"out_w", $"out_h", $"resized").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        Option(r.getAs[Array[Byte]](3)).map(_.length).getOrElse(-1)))).toMap
+    // doc 1: bytes(1)=1 -> w=17/2=8; bytes(2)=2 -> h=18/2=9; 16 bytes -> keep 4
+    assert(out(1L) == ((8, 9, 4)))
+    // doc 2: w=(16+100)/2=58, h=(16+50)/2=33; 4 bytes -> ceil(4/4)=1
+    assert(out(2L) == ((58, 33, 1)))
+    // null blob -> empty bytes: dims (16+0)/2=8 via zero-padding? decodeMeta gives 0 dims
+    assert(out(3L) == ((0, 0, 0)))
+  }
 }
