@@ -48,16 +48,17 @@ object Cluster {
           .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
           .groupBy(col("src").as("id"))
           .agg(min(col("nbr_comp")).as("nbr_min"))
+        // the changed flag rides inside the checkpointed frame, so the
+        // convergence probe is a narrow scan of already-materialized
+        // partitions — not a labels⨝next join job per iteration
         val next = labels
           .join(nbrMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+            (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("__changed"))
           .localCheckpoint(true) // cut lineage: plan stays O(1) per iter
-        converged = next
-          .join(labels.select(col("id"), col("comp").as("prev")), "id")
-          .filter(col("comp") =!= col("prev"))
-          .isEmpty
-        labels = next
+        converged = next.filter(col("__changed")).isEmpty
+        labels = next.drop("__changed")
         iter += 1
       }
       labels
