@@ -409,6 +409,21 @@ object SparkEntry {
       inLineitem.intersect(bigParts)
     }),
 
+    // multiset (bag) semantics: duplicates preserved by count difference
+    "q_except_all" -> ((s, dir) => {
+      val all = ld(s, dir, "orders").select(col("o_custkey"))
+      val big = ld(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey"))
+      all.exceptAll(big)
+    }),
+
+    "q_intersect_all" -> ((s, dir) => {
+      val inLineitem = ld(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
+      val bigParts = ld(s, dir, "part").filter(col("p_size") > 25)
+        .select(col("p_partkey"))
+      inLineitem.intersectAll(bigParts)
+    }),
+
     "q_conditional_agg" -> ((s, dir) =>
       ld(s, dir, "events")
         .groupBy(col("user_id"))
@@ -1354,6 +1369,16 @@ object SparkEntry {
       """SELECT o_custkey FROM orders
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_totalprice > 100000""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 100000""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT l_partkey AS p_partkey FROM lineitem
+        |INTERSECT ALL
+        |SELECT p_partkey FROM part WHERE p_size > 25""".stripMargin,
 
     "q_intersect" ->
       """SELECT l_partkey AS p_partkey FROM lineitem
