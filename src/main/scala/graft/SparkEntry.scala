@@ -154,6 +154,25 @@ object SparkEntry {
       CdcOps.foldMerge(cdcEvents(s, dir), Seq("user_id"),
         Seq("timestamp", "event_id"))),
 
+    // SCD Type-2 history from the change log: every upsert opens a
+    // version, the next event of the same key closes it, deletes close
+    // without opening. ONE window over (key, ts) — the lead() and the
+    // tombstone filter share a single exchange+sort.
+    "cdc_scd2" -> ((s, dir) =>
+      graft.ops.Scd.scd2(cdcEvents(s, dir), Seq("user_id"),
+          Seq("timestamp", "event_id"))
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("value"), col("props"), col("is_current"))),
+
+    // Point-in-time snapshot: replay the log to an instant and keep the
+    // last writer per key (non-deleted). The time predicate prunes
+    // partitions at the scan; the replay is the one-pass max_by
+    // aggregate — snapshot cost ∝ surviving events, not history size.
+    "cdc_snapshot_asof" -> ((s, dir) =>
+      graft.ops.Scd.snapshotAt(cdcEvents(s, dir), Seq("user_id"),
+        lit("2024-01-15 00:00:00").cast("timestamp"),
+        Seq("timestamp", "event_id"))),
+
     "cdc_date_parts" -> ((s, dir) =>
       CdcOps.withDatePartitions(
         ld(s, dir, "events").select(col("ts").as("timestamp"), col("event_id")))
@@ -1257,6 +1276,23 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
          |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
+    "cdc_scd2" ->
+      s"""$cdcSql, v AS (
+         |  SELECT user_id, event_id, "timestamp", value, props, __op,
+         |    lead("timestamp") OVER (PARTITION BY user_id
+         |      ORDER BY "timestamp", event_id) AS valid_to
+         |  FROM cdc)
+         |SELECT user_id, event_id, "timestamp" AS valid_from, valid_to,
+         |  value, props, (valid_to IS NULL) AS is_current
+         |FROM v WHERE __op <> 'd'""".stripMargin,
+
+    "cdc_snapshot_asof" ->
+      s"""$cdcSql SELECT $payloadCols FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc WHERE "timestamp" <= TIMESTAMP '2024-01-15 00:00:00')
+         |WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
 
     "cdc_date_parts" ->
       """SELECT ts AS "timestamp", event_id,
