@@ -837,6 +837,14 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(ld(s, dir, "documents"), "text", "doc_id")),
 
+    // Sub-document exact-substring dedup at 10-token block granularity:
+    // each distinct block survives only at its first corpus occurrence
+    // and documents are reassembled from their surviving blocks. The
+    // keep-first window partitions by block fingerprint (dup-set-sized
+    // groups), reassembly groups by doc — both shuffles bounded.
+    "dedup_substrings" -> ((s, dir) =>
+      Dedup.blockDedup(ld(s, dir, "documents"), 10)),
+
     "dedup_jaccard_pairs" -> ((s, dir) => {
       val d = ld(s, dir, "documents").filter(col("doc_id") < 60)
         .select(col("doc_id"), TF.normalizeWs(col("text")).as("norm"))
@@ -1913,6 +1921,20 @@ object SparkEntry {
       """SELECT md5(norm) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents)
         |GROUP BY md5(norm)""".stripMargin,
+
+    "dedup_substrings" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |blocks AS (SELECT doc_id, CAST(s AS BIGINT) AS bstart,
+        |    array_to_string(tk[CAST(s + 1 AS INT):CAST(s + 10 AS INT)], ' ') AS btext
+        |  FROM toks, unnest(range(0, greatest(len(tk), 1), 10)) AS u(s)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY md5(btext)
+        |    ORDER BY doc_id, bstart) AS rn FROM blocks)
+        |SELECT doc_id, COUNT(*) AS n_blocks,
+        |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  COALESCE(string_agg(btext, ' ' ORDER BY bstart) FILTER (WHERE rn = 1), '') AS text_dedup
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm

@@ -32,6 +32,49 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Sub-document exact dedup: split every document into fixed-size
+    * token blocks, keep each distinct block's FIRST corpus occurrence
+    * (min (doc, offset)), and reassemble the surviving text per
+    * document — the block-granular approximation of exact-substring
+    * training-data dedup (boilerplate headers/footers repeated across
+    * pages vanish from every copy but the first).
+    *
+    * Shuffle shape at 100 TB: block fingerprints are md5 (32-byte keys,
+    * not text) and the keep-first window partitions BY FINGERPRINT, so
+    * each window group is one block's duplicate set (bounded by dup
+    * multiplicity, never corpus-sized); reassembly groups by document
+    * (bounded by blocks-per-doc). Block slicing itself is a pure
+    * projection — `sequence`/`slice`/`array_join` inside codegen, no
+    * explode-then-regroup round trip for the common path.
+    */
+  def blockDedup(docs: DataFrame, blockSize: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        transform(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(blockSize)),
+          s => struct(s.cast("long").as("bstart"),
+            array_join(slice(col("__toks"), s + 1, lit(blockSize)), " ").as("btext")))
+          .as("__blocks"))
+      .select(col(idCol), explode(col("__blocks")).as("b"))
+      .select(col(idCol), col("b.bstart").as("bstart"), col("b.btext").as("btext"),
+        md5(col("b.btext")).as("fp"))
+    val keepFirst = Window.partitionBy(col("fp"))
+      .orderBy(col(idCol), col("bstart"))
+    val flagged = blocks.withColumn("__rn", row_number().over(keepFirst))
+    flagged
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rn") === 1,
+              struct(col("bstart"), col("btext"))))),
+            b => b.getField("btext")),
+          " ").as("text_dedup"))
+  }
+
   /** Deterministic per-salt 64-bit constant (splitmix64 of the index),
     * computed driver-side.
     */
