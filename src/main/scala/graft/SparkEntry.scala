@@ -803,6 +803,14 @@ object SparkEntry {
     "corpus_shard_stats" -> ((s, dir) =>
       Corpus.shardStats(ld(s, dir, "documents"))),
 
+    // Contiguous token-budget shard packing via a distributed two-level
+    // prefix sum (bucket totals + bounded within-bucket window) — never
+    // one stratum-wide ordered window. bucketWidth=64 exercises the
+    // multi-bucket path even at sf0.01.
+    "corpus_pack_shards" -> ((s, dir) =>
+      Corpus.packShards(ld(s, dir, "documents"), budget = 2000,
+        bucketWidth = 64)),
+
     // Gopher-style repetition metrics (dup/top 2-gram fractions) — the
     // repetition filter that runs next to the quality score.
     "text_repetition" -> ((s, dir) =>
@@ -1854,6 +1862,18 @@ object SparkEntry {
         |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
         |  MIN(md5(text)) AS fp_min, MAX(md5(text)) AS fp_max
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the oracle states packing as ONE running window per stratum — the
+    // semantic spec the engine's two-level prefix sum must reproduce
+    "corpus_pack_shards" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_before // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id,

@@ -221,4 +221,49 @@ object Corpus {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+
+  /** Contiguous token-budget shard packing — the sample-prep step that
+    * cuts an id-ordered corpus into shards of ≈`budget` tokens each
+    * (per stratum), preserving document order so a shard is a
+    * contiguous id range. `shard_id = floor(tokens-before-doc / budget)`
+    * — a document straddling a boundary goes to the earlier shard, so
+    * shards overshoot by at most one document.
+    *
+    * The running token count is a DISTRIBUTED two-level prefix sum, not
+    * one stratum-wide ordered window (which would sort a whole stratum
+    * in a single task — the classic 100 TB cliff):
+    *
+    *  1. coarse order-preserving buckets (`id div bucketWidth`) are
+    *     summed with an ordinary map-side-combined aggregate;
+    *  2. the bucket-level running offsets — |corpus|/bucketWidth rows —
+    *     are a window over that tiny frame and broadcast back;
+    *  3. within each bucket, a window bounded by `bucketWidth` rows
+    *     adds the local prefix.
+    *
+    * Every shuffle is either tiny (bucket frame) or bounded-group
+    * (within-bucket sort), so the plan survives any corpus size.
+    */
+  def packShards(docs: DataFrame, budget: Long, bucketWidth: Long = 1 << 16,
+                 strataCol: String = "source", idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && bucketWidth > 0)
+    val bucketed = docs.select(col(idCol), col(strataCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      floor(col(idCol) / bucketWidth).as("__bucket"))
+    val overBuckets = Window.partitionBy(col(strataCol)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(col(strataCol), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btok"))
+      .withColumn("__boff", coalesce(sum(col("__btok")).over(overBuckets), lit(0L)))
+      .select(col(strataCol), col("__bucket"), col("__boff"))
+    val withinBucket = Window.partitionBy(col(strataCol), col("__bucket"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), Seq(strataCol, "__bucket"))
+      .withColumn("__woff", coalesce(sum(col("n_tokens")).over(withinBucket), lit(0L)))
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        ((col("__boff") + col("__woff")) / lit(budget)).cast("long").as("shard_id"))
+  }
 }
