@@ -29,6 +29,15 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
   private def sumD(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** BM25 query-term set + Lucene parameters, shared by the query and
+    * its generated oracle so every float literal is the SAME double on
+    * both engines (the oracle interpolates these values — Scala's
+    * shortest-round-trip toString — rather than hand-written literals).
+    */
+  private val bm25Terms = Seq("spark", "merge", "window")
+  private val bm25K1 = 1.2
+  private val bm25Bp = 0.75
+
   /** Stratified-sampling mixture for `corpus_sample_stratified`:
     * downsample the dominant `en`, keep all of low-resource `zh`,
     * default rate for the rest. Shared by the query and its oracle so
@@ -782,6 +791,13 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     }),
+
+    // BM25 keyword relevance for a fixed query-term set: tf per term is
+    // an array-filter projection (no explode), corpus stats collapse to
+    // ONE broadcast scalar row, per-term contributions add in fixed
+    // order — scan + 1-row agg + projection, no corpus shuffle.
+    "text_bm25" -> ((s, dir) =>
+      Corpus.bm25(ld(s, dir, "documents"), bm25Terms, bm25K1, bm25Bp)),
 
     // ---- corpus-level pipeline ops ------------------------------
     // Benchmark-contamination check: distinct word 5-grams of each
@@ -1862,6 +1878,35 @@ object SparkEntry {
         |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
         |  MIN(md5(text)) AS fp_min, MAX(md5(text)) AS fp_max
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_bm25" -> {
+      val tfCols = bm25Terms.map(t =>
+        s"""    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |      x -> x = '$t')) AS BIGINT) AS tf_$t""".stripMargin).mkString(",\n")
+      val dfCols = bm25Terms.map(t =>
+        s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+        .mkString(",\n")
+      val nHit = bm25Terms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      // same double constants as the engine side (shortest round-trip)
+      val contribs = bm25Terms.map(t =>
+        s"""ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5))
+           |    * (CAST(tf_$t AS DOUBLE) * ${bm25K1 + 1.0})
+           |    / (CAST(tf_$t AS DOUBLE) + $bm25K1 * (1.0 - $bm25Bp
+           |       + $bm25Bp * CAST(dl AS DOUBLE) / (total_dl / n)))""".stripMargin)
+        .mkString("\n  + ")
+      s"""WITH base AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl,
+         |$tfCols
+         |  FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(dl) AS DOUBLE) AS total_dl,
+         |$dfCols
+         |  FROM base)
+         |SELECT doc_id, dl, $nHit AS n_hit,
+         |  round($contribs, 6) AS bm25
+         |FROM base CROSS JOIN stats""".stripMargin
+    },
 
     // the oracle states packing as ONE running window per stratum — the
     // semantic spec the engine's two-level prefix sum must reproduce

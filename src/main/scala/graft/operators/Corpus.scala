@@ -222,6 +222,53 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
 
+  /** BM25 keyword relevance over the corpus for a fixed query-term set
+    * — the retrieval scoring behind corpus search / quality probes
+    * (Robertson idf, Lucene parameterization: k1 term-frequency
+    * saturation, b length normalization).
+    *
+    * Scale shape: per-term tf is `size(filter(tokens, = term))` — a
+    * pure projection inside codegen, no explode→groupBy round trip —
+    * and the corpus statistics (N, total length, per-term df) reduce to
+    * ONE scalar row broadcast back, so the whole query is a scan, a
+    * single one-row aggregate, and a second scan-side projection. No
+    * corpus-sized shuffle at any size.
+    *
+    * Float discipline: the score sums per-term contributions in the
+    * FIXED order of `terms` (one projection expression, not a SUM
+    * aggregate), so addition order — and therefore the 6-dp-rounded
+    * result — is engine-portable.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty)
+    def tfCol(t: String): Column =
+      size(filter(TextFunctions.tokens(lower(trim(col(textCol)))),
+        x => x === lit(t))).cast("long")
+    val base = docs.select(
+      col(idCol) +:
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl") +:
+        terms.map(t => tfCol(t).as(s"__tf_$t")): _*)
+    val statAggs = count(lit(1)).cast("double").as("__n") +:
+      sum(col("dl")).cast("double").as("__total_dl") +:
+      terms.map(t =>
+        sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"__df_$t"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("__total_dl") / col("__n")
+    def contrib(t: String): Column = {
+      val tf = col(s"__tf_$t").cast("double")
+      val df = col(s"__df_$t")
+      val idf = log(lit(1.0) + (col("__n") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"),
+        terms.map(t => (col(s"__tf_$t") > 0).cast("long").as(s"hit_$t")).reduce(_ + _).as("n_hit"),
+        round(terms.map(contrib).reduce(_ + _), 6).as("bm25"))
+  }
+
   /** Contiguous token-budget shard packing — the sample-prep step that
     * cuts an id-ordered corpus into shards of ≈`budget` tokens each
     * (per stratum), preserving document order so a shard is a
