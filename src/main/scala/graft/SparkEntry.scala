@@ -352,6 +352,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
     }),
 
+    // Blocked fuzzy entity match (record linkage): customer names with
+    // a deterministic one-char corruption (key%3==0 rows get an 'x'
+    // substituted into the leading-zero digit region) matched back to
+    // the clean roster. Blocking on the intact last-4-digit suffix
+    // turns the candidate set into an equi-join; Levenshtein verifies
+    // candidates only; min_by picks the best match per dirty row.
+    "q_fuzzy_match" -> ((s, dir) => {
+      val cust = ld(s, dir, "customer")
+      val p = (col("c_custkey") % 4 + lit(10)).cast("int")
+      val dirty = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0,
+          concat(col("c_name").substr(lit(1), p - 1), lit("x"),
+            col("c_name").substr(p + 1, lit(64))))
+          .otherwise(col("c_name")).as("c_name"))
+      graft.operators.EntityMatch.bestMatch(dirty, cust,
+        "c_custkey", "c_name",
+        name => name.substr(lit(15), lit(4)), maxDistance = 2)
+    }),
+
     // Bucketed co-located join: both sides written bucketBy(8) on the
     // join key, so the sort-merge join consumes bucket layout directly —
     // ZERO exchanges in the joined plan (asserted in JobsSpec). At 100 TB
@@ -1697,6 +1716,22 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH dirty AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN
+        |      substr(c_name, 1, CAST(c_custkey % 4 + 9 AS INT)) || 'x'
+        |        || substr(c_name, CAST(c_custkey % 4 + 11 AS INT))
+        |    ELSE c_name END AS c_name
+        |  FROM customer),
+        |cand AS (SELECT d.c_custkey AS dirty_id, c.c_custkey AS matched_id,
+        |    CAST(levenshtein(d.c_name, c.c_name) AS BIGINT) AS distance
+        |  FROM dirty d JOIN customer c
+        |    ON substr(d.c_name, 15, 4) = substr(c.c_name, 15, 4)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+        |    ORDER BY distance, matched_id) AS rn
+        |  FROM cand WHERE distance <= 2)
+        |SELECT dirty_id, matched_id, distance FROM r WHERE rn = 1""".stripMargin,
 
     // the bucketed join must equal the plain join
     "q_bucketed_join" ->
