@@ -570,6 +570,23 @@ object SparkEntry {
           max(col("ts")).as("session_end"))
     }),
 
+    // Interval merging (gaps-and-islands with variable-length spans):
+    // each event opens a [ts, ts + 5..14 min] activity span; per user,
+    // overlapping/touching spans coalesce into islands. One exchange —
+    // the running-max window, the island counter, and the final groupBy
+    // all share the user_id partitioning.
+    "q_merge_intervals" -> ((s, dir) => {
+      val iv = ld(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (lit(5L) + col("event_id") % 10) * lit(60000000L)).as("e_us"))
+      graft.ops.Intervals.mergeOverlapping(iv, Seq("user_id"), "s_us", "e_us")
+        .select(col("user_id"),
+          timestamp_micros(col("merged_start")).as("merged_start"),
+          timestamp_micros(col("merged_end")).as("merged_end"),
+          col("n_spans"))
+    }),
+
     // Native session_window sessionization — same boundary rule as
     // q_sessionize (a gap of exactly 30 min still merges: Spark opens a
     // new session only when sessionStart > currentSessionEnd), via
@@ -1520,6 +1537,19 @@ object SparkEntry {
         | AND s.event_type = 'signup'
         | AND epoch_us(e.ts) >= epoch_us(s.ts)
         | AND epoch_us(e.ts) <= epoch_us(s.ts) + 604800000000""".stripMargin,
+
+    "q_merge_intervals" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (5 + event_id % 10) * 60000000 AS e
+        |  FROM events),
+        |m AS (SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+        |f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk FROM m),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM f)
+        |SELECT user_id, make_timestamp(MIN(s)) AS merged_start,
+        |  make_timestamp(MAX(e)) AS merged_end, COUNT(*) AS n_spans
+        |FROM g GROUP BY user_id, island""".stripMargin,
 
     "q_sessionize" ->
       """WITH gaps AS (
