@@ -39,6 +39,14 @@ object Sessions {
     // AvailableNow queries don't need maintenance — push it out past any
     // plausible run length.
     "spark.sql.streaming.stateStore.maintenanceInterval" -> "3600s",
+    // One-shot AvailableNow streams emit everything in their data
+    // batches (append joins/dedup emit on arrival; complete/update
+    // sinks emit per data batch; the only declared stateful op with
+    // timeouts, upsertWithTtl, is not wired to a no-data dependency).
+    // The trailing no-data micro-batch would only purge state that the
+    // imminent stop discards anyway — skipping it saves a full round of
+    // per-partition state-store commits per streaming query.
+    "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
     // The reference disables auto-broadcast for the history job so its
     // only broadcast is the explicit hint (`history_load.py:40`). We keep
     // auto-broadcast ON globally (dimension tables at any SF are tiny)
@@ -46,6 +54,29 @@ object Sessions {
     // know the small side is small.
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString
   )
+
+  /** Scratch root for shuffle spills and streaming checkpoints: prefer
+    * RAM-backed /dev/shm when writable — stateful streaming commits
+    * hundreds of small state-store files per micro-batch, which cost
+    * disk round trips on /tmp and microseconds on tmpfs — falling back
+    * to java.io.tmpdir. Unique per JVM; removed on exit (checkpoints
+    * resolved under a conf root are not auto-deleted by Spark).
+    */
+  private lazy val scratchRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm
+               else new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(base, s"graft-scratch-${java.util.UUID.randomUUID()}")
+    dir.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir.getAbsolutePath
+  }
 
   def local(cores: Int = 32, shufflePartitions: Int = 32,
             appName: String = "graft"): SparkSession = {
@@ -60,6 +91,8 @@ object Sessions {
       // LOCATION_ALREADY_EXISTS
       .config("spark.sql.warehouse.dir",
         s"target/tmp/warehouse-${java.util.UUID.randomUUID()}")
+      .config("spark.local.dir", s"$scratchRoot/local")
+      .config("spark.sql.streaming.checkpointLocation", s"$scratchRoot/ckpt")
     common.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
