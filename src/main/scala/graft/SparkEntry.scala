@@ -163,6 +163,22 @@ object SparkEntry {
       CdcOps.foldMerge(cdcEvents(s, dir), Seq("user_id"),
         Seq("timestamp", "event_id"))),
 
+    // Daily churn report — the monitoring surface of a CDC pipeline:
+    // per day, event counts by op code, distinct keys touched, and the
+    // net live-row delta (creates − deletes). One groupBy(day) with
+    // map-side combine; the distinct-key count is the only expand.
+    "cdc_churn_stats" -> ((s, dir) => {
+      def opN(code: String) =
+        sum(when(col(CdcOps.OpColumn) === code, 1L).otherwise(0L))
+      cdcEvents(s, dir)
+        .groupBy(date_format(col("timestamp"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          opN("c").as("n_creates"), opN("r").as("n_reads"),
+          opN("u").as("n_updates"), opN("d").as("n_deletes"),
+          countDistinct(col("user_id")).as("n_keys"))
+        .withColumn("net_delta", col("n_creates") - col("n_deletes"))
+    }),
+
     // SCD Type-2 history from the change log: every upsert opens a
     // version, the next event of the same key closes it, deletes close
     // without opening. ONE window over (key, ts) — the lead() and the
@@ -570,6 +586,24 @@ object SparkEntry {
           max(col("ts")).as("session_end"))
     }),
 
+    // Per-user z-score anomaly flags: mean/std from EXACT decimal
+    // co-moments computed as windows over ONE user_id exchange (no
+    // groupBy+join-back round trip), then the z and the |z|>2 flag as
+    // pure double projections with engine-portable operation order.
+    "q_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val n = count(lit(1)).over(w)
+      val sm = sum(dec(col("value"))).over(w).cast("double")
+      val s2 = sum(dec(col("value")) * dec(col("value"))).over(w).cast("double")
+      val mean = sm / n
+      val variance = (s2 - sm * sm / n) / n
+      ld(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          when(variance > 0,
+            round((col("value") - mean) / sqrt(variance), 6)).as("z"))
+        .withColumn("is_outlier", coalesce(abs(col("z")) > 2.0, lit(false)))
+    }),
+
     // Interval merging (gaps-and-islands with variable-length spans):
     // each event opens a [ts, ts + 5..14 min] activity span; per user,
     // overlapping/touching spans coalesce into islands. One exchange —
@@ -659,6 +693,25 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+
+    // Decile bucketing at scale: the nine interpolated thresholds come
+    // from ONE corpus aggregate (broadcast back as a 1-row array), and
+    // the bucket of each row is a pure projection comparing against
+    // them — never a global ntile() window, which would total-order the
+    // corpus through a single task. Thresholds rounded to 6 dp before
+    // comparison for engine-portable boundaries.
+    "q_length_deciles" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val th = docs.agg(expr(
+        "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("th"))
+      docs.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_chars"),
+          (lit(1) + size(filter(col("th"), t => round(t, 6) < col("n_chars"))))
+            .cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    }),
 
     // GROUPING SETS — finer than rollup/cube: exactly the three
     // aggregation levels the report needs, one shuffle.
@@ -854,6 +907,13 @@ object SparkEntry {
     // per-shard doc/token counts and min/max content fingerprints.
     "corpus_shard_stats" -> ((s, dir) =>
       Corpus.shardStats(ld(s, dir, "documents"))),
+
+    // Per-domain cap (source-balancing): ≤10 docs per source by a
+    // deterministic md5 coin, selected with the bounded-heap top-k
+    // aggregate (O(k) state per stratum, map-side combine — no
+    // stratum-wide window at any scale).
+    "corpus_cap_per_source" -> ((s, dir) =>
+      Corpus.capPerStratum(ld(s, dir, "documents"), k = 10)),
 
     // Contiguous token-budget shard packing via a distributed two-level
     // prefix sum (bucket totals + bounded within-bucket window) — never
@@ -1089,6 +1149,50 @@ object SparkEntry {
       }
     }),
 
+    // The multi-batch proof for the streaming upsert: the same events
+    // re-laid-out as 4 parquet files, streamed with maxFilesPerTrigger=1
+    // so the upsert state genuinely crosses several micro-batches (the
+    // update-mode sink then holds one row per changed key PER BATCH).
+    // Result must equal single-batch stream_upsert — latestPerKey
+    // collapses the sink regardless of batch split. A runtime guard
+    // asserts more than one data batch actually ran.
+    "stream_upsert_multibatch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingUpsert
+      val root = s"/root/repo/target/tmp/musb-${java.util.UUID.randomUUID()}"
+      ld(s, dir, "events").repartitionByRange(4, col("event_id"))
+        .write.parquet(root)
+      val keyed = s.readStream.schema(ld(s, dir, "events").schema)
+        .option("maxFilesPerTrigger", "1").parquet(root)
+        .select(
+          col("user_id").cast("string").as("key"),
+          col("event_id").as("order"),
+          when(col("event_type") === "signup", "c")
+            .when(col("event_type") === "view", "r")
+            .when(col("event_type") === "error", "d")
+            .otherwise("u").as("op"),
+          to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"))).as("payload")
+        ).as[StreamingUpsert.KeyedEvent]
+      val sinkName = s"graft_musb_${System.nanoTime()}"
+      val q = StreamingUpsert.upsert(keyed).writeStream
+        .outputMode("update").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches > 1,
+          s"multi-batch guard: expected >1 data micro-batch, saw $dataBatches")
+        StreamingUpsert.liveRows(
+          StreamingUpsert.latestPerKey(s.table(sinkName).as[StreamingUpsert.KeyState]),
+          StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, props STRING"))
+          .localCheckpoint(true)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     // Event-time windowed streaming aggregation with watermark — the
     // stateful streaming surface the reference handles in batch
     // (SURVEY §2.5 notes it has no watermarks/windows). Complete-mode
@@ -1301,6 +1405,13 @@ object SparkEntry {
          |    ORDER BY event_id DESC) AS __rn
          |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
 
+    // batch split is mechanics, not semantics: same oracle as stream_upsert
+    "stream_upsert_multibatch" ->
+      s"""$cdcSql SELECT event_id, user_id, value, props FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY event_id DESC) AS __rn
+         |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
     "cdc_pipeline_file" ->
       s"""$cdcSql SELECT "timestamp", event_id, props, user_id, value FROM (
          |  SELECT *, row_number() OVER (PARTITION BY user_id
@@ -1344,6 +1455,18 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
          |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
+    "cdc_churn_stats" ->
+      s"""$cdcSql SELECT strftime("timestamp", '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n_events,
+         |  SUM(CASE WHEN __op = 'c' THEN 1 ELSE 0 END) AS n_creates,
+         |  SUM(CASE WHEN __op = 'r' THEN 1 ELSE 0 END) AS n_reads,
+         |  SUM(CASE WHEN __op = 'u' THEN 1 ELSE 0 END) AS n_updates,
+         |  SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS n_deletes,
+         |  COUNT(DISTINCT user_id) AS n_keys,
+         |  SUM(CASE WHEN __op = 'c' THEN 1 ELSE 0 END)
+         |    - SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS net_delta
+         |FROM cdc GROUP BY 1""".stripMargin,
 
     "cdc_scd2" ->
       s"""$cdcSql, v AS (
@@ -1538,6 +1661,22 @@ object SparkEntry {
         | AND epoch_us(e.ts) >= epoch_us(s.ts)
         | AND epoch_us(e.ts) <= epoch_us(s.ts) + 604800000000""".stripMargin,
 
+    "q_zscore" ->
+      """WITH m AS (SELECT event_id, user_id, value,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id)
+        |      AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+        |      OVER (PARTITION BY user_id) AS DOUBLE) AS s2
+        |  FROM events),
+        |z AS (SELECT event_id, user_id, value,
+        |    CASE WHEN (s2 - s * s / n) / n > 0
+        |         THEN round((value - s / n) / sqrt((s2 - s * s / n) / n), 6)
+        |    END AS z
+        |  FROM m)
+        |SELECT event_id, user_id, value, z,
+        |  COALESCE(abs(z) > 2.0, false) AS is_outlier FROM z""".stripMargin,
+
     "q_merge_intervals" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
         |    epoch_us(ts) + (5 + event_id % 10) * 60000000 AS e
@@ -1641,6 +1780,17 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_length_deciles" ->
+      """WITH th AS (SELECT quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th
+        |  FROM documents),
+        |a AS (SELECT doc_id, n_chars,
+        |    1 + len(list_filter(th.th, t -> round(t, 6) < n_chars)) AS decile
+        |  FROM documents CROSS JOIN th)
+        |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM a GROUP BY decile""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1972,6 +2122,16 @@ object SparkEntry {
          |  round($contribs, 6) AS bm25
          |FROM base CROSS JOIN stats""".stripMargin
     },
+
+    "corpus_cap_per_source" ->
+      """WITH scored AS (SELECT source, doc_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      AS DOUBLE) AS coin
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY coin DESC, doc_id) AS rank FROM scored)
+        |SELECT source, doc_id, coin, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // the oracle states packing as ONE running window per stratum — the
     // semantic spec the engine's two-level prefix sum must reproduce

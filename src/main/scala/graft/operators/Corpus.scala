@@ -222,6 +222,25 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
 
+  /** Per-domain document cap — the "no single source dominates the
+    * mix" rule of corpus assembly: keep at most `k` documents per
+    * stratum, chosen by a deterministic md5 coin (so the sample is
+    * reproducible and uniform within the stratum, not
+    * insertion-order-biased).
+    *
+    * Selection is [[TopK.topKPerGroup]]'s bounded min-heap aggregate —
+    * map-side partial aggregation with O(k) state per stratum — never a
+    * stratum-wide sort/window. The coin (first 8 md5 hex digits as an
+    * integer) is exact in a double, so ranking is engine-portable.
+    */
+  def capPerStratum(docs: DataFrame, k: Int, strataCol: String = "source",
+                    idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(strataCol), col(idCol),
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double").as("coin"))
+    TopK.topKPerGroup(scored, Seq(strataCol), "coin", idCol, k)
+  }
+
   /** BM25 keyword relevance over the corpus for a fixed query-term set
     * — the retrieval scoring behind corpus search / quality probes
     * (Robertson idf, Lucene parameterization: k1 term-frequency
