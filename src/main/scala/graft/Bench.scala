@@ -73,6 +73,7 @@ object Bench {
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
     spark.stop()
+    graft.session.Sessions.cleanupScratch() // halt() below skips the shutdown hook
     Thread.sleep(500) // let shutdown-time logger threads drain first
     System.out.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"errors":$errJson,"queries":${jmap(best)}}""")

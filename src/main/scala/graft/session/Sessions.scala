@@ -62,21 +62,37 @@ object Sessions {
     * to java.io.tmpdir. Unique per JVM; removed on exit (checkpoints
     * resolved under a conf root are not auto-deleted by Spark).
     */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
   private lazy val scratchRoot: String = {
     val shm = new java.io.File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite) shm
                else new java.io.File(sys.props("java.io.tmpdir"))
+    // sweep siblings a dead JVM left behind (halt() skips hooks; a hook
+    // can also race still-writing executor threads and lose): anything
+    // older than an hour is not a live session's scratch
+    Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("graft-scratch-") &&
+          f.lastModified < System.currentTimeMillis() - 3600L * 1000) rmTree(f)
+    }
     val dir = new java.io.File(base, s"graft-scratch-${java.util.UUID.randomUUID()}")
     dir.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir)
+      rmTree(dir)
+      if (dir.exists) rmTree(dir) // once more if a late writer raced the sweep
     }))
     dir.getAbsolutePath
   }
+
+  /** Delete this JVM's scratch dir immediately — for mains that end in
+    * `Runtime.halt` (which skips shutdown hooks, e.g. Bench's
+    * clean-last-line discipline). Idempotent; tmpfs scratch must not
+    * outlive the run that created it.
+    */
+  def cleanupScratch(): Unit = rmTree(new java.io.File(scratchRoot))
 
   def local(cores: Int = 32, shufflePartitions: Int = 32,
             appName: String = "graft"): SparkSession = {
