@@ -529,6 +529,23 @@ object SparkEntry {
           col("right_ts").as("signup_ts"))
     }),
 
+    // Forward as-of: each event enriched with the same user's NEXT
+    // error event (at or after it) — the "time to next failure" shape.
+    // Same single keyed-window plan as q_asof_join, traversed in
+    // reverse time order.
+    "q_asof_forward" -> ((s, dir) => {
+      val e = ld(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ld(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("error_event"))
+      graft.ops.AsOfJoin.asOf(e, errors, Seq("user_id"), "ts", "ts",
+          rightTiebreak = Seq("error_event"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("right_error_event").as("error_event"),
+          col("right_ts").as("error_ts"))
+    }),
+
     // Range join: events within 7 days after a same-user signup.
     // Bucketized to a hash equi-join (see ops.RangeJoin) — the naive
     // range predicate would plan as a quadratic nested-loop join.
@@ -1642,6 +1659,14 @@ object SparkEntry {
         |  (SELECT user_id, ts, event_id AS signup_event FROM events
         |   WHERE event_type = 'signup') s
         |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  s.error_event, s.ts AS error_ts
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS error_event FROM events
+        |   WHERE event_type = 'error') s
+        |ON e.user_id = s.user_id AND e.ts <= s.ts""".stripMargin,
 
     "cdc_incremental_agg" ->
       s"""$cdcSql SELECT user_id % 10 AS cohort,

@@ -27,11 +27,19 @@ object AsOfJoin {
     *                      greatest tiebreak value wins. Without it,
     *                      which tied right row is carried forward
     *                      depends on physical row order.
+    * @param direction     "backward" (default): newest right with
+    *                      `rightTs <= leftTs`; "forward": earliest
+    *                      right with `rightTs >= leftTs` — the same
+    *                      one-window plan traversed in reverse time
+    *                      order.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightPrefix: String = "right_",
-           rightTiebreak: Seq[String] = Nil): DataFrame = {
+           rightTiebreak: Seq[String] = Nil,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val rightStruct = StructType(rightPayload.map(c => right.schema(c)))
 
@@ -45,12 +53,14 @@ object AsOfJoin {
         struct(left.columns.map(col): _*).as("__l")): _*)
 
     // right (side 0) sorts before left (side 1) at equal ts, so a right
-    // row at exactly leftTs is visible — the `>=` convention. Tied
-    // right rows order by the caller's tiebreak (nulls first, so left
-    // rows — whose __r is null — never outrank a real right row).
+    // row at exactly leftTs is visible — `>=` backward, `<=` forward
+    // (forward simply traverses time in reverse). Tied right rows order
+    // by the caller's tiebreak (nulls first, so left rows — whose __r
+    // is null — never outrank a real right row).
     val tiebreak = rightTiebreak.map(c => col(s"__r.$c").asc_nulls_first)
+    val tOrd = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc +: col("__side").asc +: tiebreak: _*)
+      .orderBy(tOrd +: col("__side").asc +: tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedRight.unionByName(taggedLeft)

@@ -42,6 +42,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Seq("t9"))
   }
 
+  test("forward direction picks the earliest right row at-or-after each left ts") {
+    val left = Seq(
+      ("a", 1L, 10L), ("a", 2L, 16L), ("a", 3L, 15L), // 15L hits r15 exactly (<=)
+      ("b", 4L, 101L), ("c", 5L, 50L))                // b past last right; c empty
+    val right = Seq(
+      ("a", 10L, "r10"), ("a", 15L, "r15"),
+      ("b", 100L, "r100"), ("b", 90L, "r90"))
+    val naiveFwd = left.map { case (k, lid, lts) =>
+      val m = right.filter(r => r._1 == k && r._2 >= lts)
+      (lid, if (m.isEmpty) null else m.minBy(_._2)._3)
+    }
+    val got = AsOfJoin.asOf(
+      left.toDF("k", "lid", "ts"), right.toDF("k", "ts", "tag"),
+      Seq("k"), "ts", "ts", direction = "forward")
+      .select($"lid", $"right_tag").as[(Long, Option[String])].collect()
+      .map { case (i, t) => (i, t.orNull) }.sortBy(_._1).toSeq
+    assert(got == naiveFwd.sortBy(_._1))
+  }
+
   test("left rows and row count are preserved exactly (left-outer semantics)") {
     val left = (1L to 100L).map(i => ("k", i, i))
     val right = Seq(("k", 50L, "mid"))
