@@ -36,6 +36,39 @@ object Lake {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(SaveMode.Append).format(format).save(dir)
 
+  /** Small-files compaction — the maintenance pass every streaming
+    * ingest lake needs: micro-batch appends leave one (or more) file
+    * per trigger per partition, and a year of hourly triggers makes
+    * scans metadata-bound long before they are IO-bound. Rewrites a
+    * directory to ≈`targetBytes` files based on its CURRENT on-disk
+    * size (cheap Hadoop listing — no data read for sizing), preserving
+    * rows exactly.
+    *
+    * Scale shape: one read + one `coalesce` write. `coalesce` (not
+    * `repartition`) so the rewrite is shuffle-free — output tasks read
+    * whole input files; at 100 TB you compact per partition directory,
+    * bounding each rewrite to one day's data. The rewrite is staged
+    * (tmp dir + atomic-ish rename) so a concurrent reader never sees a
+    * half-compacted directory.
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long,
+              format: String = "parquet"): Int = {
+    require(targetBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    spark.read.format(format).load(dir)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Z-order (Morton) curve value of two non-negative integer keys:
     * interleave the low `bits` bits of each (x in even positions, y in
     * odd). Pure integer expression — identical in any engine — so a
