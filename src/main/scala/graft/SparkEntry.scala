@@ -1235,6 +1235,64 @@ object SparkEntry {
       }
     }),
 
+    // Late-data discard under a watermark — the streaming semantic the
+    // other stream queries don't show. Three files streamed in
+    // deterministic (mod-time) order, one per micro-batch: the first
+    // two are the real events split at Jan 15; the third is a planted
+    // copy of every 100th event shifted 60 DAYS earlier — far below any
+    // watermark the first file alone establishes (Spark's late-input
+    // filter in batch N can lag a batch behind the eviction watermark,
+    // so the planted lateness must clear the EARLIEST possible
+    // watermark, not the final one). Every planted row must be dropped
+    // on input — finalized windows are never re-emitted or duplicated.
+    // Sink (append mode) = exactly the windows whose end precedes the
+    // final watermark, counted from real events only.
+    "stream_late_data" -> ((s, dir) => {
+      val root = s"/root/repo/target/tmp/late-${java.util.UUID.randomUUID()}"
+      val streamDir = new java.io.File(s"$root/in")
+      streamDir.mkdirs()
+      val ev = ld(s, dir, "events")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val planted = ev.filter(col("event_id") % 100 === 0)
+        .withColumn("ts", col("ts") - expr("INTERVAL 1440 HOURS"))
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+      // one parquet file per group, strictly increasing mod times so the
+      // file source (latestFirst=false orders by mod time) batches them
+      // in planting order
+      Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split), planted)
+        .zipWithIndex.foreach { case (group, i) =>
+          val tmp = s"$root/g$i"
+          group.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(streamDir, f"$i%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(System.currentTimeMillis()): Unit
+          Thread.sleep(1100)
+        }
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      val sinkName = s"graft_late_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 3,
+          s"late-data guard: expected 3 data micro-batches, saw $dataBatches")
+        s.table(sinkName).localCheckpoint(true)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     // Stream-stream interval join: each purchase matched to the same
     // user's clicks in the preceding 30 minutes. Both sides watermarked
     // so join state purges as event time advances — the bounded-state
@@ -2031,6 +2089,15 @@ object SparkEntry {
         |  round(COALESCE(list_max(list_transform(range(1, len(v) + 1),
         |    i -> abs(qv[CAST(i AS INT)] * scale - v[CAST(i AS INT)]))), 0.0), 6) AS max_err
         |FROM q""".stripMargin,
+
+    // the planted late rows never appear; only windows finalized by the
+    // last watermark (max real event time − 1 h) are in the sink
+    "stream_late_data" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
+        |FROM events, mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
 
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
