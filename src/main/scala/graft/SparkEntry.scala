@@ -29,6 +29,33 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
   private def sumD(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Staging cache for queries that must lay their input out as files
+    * (multi-batch streaming proofs): build once per (kind, sfDir) per
+    * JVM under the session scratch (tmpfs), reuse on later passes — the
+    * staging is setup, not the operator under test. A `_STAGED` marker
+    * commits a completed build; a partial dir without it is wiped.
+    */
+  private def stagedInputDir(kind: String, dir: String)(build: java.io.File => Unit): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(graft.session.Sessions.scratchPath(s"stage/$kind-$key"))
+    val in = new java.io.File(root, "in")
+    val marker = new java.io.File(root, "_STAGED")
+    this.synchronized {
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(root)
+        in.mkdirs()
+        build(in)
+        marker.createNewFile(): Unit
+      }
+    }
+    in.getAbsolutePath
+  }
+
   /** BM25 query-term set + Lucene parameters, shared by the query and
     * its generated oracle so every float literal is the SAME double on
     * both engines (the oracle interpolates these values — Scala's
@@ -1176,11 +1203,12 @@ object SparkEntry {
     "stream_upsert_multibatch" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingUpsert
-      val root = s"/root/repo/target/tmp/musb-${java.util.UUID.randomUUID()}"
-      ld(s, dir, "events").repartitionByRange(4, col("event_id"))
-        .write.parquet(root)
+      val inDir = stagedInputDir("musb", dir) { in =>
+        ld(s, dir, "events").repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(in.toString)
+      }
       val keyed = s.readStream.schema(ld(s, dir, "events").schema)
-        .option("maxFilesPerTrigger", "1").parquet(root)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
         .select(
           col("user_id").cast("string").as("key"),
           col("event_id").as("order"),
@@ -1248,30 +1276,28 @@ object SparkEntry {
     // Sink (append mode) = exactly the windows whose end precedes the
     // final watermark, counted from real events only.
     "stream_late_data" -> ((s, dir) => {
-      val root = s"/root/repo/target/tmp/late-${java.util.UUID.randomUUID()}"
-      val streamDir = new java.io.File(s"$root/in")
-      streamDir.mkdirs()
       val ev = ld(s, dir, "events")
-      val split = lit("2024-01-15 00:00:00").cast("timestamp")
-      val planted = ev.filter(col("event_id") % 100 === 0)
-        .withColumn("ts", col("ts") - expr("INTERVAL 1440 HOURS"))
-        .withColumn("event_id", col("event_id") + lit(10000000L))
-      // one parquet file per group, strictly increasing mod times so the
-      // file source (latestFirst=false orders by mod time) batches them
-      // in planting order
-      Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split), planted)
-        .zipWithIndex.foreach { case (group, i) =>
-          val tmp = s"$root/g$i"
-          group.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(streamDir, f"$i%03d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(System.currentTimeMillis()): Unit
-          Thread.sleep(1100)
-        }
+      val inDir = stagedInputDir("late", dir) { in =>
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val planted = ev.filter(col("event_id") % 100 === 0)
+          .withColumn("ts", col("ts") - expr("INTERVAL 1440 HOURS"))
+          .withColumn("event_id", col("event_id") + lit(10000000L))
+        // one parquet file per group, strictly increasing mod times so
+        // the file source (latestFirst=false orders by mod time)
+        // batches them in planting order
+        Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split), planted)
+          .zipWithIndex.foreach { case (group, i) =>
+            val tmp = new java.io.File(in.getParentFile, s"g$i")
+            group.coalesce(1).write.parquet(tmp.toString)
+            val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(in, f"$i%03d.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(System.currentTimeMillis()): Unit
+            Thread.sleep(1100)
+          }
+      }
       val agg = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -87,6 +87,12 @@ object Sessions {
     dir.getAbsolutePath
   }
 
+  /** A path under this JVM's scratch root (tmpfs when available) — for
+    * per-run staging that should be fast, survive across benchmark
+    * passes within the JVM, and vanish with it.
+    */
+  def scratchPath(sub: String): String = s"$scratchRoot/$sub"
+
   /** Delete this JVM's scratch dir immediately — for mains that end in
     * `Runtime.halt` (which skips shutdown hooks, e.g. Bench's
     * clean-last-line discipline). Idempotent; tmpfs scratch must not
