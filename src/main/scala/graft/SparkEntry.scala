@@ -925,6 +925,30 @@ object SparkEntry {
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     }),
 
+    // Feature-hashing text embedding + probe-cosine retrieval: every
+    // document becomes a 16-bucket hashed count vector (no vocab, no
+    // model, engine-portable md5 buckets) and is scored by cosine
+    // against the hashed probe phrase — scan-side projections plus one
+    // broadcast of the 1-row probe, no corpus shuffle.
+    "text_hash_embed" -> ((s, dir) => {
+      val dim = 16
+      def embed(df: DataFrame, textCol: Column) = df
+        .select(col("*"), TF.tokens(lower(trim(textCol))).as("__toks"))
+        .select(col("*"), VF.hashEmbed(col("__toks"), dim).as("__v"))
+        .drop("__toks")
+      val docs = embed(ld(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text"))
+      val probe = embed(
+        s.range(1).select(lit("spark merge window stream").as("ptext")),
+        col("ptext"))
+        .select(col("__v").as("__pv"))
+      docs.crossJoin(broadcast(probe))
+        .select(col("doc_id"),
+          size(filter(col("__v"), x => x > 0.0)).cast("long").as("nnz"),
+          round(VF.l2Norm(col("__v")), 6).as("l2"),
+          round(VF.cosineSimilarity(col("__v"), col("__pv")), 6).as("cos_probe"))
+    }),
+
     // BM25 keyword relevance for a fixed query-term set: tf per term is
     // an array-filter projection (no explode), corpus stats collapse to
     // ONE broadcast scalar row, per-term contributions add in fixed
@@ -2211,6 +2235,31 @@ object SparkEntry {
         |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
         |  MIN(md5(text)) AS fp_min, MAX(md5(text)) AS fp_max
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_hash_embed" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |emb AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |    CAST(len(list_filter(list_transform(tk,
+        |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16),
+        |      b -> b = i)) AS DOUBLE)) AS v
+        |  FROM toks),
+        |ptoks AS (SELECT list_filter(string_split_regex(
+        |    lower(trim('spark merge window stream')), '\s+'), t -> t <> '') AS tk),
+        |pemb AS (SELECT list_transform(range(0, 16), i ->
+        |    CAST(len(list_filter(list_transform(tk,
+        |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16),
+        |      b -> b = i)) AS DOUBLE)) AS pv
+        |  FROM ptoks)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS nnz,
+        |  round(sqrt(list_dot_product(v, v)), 6) AS l2,
+        |  round(CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)) = 0
+        |    THEN 0.0 ELSE list_dot_product(v, pv)
+        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) END, 6)
+        |    AS cos_probe
+        |FROM emb CROSS JOIN pemb""".stripMargin,
 
     "text_bm25" -> {
       val tfCols = bm25Terms.map(t =>

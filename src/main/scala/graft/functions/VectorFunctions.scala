@@ -43,6 +43,23 @@ object VectorFunctions {
       .otherwise(transform(a, x => x.cast("double") / n))
   }
 
+  /** Feature-hashing text embedding (the "hashing trick"): map a token
+    * array to a `dim`-bucket count vector via an md5-derived bucket per
+    * token. No vocabulary, no model — a deterministic, engine-portable
+    * stand-in for a learned embedding that still supports cosine
+    * retrieval/near-dup over raw text. Two pure projections: bucket ids
+    * once per token (stage the token array first — see the shingle
+    * staging note in Corpus), then one count per output dimension.
+    * O(dim·tokens) work per row, zero shuffles.
+    */
+  def hashEmbed(toks: Column, dim: Int): Column = {
+    require(dim >= 1)
+    val buckets = transform(toks, t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dim.toLong)))
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      size(filter(buckets, b => b === i.cast("long"))).cast("double"))
+  }
+
   /** Symmetric int8 scalar quantization: q_i = round(v_i / scale) with
     * scale = max|v|/127 (zero vectors get scale 0 and all-zero codes).
     * 4× smaller vectors and SIMD-friendly int dot products — the
