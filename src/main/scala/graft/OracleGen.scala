@@ -317,6 +317,68 @@ r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
 SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
   }
 
+  /** Oracle for `knn_ivfpq` — the [[knnIvf]] coarse quantizer composed
+    * with the [[knnPq]] ADC scorer, mirroring
+    * [[graft.operators.Similarity.ivfPqTopK]]: cell assignment/probing
+    * on RAW doubles (IVF convention), PQ codes/LUTs on 6-dp-rounded
+    * vectors (PQ convention), candidates scored only within the query's
+    * probed cells.
+    */
+  def knnIvfPq(nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+               subK: Int = 16, k: Int = 3, dim: Int = 64): String = {
+    val sub = dim / m
+    val h = fnvToken("CAST(vec_id AS VARCHAR)")
+    val signedH =
+      s"CAST(CASE WHEN $h >= $Pow63::HUGEINT THEN $h - $M64::HUGEINT ELSE $h END AS BIGINT)"
+    val diff = s"list_transform(range(1, $sub + 1), " +
+      s"i -> er.v[CAST(c.j * $sub + i AS INT)] - c.cv[CAST(i AS INT)])"
+    s"""WITH eraw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM eraw),
+icents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
+  ORDER BY $signedH, vec_id LIMIT $nCells),
+sims AS (SELECT n.vec_id, c.cell_id,
+    round(CAST(${cosSql("n.v", "n.nrm", "c.cv", "c.cn")} AS DOUBLE), 6) AS sim
+  FROM n CROSS JOIN icents c),
+assigned AS (SELECT vec_id AS candidate_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+    FROM sims) WHERE rn = 1),
+probed AS (SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+    FROM sims WHERE vec_id < 5) WHERE rn <= $nProbe),
+er AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v FROM embeddings),
+tr AS (SELECT (row_number() OVER (ORDER BY $signedH, vec_id)) - 1 AS t, v
+  FROM er ORDER BY $signedH, vec_id LIMIT $subK),
+cents AS (SELECT tr.t, u.j,
+    tr.v[CAST(u.j * $sub + 1 AS INT):CAST(u.j * $sub + $sub AS INT)] AS cv
+  FROM tr, LATERAL unnest(range(0, $m)) AS u(j)),
+dists AS (SELECT er.vec_id, c.j, c.t,
+    round(list_dot_product($diff, $diff), 6) AS dd
+  FROM er CROSS JOIN cents c),
+codes AS (SELECT vec_id, j, t AS code FROM (
+    SELECT vec_id, j, t,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, t) AS rn
+    FROM dists) WHERE rn = 1),
+luts AS (SELECT q.vec_id AS query_id, c.j, c.t,
+    round(list_dot_product(
+      q.v[CAST(c.j * $sub + 1 AS INT):CAST(c.j * $sub + $sub AS INT)], c.cv), 6) AS ip
+  FROM er q CROSS JOIN cents c WHERE q.vec_id < 5),
+scored AS (SELECT p.query_id, a.candidate_id, round(SUM(l.ip), 6) AS approx_ip
+  FROM probed p
+  JOIN assigned a ON a.cell_id = p.cell_id AND a.candidate_id <> p.query_id
+  JOIN codes cd ON cd.vec_id = a.candidate_id
+  JOIN luts l ON l.query_id = p.query_id AND l.j = cd.j AND l.t = cd.code
+  GROUP BY p.query_id, a.candidate_id)
+SELECT query_id, candidate_id, approx_ip, "rank" FROM (
+  SELECT query_id, candidate_id, approx_ip,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_ip DESC, candidate_id) AS "rank"
+  FROM scored) WHERE "rank" <= $k"""
+  }
+
   /** Oracle for `knn_pq` — mirrors [[graft.operators.Similarity.pqTopK]]
     * (m=8 subspaces × 8 dims, subK=16 hash-strided training vectors,
     * k=3, queries vec_id < 5): 6-dp-rounded components, per-subspace

@@ -1149,6 +1149,16 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF-PQ: the billion-scale ANN composition (FAISS IVFx,PQy) —
+    // coarse cells prune, byte-code ADC lookups score, one candidate
+    // scan computes both cell and codes, full vectors never touched at
+    // query time.
+    "knn_ivfpq" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3)
+    }),
+
     "knn_ivf" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
@@ -2449,6 +2459,7 @@ object SparkEntry {
     "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,
     "knn_lsh" -> OracleGen.knnLsh,
     "knn_ivf" -> OracleGen.knnIvf,
+    "knn_ivfpq" -> OracleGen.knnIvfPq(),
     "mm_frame_features" -> OracleGen.mmFrameFeatures
   )
 }

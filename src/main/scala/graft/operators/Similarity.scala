@@ -213,4 +213,105 @@ object Similarity {
         cosineSimilarity(col("q_vec"), col("c_vec")).as("cosine"))
     topK(scored, k)
   }
+
+  /** IVF-PQ — the composition that actually runs billion-scale ANN
+    * (FAISS `IVFx,PQy` shape): an IVF coarse quantizer prunes the
+    * candidate set to the query's nProbe cells, and within those cells
+    * candidates are scored by PQ asymmetric-distance lookup instead of
+    * full-vector cosine — so the per-candidate cost is m table lookups
+    * over byte codes, and full vectors are never touched at query time.
+    *
+    * Plan shape: ONE scan of the candidates computes BOTH the cell id
+    * (argmax over centroid literals, raw vectors — same convention as
+    * [[ivfTopK]]) and the m PQ codes (argmin over subspace-centroid
+    * literals, 6-dp-rounded vectors — same as [[pqTopK]]) as pure
+    * projections; queries broadcast (cell_id, LUT…) rows; the only
+    * joins are the bucket equi-join and the final bounded-heap top-k.
+    * Model fit (nCells + subK vector collects) is bounded and
+    * hash-strided, not data-volume-dependent.
+    */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, subK: Int = 16): DataFrame = {
+    val session = candidates.sparkSession
+    import session.implicits._
+    val clean = candidates.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+
+    // --- IVF coarse quantizer (raw vectors, as in ivfTopK) ---
+    val cents: Array[(Long, Seq[Double])] = clean
+      .select(col(idCol).cast("long").as("__cid"),
+        col(vecCol).cast("array<double>").as("__cv"),
+        element_at(graft.functions.native.token_hashes(
+          col(idCol).cast("long").cast("string")), 1).as("__chash"))
+      .orderBy(col("__chash"), col("__cid"))
+      .limit(nCells)
+      .select(col("__cid"), col("__cv"))
+      .as[(Long, Seq[Double])].collect()
+    require(cents.nonEmpty, "IVF-PQ needs at least one candidate vector")
+    def cellStructs(vec: Column): Seq[Column] = cents.toSeq.map { case (id, v) =>
+      struct(round(cosineSimilarity(vec, typedlit(v)), 6).as("sim"),
+        lit(-id).as("neg"), lit(id).as("cell_id"))
+    }
+    def bestCell(vec: Column): Column = {
+      val ss = cellStructs(vec)
+      (if (ss.size == 1) ss.head else greatest(ss: _*)).getField("cell_id")
+    }
+    def probeCells(vec: Column): Column =
+      slice(reverse(array_sort(array(cellStructs(vec): _*))), 1, nProbe)
+
+    // --- PQ codebook (6-dp-rounded vectors, as in pqTopK) ---
+    val train: Array[Seq[Double]] = clean
+      .select(transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"),
+        col(idCol).cast("long").as("__id"),
+        element_at(graft.functions.native.token_hashes(
+          col(idCol).cast("long").cast("string")), 1).as("__h"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(subK)
+      .select(col("v")).as[Seq[Double]].collect()
+    val dim = train.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val subCents: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => train.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
+    def l2sq(a: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(a, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
+    // --- one-scan encode: cell id + m codes per candidate ---
+    val codeCols = (0 until m).map { j =>
+      val sl = slice(col("__vr"), j * sub + 1, sub)
+      val ss = subCents(j).zipWithIndex.map { case (cv, t) =>
+        struct(round(l2sq(sl, cv), 6).as("d"), lit(t).as("t"))
+      }
+      (if (ss.size == 1) ss.head else least(ss: _*)).getField("t").as(s"code$j")
+    }
+    val encoded = clean
+      .select(col(idCol).cast("long").as("candidate_id"),
+        col(vecCol).as("__v"),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("__vr"))
+      .select(col("candidate_id") +: bestCell(col("__v")).as("cell_id") +: codeCols: _*)
+
+    // --- probe side: (query, probed cell, LUTs) broadcast ---
+    val lutCols = (0 until m).map { j =>
+      val sl = slice(col("__qr"), j * sub + 1, sub)
+      array(subCents(j).map(cv => round(dotProduct(sl, typedlit(cv)), 6)): _*)
+        .as(s"lut$j")
+    }
+    val probedQ = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("__q"),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("__qr"))
+      .select(col("query_id") +: explode(probeCells(col("__q"))).as("__cell") +: lutCols: _*)
+      .withColumn("cell_id", col("__cell.cell_id")).drop("__cell")
+
+    val scored = encoded.join(broadcast(probedQ), Seq("cell_id"))
+      .filter(col("query_id") =!= col("candidate_id"))
+      .select(col("query_id"), col("candidate_id"),
+        round((0 until m).map(j =>
+          element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _), 6)
+          .as("approx_ip"))
+    TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
+      .select(col("query_id"), col("candidate_id"), col("approx_ip"), col("rank"))
+  }
 }

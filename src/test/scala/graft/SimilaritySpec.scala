@@ -97,6 +97,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.sortBy(x => (x._1, x._3)).sameElements(again.sortBy(x => (x._1, x._3))))
   }
 
+  test("ivfPqTopK keeps group structure and respects the probed-cell prune") {
+    val rnd = new Random(13)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq
+    val dirs = Seq(
+      Array.tabulate(16)(i => if (i < 6) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 6 && i < 11) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 11) 1.0f else 0.0f))
+    val rows = (0 until 30).map(i => (i.toLong, jitter(dirs(i % 3))))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(df, df.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 5, nCells = 6, nProbe = 2, m = 4, subK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.nonEmpty)
+    // with tight direction groups, probed cells are same-direction cells:
+    // every returned neighbor shares the query's group
+    assert(out.forall { case (q, c, _) => c % 3 == q % 3 },
+      s"cross-group neighbor in ${out.mkString(",")}")
+    // deterministic across runs
+    val again = Similarity.ivfPqTopK(df, df.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 5, nCells = 6, nProbe = 2, m = 4, subK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.sortBy(x => (x._1, x._3)).sameElements(again.sortBy(x => (x._1, x._3))))
+  }
+
   test("planted near-duplicates land in the same minhash band bucket") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val docs = Seq(
