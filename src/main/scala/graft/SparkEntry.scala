@@ -630,6 +630,26 @@ object SparkEntry {
           max(col("ts")).as("session_end"))
     }),
 
+    // Rolling 7-day distinct actives (WAU-style): sliding COUNT
+    // DISTINCT is inexpressible as a Spark window frame, and per-day
+    // distinct counts don't sum. The distributed form: distinct
+    // (day, user) pairs, each exploded to the ≤7 report days it
+    // covers, de-duplicated, counted — bounded 7× row growth on the
+    // already-distinct pair set, no corpus-wide window, no self-join.
+    "q_sliding_distinct" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val p = ld(s, dir, "events")
+        .select((unix_micros(col("ts")) / dayUs).cast("long").as("d"), col("user_id"))
+        .distinct()
+      val cov = p.select(explode(sequence(col("d"), col("d") + 6)).as("cd"),
+        col("user_id")).distinct()
+      val days = p.select(col("d").as("cd")).distinct()
+      cov.join(days, "cd")
+        .groupBy(col("cd")).agg(count(lit(1)).as("n_active_7d"))
+        .select(date_format(timestamp_micros(col("cd") * dayUs), "yyyy-MM-dd").as("day"),
+          col("n_active_7d"))
+    }),
+
     // Per-user z-score anomaly flags: mean/std from EXACT decimal
     // co-moments computed as windows over ONE user_id exchange (no
     // groupBy+join-back round trip), then the z and the |z|>2 flag as
@@ -1803,6 +1823,15 @@ object SparkEntry {
         | AND s.event_type = 'signup'
         | AND epoch_us(e.ts) >= epoch_us(s.ts)
         | AND epoch_us(e.ts) <= epoch_us(s.ts) + 604800000000""".stripMargin,
+
+    "q_sliding_distinct" ->
+      """WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+        |cov AS (SELECT DISTINCT d + u.i AS cd, user_id FROM p, unnest(range(0, 7)) AS u(i)),
+        |days AS (SELECT DISTINCT d AS cd FROM p)
+        |SELECT strftime(make_timestamp(cov.cd * 86400000000), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_active_7d
+        |FROM cov JOIN days ON days.cd = cov.cd
+        |GROUP BY cov.cd""".stripMargin,
 
     "q_zscore" ->
       """WITH m AS (SELECT event_id, user_id, value,
