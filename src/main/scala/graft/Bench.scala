@@ -76,7 +76,17 @@ object Bench {
     graft.session.Sessions.cleanupScratch() // halt() below skips the shutdown hook
     Thread.sleep(500) // let shutdown-time logger threads drain first
     System.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"errors":$errJson,"queries":${jmap(best)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"errors":$errJson,"queries":${jmap(best)}}"""
+    // Persist to a file too: the driver reads a bounded tail of stdout,
+    // and a 118-query line can overflow that window (round 4 lost the
+    // head of the line). The file is the durable copy.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench-latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(line)
     System.out.flush()
     // forked JVM (run / fork := true): halt so no late background thread
     // (executor shutdown, metrics, state-store) can print after the line.

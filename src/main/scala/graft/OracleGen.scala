@@ -255,39 +255,45 @@ prs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
 SELECT DISTINCT id_a, id_b, cosine FROM prs WHERE cosine >= CAST(0.1 AS DOUBLE)"""
   }
 
-  /** Oracle for `knn_lsh` (queries vec_id < 5, k=3, dim=64, bits=8,
-    * seeds 42 & 43; UNION = the Spark union+distinct).
+  /** Oracle for `knn_lsh` (queries vec_id < 5): mirrors the multi-probe
+    * [[graft.operators.Similarity.lshTopK]] — one hyperplane table per
+    * seed, and within a table a candidate matches a query iff their
+    * buckets differ in at most `probeHamming` bits (the Spark side
+    * probes every XOR mask of weight ≤ h, which is exactly the
+    * Hamming-ball condition); UNION = the Spark union+distinct.
     */
-  def knnLsh: String = {
+  def knnLsh(bits: Int = 8, seeds: Seq[Long] = Seq(42L, 43L, 44L, 45L),
+             probeHamming: Int = 2, k: Int = 3, dim: Int = 64): String = {
     def branch(cte: String) =
       s"""SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
     ${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS cos
-  FROM $cte q JOIN $cte c ON q.bucket = c.bucket
+  FROM $cte q JOIN $cte c ON bit_count(xor(q.bucket, c.bucket)) <= $probeHamming
   WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id"""
+    val seedCtes = seeds.zipWithIndex.map { case (seed, i) =>
+      s"s${i + 1} AS (SELECT vec_id, v, nrm, ${bucketSql("v", seed, bits, dim)} AS bucket FROM n)"
+    }.mkString(",\n")
+    val branches = seeds.indices.map(i => branch(s"s${i + 1}")).mkString("\n  UNION\n  ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-s1 AS (SELECT vec_id, v, nrm, ${bucketSql("v", 42L, 8, 64)} AS bucket FROM n),
-s2 AS (SELECT vec_id, v, nrm, ${bucketSql("v", 43L, 8, 64)} AS bucket FROM n),
+$seedCtes,
 cand AS (
-  ${branch("s1")}
-  UNION
-  ${branch("s2")}),
+  $branches),
 r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
     row_number() OVER (PARTITION BY query_id
       ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS "rank"
   FROM cand)
-SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
+SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= $k"""
   }
 
-  /** Oracle for `knn_ivf` (nCells=16 hash-strided centroids, nProbe=4,
-    * k=3, queries vec_id < 5). Centroids are the 16 vectors with the
-    * smallest (signed FNV-1a of the id string, id) — the same
-    * decorrelated deterministic sample
+  /** Oracle for `knn_ivf` (nCells=16 hash-strided centroids, nProbe
+    * probed cells, k=3, queries vec_id < 5). Centroids are the 16
+    * vectors with the smallest (signed FNV-1a of the id string, id) —
+    * the same decorrelated deterministic sample
     * [[graft.operators.Similarity.ivfTopK]] fits. Assignment/probing
     * rank by 6-dp-rounded centroid cosine DESC then cell_id ASC —
     * exactly the struct-argmax ordering in `ivfTopK`.
     */
-  def knnIvf: String = {
+  def knnIvf(nProbe: Int = 6): String = {
     val h = fnvToken("CAST(vec_id AS VARCHAR)")
     val signedH =
       s"CAST(CASE WHEN $h >= $Pow63::HUGEINT THEN $h - $M64::HUGEINT ELSE $h END AS BIGINT)"
@@ -304,7 +310,7 @@ assigned AS (SELECT vec_id AS candidate_id, cell_id FROM (
 probed AS (SELECT vec_id AS query_id, cell_id FROM (
     SELECT vec_id, cell_id,
       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
-    FROM sims WHERE vec_id < 5) WHERE rn <= 4),
+    FROM sims WHERE vec_id < 5) WHERE rn <= $nProbe),
 scored AS (SELECT p.query_id, a.candidate_id,
     ${cosSql("qn.v", "qn.nrm", "cn2.v", "cn2.nrm")} AS cos
   FROM probed p JOIN assigned a ON a.cell_id = p.cell_id AND a.candidate_id <> p.query_id
@@ -324,8 +330,9 @@ SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3"""
     * vectors (PQ convention), candidates scored only within the query's
     * probed cells.
     */
-  def knnIvfPq(nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
-               subK: Int = 16, k: Int = 3, dim: Int = 64): String = {
+  def knnIvfPq(nCells: Int = 16, nProbe: Int = 8, m: Int = 8,
+               subK: Int = 16, k: Int = 3, dim: Int = 64,
+               refine: Int = 96): String = {
     val sub = dim / m
     val h = fnvToken("CAST(vec_id AS VARCHAR)")
     val signedH =
@@ -371,22 +378,53 @@ scored AS (SELECT p.query_id, a.candidate_id, round(SUM(l.ip), 6) AS approx_ip
   JOIN assigned a ON a.cell_id = p.cell_id AND a.candidate_id <> p.query_id
   JOIN codes cd ON cd.vec_id = a.candidate_id
   JOIN luts l ON l.query_id = p.query_id AND l.j = cd.j AND l.t = cd.code
-  GROUP BY p.query_id, a.candidate_id)
+  GROUP BY p.query_id, a.candidate_id)""" + (
+      if (refine > 0) pqRefineTail(refine, k)
+      else s"""
 SELECT query_id, candidate_id, approx_ip, "rank" FROM (
   SELECT query_id, candidate_id, approx_ip,
     row_number() OVER (PARTITION BY query_id
       ORDER BY approx_ip DESC, candidate_id) AS "rank"
-  FROM scored) WHERE "rank" <= $k"""
+  FROM scored) WHERE "rank" <= $k""")
   }
+
+  /** Re-rank tail shared by the PQ oracles — mirrors
+    * [[graft.operators.Similarity]]'s `refineExact`: shortlist the top
+    * `refine` per query by (approx_ip DESC, candidate ASC), exact
+    * cosine over RAW doubles on the shortlist only, final top-k by
+    * (6-dp cosine DESC, candidate ASC). Assumes a CTE `scored`
+    * (query_id, candidate_id, approx_ip) is in scope.
+    */
+  private def pqRefineTail(refine: Int, k: Int): String =
+    s""",
+short AS (SELECT query_id, candidate_id FROM (
+    SELECT query_id, candidate_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY approx_ip DESC, candidate_id) AS rn
+    FROM scored) WHERE rn <= $refine),
+rr AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM rr),
+ex AS (SELECT s.query_id, s.candidate_id,
+    round(CAST(${cosSql("q.v", "q.nrm", "c.v", "c.nrm")} AS DOUBLE), 6) AS cosine
+  FROM short s JOIN nn q ON q.vec_id = s.query_id
+  JOIN nn c ON c.vec_id = s.candidate_id)
+SELECT query_id, candidate_id, cosine, "rank" FROM (
+  SELECT query_id, candidate_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, candidate_id) AS "rank"
+  FROM ex) WHERE "rank" <= $k"""
 
   /** Oracle for `knn_pq` — mirrors [[graft.operators.Similarity.pqTopK]]
     * (m=8 subspaces × 8 dims, subK=16 hash-strided training vectors,
     * k=3, queries vec_id < 5): 6-dp-rounded components, per-subspace
     * argmin of 6-dp-rounded L2² (ties to the lowest centroid index),
     * LUT inner products rounded to 6 dp so the m-term ADC sum is
-    * order-immune, final score re-rounded.
+    * order-immune, final score re-rounded; `refine` > 0 appends the
+    * exact re-rank tail.
     */
-  def knnPq(m: Int = 8, subK: Int = 16, k: Int = 3, dim: Int = 64): String = {
+  def knnPq(m: Int = 8, subK: Int = 16, k: Int = 3, dim: Int = 64,
+            refine: Int = 96): String = {
     val sub = dim / m
     val h = fnvToken("CAST(vec_id AS VARCHAR)")
     val signedH =
@@ -416,12 +454,14 @@ scored AS (SELECT l.query_id, cd.vec_id AS candidate_id,
     round(SUM(l.ip), 6) AS approx_ip
   FROM codes cd JOIN luts l ON l.j = cd.j AND l.t = cd.code
     AND l.query_id <> cd.vec_id
-  GROUP BY l.query_id, cd.vec_id)
+  GROUP BY l.query_id, cd.vec_id)""" + (
+      if (refine > 0) pqRefineTail(refine, k)
+      else s"""
 SELECT query_id, candidate_id, approx_ip, "rank" FROM (
   SELECT query_id, candidate_id, approx_ip,
     row_number() OVER (PARTITION BY query_id
       ORDER BY approx_ip DESC, candidate_id) AS "rank"
-  FROM scored) WHERE "rank" <= $k"""
+  FROM scored) WHERE "rank" <= $k""")
   }
 
   /** Oracle for `embed_kmeans` — mirrors

@@ -47,17 +47,23 @@ object VectorFunctions {
     * array to a `dim`-bucket count vector via an md5-derived bucket per
     * token. No vocabulary, no model — a deterministic, engine-portable
     * stand-in for a learned embedding that still supports cosine
-    * retrieval/near-dup over raw text. Two pure projections: bucket ids
-    * once per token (stage the token array first — see the shingle
-    * staging note in Corpus), then one count per output dimension.
-    * O(dim·tokens) work per row, zero shuffles.
+    * retrieval/near-dup over raw text. One pure projection, zero
+    * shuffles: bucket ids once per token, then ONE `aggregate` fold over
+    * the bucket array accumulating the count vector. The fold keeps the
+    * md5 work O(tokens) — the per-dimension `filter` form re-evaluates
+    * the bucket lambda (and its hashes) once per output dimension,
+    * because higher-order-function bodies defeat subexpression
+    * elimination. Remaining arithmetic is dim adds per token.
     */
   def hashEmbed(toks: Column, dim: Int): Column = {
     require(dim >= 1)
     val buckets = transform(toks, t =>
       pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dim.toLong)))
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      size(filter(buckets, b => b === i.cast("long"))).cast("double"))
+    aggregate(
+      buckets,
+      array_repeat(lit(0.0), dim),
+      (acc, b) => transform(acc, (x, i) =>
+        x + when(i.cast("long") === b, 1.0).otherwise(0.0)))
   }
 
   /** Symmetric int8 scalar quantization: q_i = round(v_i / scale) with

@@ -61,6 +61,15 @@ object Cluster {
         labels = next.drop("__changed")
         iter += 1
       }
+      // Partial labels are silently WRONG (two nodes of one component
+      // can still carry different labels), so non-convergence is an
+      // error, never a degraded result. Min-label propagation needs
+      // O(component diameter) iterations; raise maxIter for long-chain
+      // graphs.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter iterations; " +
+            "component diameter exceeds maxIter - raise it")
       labels
     } finally sym.unpersist()
   }

@@ -50,16 +50,32 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** LSH-bucketed ANN top-k: candidates restricted to the query's
-    * hyperplane bucket. Recall can be raised with multiple seeds
-    * (multi-probe): results are unioned before the final top-k.
+  /** LSH-bucketed ANN top-k: candidates restricted to buckets within
+    * Hamming distance `probeHamming` of the query's hyperplane bucket
+    * (classic multi-probe LSH: a near neighbor that flips one or two
+    * marginal hyperplane bits is still found). Recall knobs: more
+    * `seeds` (independent tables), higher `probeHamming` (more buckets
+    * per table). The expansion is QUERY-side only — the candidate scan
+    * still computes one bucket per row and the broadcast query list
+    * grows by ×(1 + bits + C(bits,2)), so the 100 TB plan shape (scan →
+    * broadcast-join → heap) is unchanged.
     */
   def lshTopK(candidates: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              dim: Int, bits: Int = 8, seeds: Seq[Long] = Seq(42L, 43L)): DataFrame = {
+              dim: Int, bits: Int = 8, seeds: Seq[Long] = Seq(42L, 43L),
+              probeHamming: Int = 2): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in 0..2")
     val probed = seeds.map { seed =>
+      val base = hyperplaneBucket(col(vecCol), dim, bits, seed)
+      // XOR masks of weight <= probeHamming: distinct, so a candidate
+      // matches a query at most once per seed
+      val masks = Seq(0) ++
+        (if (probeHamming >= 1) (0 until bits).map(1 << _) else Nil) ++
+        (if (probeHamming >= 2)
+          for { a <- 0 until bits; b <- a + 1 until bits } yield (1 << a) | (1 << b)
+        else Nil)
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        hyperplaneBucket(col(vecCol), dim, bits, seed).as("bucket"))
+        explode(array(masks.map(m => base.bitwiseXOR(lit(m))): _*)).as("bucket"))
       val c = candidates.select(col(idCol).as("candidate_id"), col(vecCol).as("c_vec"),
         hyperplaneBucket(col(vecCol), dim, bits, seed).as("bucket"))
       c.join(broadcast(q), Seq("bucket"))
@@ -106,10 +122,19 @@ object Similarity {
     * smallest-index tie-break, LUT entries rounded to 6 dp (so the final
     * m-term sum is order-immune far beyond double error), final score
     * re-rounded to 6 dp.
+    *
+    * `refine` > 0 adds the standard exact re-rank stage (FAISS
+    * `RefineFlat`): ADC shortlists `refine` candidates per query, then
+    * ONLY those shortlist rows are re-scored with exact cosine over the
+    * raw vectors — output becomes (query_id, candidate_id, cosine,
+    * rank). At 100 TB the re-rank reads queries×refine full vectors via
+    * a broadcast semi-join on the shortlist, not the corpus, so ADC's
+    * 32× I/O cut on the scan is kept while recall recovers to
+    * P(truth ∈ shortlist).
     */
   def pqTopK(candidates: DataFrame, queries: DataFrame,
              vecCol: String, idCol: String, k: Int,
-             m: Int = 8, subK: Int = 16): DataFrame = {
+             m: Int = 8, subK: Int = 16, refine: Int = 0): DataFrame = {
     val session = candidates.sparkSession
     import session.implicits._
     val e = candidates
@@ -160,8 +185,35 @@ object Similarity {
         round((0 until m).map(j =>
           element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _), 6)
           .as("approx_ip"))
-    TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
-      .select(col("query_id"), col("candidate_id"), col("approx_ip"), col("rank"))
+    if (refine <= 0)
+      TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
+        .select(col("query_id"), col("candidate_id"), col("approx_ip"), col("rank"))
+    else refineExact(candidates, queries, vecCol, idCol, scored, "approx_ip", refine, k)
+  }
+
+  /** Exact re-rank shared by the PQ paths: shortlist the top `refine`
+    * rows per query by the approximate score (deterministic: score DESC,
+    * candidate ASC), fetch ONLY the shortlisted raw vectors via a
+    * broadcast join, score exact cosine, return the final top-k. The
+    * corpus-sized input never shuffles; the shortlist (queries×refine
+    * rows) is the only thing broadcast.
+    */
+  private def refineExact(candidates: DataFrame, queries: DataFrame,
+                          vecCol: String, idCol: String,
+                          scored: DataFrame, scoreCol: String,
+                          refine: Int, k: Int): DataFrame = {
+    val shortlist = TopK.topKPerGroup(scored, Seq("query_id"), scoreCol, "candidate_id", refine)
+      .select(col("query_id"), col("candidate_id"))
+    val cvec = candidates
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("candidate_id"), col(vecCol).as("c_vec"))
+    val qvec = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+    val exact = cvec.join(broadcast(shortlist), Seq("candidate_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select(col("query_id"), col("candidate_id"),
+        cosineSimilarity(col("q_vec"), col("c_vec")).as("cosine"))
+    topK(exact, k)
   }
 
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
@@ -228,12 +280,13 @@ object Similarity {
     * projections; queries broadcast (cell_id, LUT…) rows; the only
     * joins are the bucket equi-join and the final bounded-heap top-k.
     * Model fit (nCells + subK vector collects) is bounded and
-    * hash-strided, not data-volume-dependent.
+    * hash-strided, not data-volume-dependent. `refine` > 0 adds the
+    * exact re-rank over the ADC shortlist, as in [[pqTopK]].
     */
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
                 vecCol: String, idCol: String, k: Int,
                 nCells: Int = 16, nProbe: Int = 4,
-                m: Int = 8, subK: Int = 16): DataFrame = {
+                m: Int = 8, subK: Int = 16, refine: Int = 0): DataFrame = {
     val session = candidates.sparkSession
     import session.implicits._
     val clean = candidates.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
@@ -311,7 +364,9 @@ object Similarity {
         round((0 until m).map(j =>
           element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _), 6)
           .as("approx_ip"))
-    TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
-      .select(col("query_id"), col("candidate_id"), col("approx_ip"), col("rank"))
+    if (refine <= 0)
+      TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
+        .select(col("query_id"), col("candidate_id"), col("approx_ip"), col("rank"))
+    else refineExact(candidates, queries, vecCol, idCol, scored, "approx_ip", refine, k)
   }
 }

@@ -132,4 +132,61 @@ object StreamingUpsert {
       .filter(col("op") =!= OpCode.Delete)
       .select(from_json(col("payload"), payloadSchema).as("data"))
       .select(col("data.*"))
+
+  /** Production file-sink path for [[upsert]]: each micro-batch's
+    * [[KeyState]] emissions append to a parquet upsert LOG via
+    * `foreachBatch` (the parquet sink only accepts Append mode, and
+    * `flatMapGroupsWithState` emits in Update mode), checkpointed so a
+    * normal run appends each batch exactly once. Nothing is buffered on
+    * the driver — changed keys flow state store → executor tasks →
+    * files. A crash between the sink write and the checkpoint commit
+    * re-appends the SAME (key, order, op, payload) rows on recovery;
+    * [[latestPerKey]] collapses them, so the log is idempotent on read
+    * (same at-least-once-append + LWW-merge contract as the reference's
+    * raw layer).
+    */
+  def upsertToLog(events: Dataset[KeyedEvent], dataDir: String,
+                  checkpointDir: String): Unit = {
+    val q = upsert(events).writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[KeyState], _: Long) =>
+        batch.toDF().write.mode("append").parquet(dataDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current table from an [[upsertToLog]] log: winning row per key,
+    * tombstones dropped, payload parsed back to columns.
+    */
+  def readCurrent(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+                  payloadSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    liveRows(latestPerKey(spark.read.parquet(dataDir).as[KeyState]), payloadSchema)
+  }
+
+  /** Semantic compaction of the upsert log: rewrite it to ONE row per
+    * key (the LWW winner — tombstones kept, they must keep suppressing
+    * late stale arrivals), staged tmp-dir + rename as in
+    * [[graft.sources.Lake.compact]] so a concurrent reader never sees a
+    * half-written log. Run periodically so log size tracks the live key
+    * set, not all-time change history. Returns the compacted row count.
+    */
+  def compactLog(spark: org.apache.spark.sql.SparkSession, dataDir: String): Long = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dataDir + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(dataDir + ".compact-old")
+    val compacted = latestPerKey(spark.read.parquet(dataDir).as[KeyState])
+      .toDF().localCheckpoint(true) // materialize before the source dir moves
+    val n = compacted.count()
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old, true)
+    n
+  }
 }

@@ -28,6 +28,20 @@ class ClusterSpec extends AnyFunSuite {
     assert(cc.size == 13 && cc.values.forall(_ == 0L))
   }
 
+  test("worst-case diameter: path longer than maxIter throws, ample maxIter converges") {
+    // path 0-1-...-30: diameter 30 > maxIter 8 — partial labels would be
+    // silently wrong, so the guard must throw rather than return them
+    val edges = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Cluster.connectedComponents(edges, "id_a", "id_b", maxIter = 8).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph with enough iterations resolves fully to min-id 0
+    val cc = Cluster.connectedComponents(edges, "id_a", "id_b", maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 31 && cc.values.forall(_ == 0L))
+  }
+
   test("canonicalize marks one keeper per cluster and keeps singletons") {
     val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -122,6 +122,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.sortBy(x => (x._1, x._3)).sameElements(again.sortBy(x => (x._1, x._3))))
   }
 
+  test("ANN recall@3 vs brute force clears the floor on the real embeddings table") {
+    // Correctness rows pin determinism; THIS pins retrieval quality —
+    // the point of ANN. Ground truth = exact brute-force cosine top-3;
+    // recall = |approx ∩ truth| / |truth|, averaged over 20 queries of
+    // the driver-generated embeddings table (500 × 64-dim, labeled
+    // clusters). Floors are deliberately below observed values so the
+    // test flags structural recall collapse, not sampling noise.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    val k = 3
+
+    def topSet(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("candidate_id"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+
+    val truth = topSet(Similarity.bruteForceTopK(e, queries, "embedding", "vec_id", k))
+    def recall(df: DataFrame): Double = {
+      val approx = topSet(df)
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+
+    // the same operating points the declared knn_* queries use
+    val results = Map(
+      "lsh" -> recall(Similarity.lshTopK(e, queries, "embedding", "vec_id", k,
+        dim = 64, seeds = Seq(42L, 43L, 44L, 45L), probeHamming = 2)),
+      "ivf" -> recall(Similarity.ivfTopK(e, queries, "embedding", "vec_id", k, nProbe = 6)),
+      "pq" -> recall(Similarity.pqTopK(e, queries, "embedding", "vec_id", k, refine = 96)),
+      "ivfpq" -> recall(Similarity.ivfPqTopK(e, queries, "embedding", "vec_id", k,
+        nProbe = 8, refine = 96)))
+    info(s"recall@$k: $results")
+    // measured: lsh 0.75, ivf 0.75, pq 0.85, ivfpq 0.817 (deterministic
+    // pipeline — the margin only absorbs a testdata regeneration)
+    val floors = Map("lsh" -> 0.65, "ivf" -> 0.65, "pq" -> 0.75, "ivfpq" -> 0.7)
+    floors.foreach { case (m, floor) =>
+      assert(results(m) >= floor, s"$m recall@$k ${results(m)} below floor $floor ($results)")
+    }
+  }
+
   test("planted near-duplicates land in the same minhash band bucket") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val docs = Seq(

@@ -99,4 +99,38 @@ class StreamingUpsertSpec extends AnyFunSuite {
       .collect()
     assert(live.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("1", "NEW")))
   }
+
+  test("upsertToLog appends state changes to a parquet log; compactLog keeps LWW winners") {
+    val root = java.nio.file.Files.createTempDirectory("upsertlog").toString
+    val in = s"$root/in"; val log = s"$root/log"; val ckpt = s"$root/ckpt"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("ID STRING, V STRING")
+    def stream() = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[KeyedEvent]].schema)
+      .parquet(in).as[KeyedEvent]
+
+    // run 1: two inserts
+    Seq(KeyedEvent("k1", 1, "c", """{"ID":"k1","V":"a"}"""),
+      KeyedEvent("k2", 2, "c", """{"ID":"k2","V":"b"}"""))
+      .toDS().write.parquet(in)
+    StreamingUpsert.upsertToLog(stream(), log, ckpt)
+    val live1 = StreamingUpsert.readCurrent(spark, log, schema).collect()
+    assert(live1.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("k1", "a"), ("k2", "b")))
+
+    // run 2 (same checkpoint — only the new file is processed): update
+    // k1, tombstone k2
+    Seq(KeyedEvent("k1", 5, "u", """{"ID":"k1","V":"a2"}"""),
+      KeyedEvent("k2", 6, "d", ""))
+      .toDS().write.mode("append").parquet(in)
+    StreamingUpsert.upsertToLog(stream(), log, ckpt)
+    assert(spark.read.parquet(log).count() == 4) // append-only change log
+    val live2 = StreamingUpsert.readCurrent(spark, log, schema).collect()
+    assert(live2.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("k1", "a2")))
+
+    // compaction: one row per key (tombstone kept), current state intact
+    val n = StreamingUpsert.compactLog(spark, log)
+    assert(n == 2 && spark.read.parquet(log).count() == 2)
+    val live3 = StreamingUpsert.readCurrent(spark, log, schema).collect()
+    assert(live3.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("k1", "a2")))
+  }
 }
