@@ -23,7 +23,10 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = graft.session.Sessions.local(cpus, cpus, "graft-bench")
 
+    // optional comma-separated subset for single-query iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // noop sink: materializes every row and column (a bare count() lets
     // Catalyst prune the payload or answer from parquet metadata, which

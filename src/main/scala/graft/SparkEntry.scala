@@ -804,6 +804,25 @@ object SparkEntry {
           col("ap")(1).between(col("ex")(2), col("ex")(3)).as("p90_in_band"),
           col("ap")(2).between(col("ex")(4), col("ex")(5)).as("p99_in_band"))),
 
+    // Scale-safe distinct counting: `approx_count_distinct` (HLL++,
+    // rsd 2%) keeps a FIXED-size mergeable sketch per group where exact
+    // COUNT(DISTINCT) must expand every group member through the
+    // shuffle — at 100 TB the sketch is the only form that survives a
+    // hot group. Same contract pattern as `q_percentiles_approx`: the
+    // estimate must land within ±5% of the exact count (2.5× the
+    // configured rsd; HLL is deterministic given the data), the oracle
+    // asserts the boolean, and the exact count rides along as its own
+    // verified column.
+    "q_distinct_approx" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        .select(col("event_type"), col("n_events"), col("n_users"),
+          (abs(col("approx") - col("n_users")) <= col("n_users") * 0.05)
+            .as("approx_within_5pct"))),
+
     // Decile bucketing at scale: the nine interpolated thresholds come
     // from ONE corpus aggregate (broadcast back as a 1-row array), and
     // the bucket of each row is a pure projection comparing against
@@ -2018,6 +2037,11 @@ object SparkEntry {
     "q_percentiles_approx" ->
       """SELECT event_type, COUNT(*) AS n,
         |  TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_distinct_approx" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users, TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_length_deciles" ->

@@ -55,34 +55,48 @@ object Similarity {
     * (classic multi-probe LSH: a near neighbor that flips one or two
     * marginal hyperplane bits is still found). Recall knobs: more
     * `seeds` (independent tables), higher `probeHamming` (more buckets
-    * per table). The expansion is QUERY-side only — the candidate scan
-    * still computes one bucket per row and the broadcast query list
-    * grows by ×(1 + bits + C(bits,2)), so the 100 TB plan shape (scan →
-    * broadcast-join → heap) is unchanged.
+    * per table). The Hamming-ball expansion is QUERY-side only (the
+    * broadcast list grows ×(1 + bits + C(bits,2))); the candidate side
+    * is ONE scan emitting (seed, bucket) per seed — all seed tables in
+    * a single pass — so the 100 TB plan shape (scan → broadcast-join →
+    * heap) is unchanged.
     */
   def lshTopK(candidates: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
               dim: Int, bits: Int = 8, seeds: Seq[Long] = Seq(42L, 43L),
               probeHamming: Int = 2): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in 0..2")
-    val probed = seeds.map { seed =>
-      val base = hyperplaneBucket(col(vecCol), dim, bits, seed)
-      // XOR masks of weight <= probeHamming: distinct, so a candidate
-      // matches a query at most once per seed
-      val masks = Seq(0) ++
-        (if (probeHamming >= 1) (0 until bits).map(1 << _) else Nil) ++
-        (if (probeHamming >= 2)
-          for { a <- 0 until bits; b <- a + 1 until bits } yield (1 << a) | (1 << b)
-        else Nil)
-      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        explode(array(masks.map(m => base.bitwiseXOR(lit(m))): _*)).as("bucket"))
-      val c = candidates.select(col(idCol).as("candidate_id"), col(vecCol).as("c_vec"),
-        hyperplaneBucket(col(vecCol), dim, bits, seed).as("bucket"))
-      c.join(broadcast(q), Seq("bucket"))
-        .filter(col("query_id") =!= col("candidate_id"))
-        .select(col("query_id"), col("candidate_id"),
-          cosineSimilarity(col("q_vec"), col("c_vec")).as("cosine"))
-    }.reduce(_ unionByName _).distinct()
+    // XOR masks of weight <= probeHamming: distinct, so a candidate
+    // matches a query at most once per (seed, mask) table
+    val masks = Seq(0) ++
+      (if (probeHamming >= 1) (0 until bits).map(1 << _) else Nil) ++
+      (if (probeHamming >= 2)
+        for { a <- 0 until bits; b <- a + 1 until bits } yield (1 << a) | (1 << b)
+      else Nil)
+    // ONE candidate scan computes every seed's bucket, exploded to
+    // (seed index, bucket) rows — not one scan per seed; the join key
+    // carries the seed so tables stay independent.
+    val c = candidates
+      .select(col(idCol).as("candidate_id"), col(vecCol).as("c_vec"),
+        posexplode(array(seeds.map(s =>
+          hyperplaneBucket(col(vecCol), dim, bits, s)): _*)).as(Seq("seed_i", "bucket")))
+    // two chained explodes so each seed's bucket tree is evaluated ONCE
+    // per query row (a flat `base XOR mask` probe array would clone the
+    // whole signature expression per mask — Column trees are trees, not
+    // DAGs; the Generate between the projections also stops Catalyst's
+    // CollapseProject from re-inlining it)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        posexplode(array(seeds.map(s =>
+          hyperplaneBucket(col(vecCol), dim, bits, s)): _*)).as(Seq("seed_i", "base")))
+      .select(col("query_id"), col("q_vec"), col("seed_i"),
+        explode(array(masks.map(m =>
+          col("base").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val probed = c.join(broadcast(q), Seq("seed_i", "bucket"))
+      .filter(col("query_id") =!= col("candidate_id"))
+      .select(col("query_id"), col("candidate_id"),
+        cosineSimilarity(col("q_vec"), col("c_vec")).as("cosine"))
+      .distinct() // a pair found in several seed tables scores once
     topK(probed, k)
   }
 
