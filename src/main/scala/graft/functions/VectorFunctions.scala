@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ via `zip_with` + `aggregate` (sequential left fold — order
-    * deterministic).
+  /** Σ aᵢ·bᵢ — a native codegen'd kernel ([[VectorKernels.dot]]) with
+    * the sequential-left-fold IEEE order the old `zip_with` +
+    * `aggregate` form had. Higher-order functions are CodegenFallback
+    * (every lambda step interpreted, and the whole projection drops out
+    * of whole-stage codegen); the kernel is one JVM loop per row.
     */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dotProduct(a: Column, b: Column): Column = vecnative.dot_product(a, b)
 
   /** Σ aᵢ² — sequential fold, deterministic. */
   def sumSquares(a: Column): Column =
@@ -27,11 +27,11 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(sumSquares(a))
 
-  /** Cosine similarity; 0.0 when either vector is all-zero. */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
-  }
+  /** Cosine similarity; 0.0 when either vector is all-zero. Native
+    * kernel ([[VectorKernels.cosineSim]]) — bit-identical to the
+    * fold form (same element casts, fold order, zero-denominator rule).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = vecnative.cosine_sim(a, b)
 
   /** Unit-normalize to `array<double>`. Pre-normalizing once at write
     * time turns every downstream cosine into a dot product — the right
@@ -98,24 +98,12 @@ object VectorFunctions {
     * derived from (seed, i, dim) via a splitmix64-style integer mix —
     * reproducible across engines and runs with no stored model.
     * Returns an int in [0, 2^bits) usable as an ANN bucket key.
+    * Native kernel ([[VectorKernels.hyperplaneBucket]]): the per-bit
+    * fold form was bits × an interpreted 64-element lambda fold per row;
+    * the kernel is one codegen'd loop with the identical IEEE sum order.
     */
   def hyperplaneBucket(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
     require(bits <= 30, "bucket bits must fit an int")
-    // pseudo-random +-1 component for (bit b, dim j)
-    def comp(b: Int, j: Int): Double = {
-      var z = seed + b.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      if ((z & 1L) == 0L) 1.0 else -1.0
-    }
-    val bitCols: Seq[Column] = (0 until bits).map { b =>
-      val comps: Array[Double] = Array.tabulate(dim)(j => comp(b, j))
-      val dot = aggregate(
-        zip_with(v, lit(comps), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _).cast("int")
+    vecnative.hyperplane_bucket(v, dim, bits, seed)
   }
 }

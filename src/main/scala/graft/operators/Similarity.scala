@@ -170,18 +170,14 @@ object Similarity {
     val cents: Seq[Seq[Seq[Double]]] =
       (0 until m).map(j => train.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
 
-    def l2sq(a: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(a, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // encode: per subspace, (rounded L2², index) struct-min = argmin
-    val codeCols = (0 until m).map { j =>
-      val sl = slice(col("v"), j * sub + 1, sub)
-      val ss = cents(j).zipWithIndex.map { case (cv, t) =>
-        struct(round(l2sq(sl, cv), 6).as("d"), lit(t).as("t"))
-      }
-      (if (ss.size == 1) ss.head else least(ss: _*)).getField("t").as(s"code$j")
-    }
-    val coded = e.select(col("candidate_id") +: codeCols: _*)
+    // encode: per subspace, argmin of 6-dp-rounded L2² with lowest-index
+    // tie-break — ONE native codegen'd kernel call per row (the
+    // least-of-struct fold-tree form ran interpreted and broke
+    // whole-stage codegen for the corpus scan)
+    val centsArr: Array[Array[Array[Double]]] =
+      cents.map(_.map(_.toArray).toArray).toArray
+    val coded = e.select(col("candidate_id"),
+      graft.functions.vecnative.pq_encode(col("v"), centsArr).as("__codes"))
 
     val lutCols = (0 until m).map { j =>
       val sl = slice(col("qv"), j * sub + 1, sub)
@@ -197,7 +193,7 @@ object Similarity {
     val scored = coded.join(broadcast(q), col("query_id") =!= col("candidate_id"))
       .select(col("query_id"), col("candidate_id"),
         round((0 until m).map(j =>
-          element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _), 6)
+          element_at(col(s"lut$j"), element_at(col("__codes"), j + 1) + 1)).reduce(_ + _), 6)
           .as("approx_ip"))
     if (refine <= 0)
       TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
@@ -341,23 +337,17 @@ object Similarity {
     val sub = dim / m
     val subCents: Seq[Seq[Seq[Double]]] =
       (0 until m).map(j => train.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
-    def l2sq(a: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(a, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
 
-    // --- one-scan encode: cell id + m codes per candidate ---
-    val codeCols = (0 until m).map { j =>
-      val sl = slice(col("__vr"), j * sub + 1, sub)
-      val ss = subCents(j).zipWithIndex.map { case (cv, t) =>
-        struct(round(l2sq(sl, cv), 6).as("d"), lit(t).as("t"))
-      }
-      (if (ss.size == 1) ss.head else least(ss: _*)).getField("t").as(s"code$j")
-    }
+    // --- one-scan encode: cell id + m codes per candidate; the codes
+    // come from ONE native codegen'd argmin kernel (see pqTopK) ---
+    val subCentsArr: Array[Array[Array[Double]]] =
+      subCents.map(_.map(_.toArray).toArray).toArray
     val encoded = clean
       .select(col(idCol).cast("long").as("candidate_id"),
         col(vecCol).as("__v"),
         transform(col(vecCol), x => round(x.cast("double"), 6)).as("__vr"))
-      .select(col("candidate_id") +: bestCell(col("__v")).as("cell_id") +: codeCols: _*)
+      .select(col("candidate_id"), bestCell(col("__v")).as("cell_id"),
+        graft.functions.vecnative.pq_encode(col("__vr"), subCentsArr).as("__codes"))
 
     // --- probe side: (query, probed cell, LUTs) broadcast ---
     val lutCols = (0 until m).map { j =>
@@ -376,7 +366,7 @@ object Similarity {
       .filter(col("query_id") =!= col("candidate_id"))
       .select(col("query_id"), col("candidate_id"),
         round((0 until m).map(j =>
-          element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _), 6)
+          element_at(col(s"lut$j"), element_at(col("__codes"), j + 1) + 1)).reduce(_ + _), 6)
           .as("approx_ip"))
     if (refine <= 0)
       TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
