@@ -514,6 +514,26 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell_id, sim AS cosine FROM (
   FROM sf) WHERE rn = 1"""
   }
 
+  /** Oracle for `dedup_semantic` (SemDeDup): the [[embedKmeans]]
+    * assignment feeds a within-cell pair join over 6-dp-rounded
+    * vectors; a vector is dropped iff a lower-id cell-mate clears the
+    * rounded-cosine threshold.
+    */
+  def dedupSemantic(threshold: Double = 0.7): String =
+    s"""WITH km AS (SELECT vec_id, cell_id FROM (${embedKmeans()})),
+ev AS (SELECT CAST(vec_id AS BIGINT) AS id,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+  FROM embeddings),
+m AS (SELECT km.vec_id AS id, km.cell_id, ev.v,
+    sqrt(list_dot_product(ev.v, ev.v)) AS nrm
+  FROM km JOIN ev ON ev.id = km.vec_id),
+drp AS (SELECT DISTINCT b.id AS id
+  FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.id < b.id
+  WHERE round(CAST(${cosSql("a.v", "a.nrm", "b.v", "b.nrm")} AS DOUBLE), 6)
+    >= CAST($threshold AS DOUBLE))
+SELECT m.id AS vec_id, m.cell_id, (drp.id IS NULL) AS keep
+FROM m LEFT JOIN drp ON drp.id = m.id"""
+
   // ------------------------------------------------------------------
   // Multimodal stub codec (mirror of Multimodal.StubCodec)
   // ------------------------------------------------------------------

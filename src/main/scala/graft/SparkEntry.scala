@@ -1056,6 +1056,11 @@ object SparkEntry {
         ld(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
         "doc_id", "lang", mixRates, defaultMixRate)),
 
+    // Temperature-flattened source mixing: rate_s = sqrt(min/count_s),
+    // data-derived (no hand mix table) — rarest source keeps all rows.
+    "corpus_temperature_mix" -> ((s, dir) =>
+      Corpus.temperatureMix(ld(s, dir, "documents"))),
+
     // Hash-shard export stats: 16 deterministic md5 shards with
     // per-shard doc/token counts and min/max content fingerprints.
     "corpus_shard_stats" -> ((s, dir) =>
@@ -1150,6 +1155,13 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(ld(s, dir, "embeddings"), "embedding", "vec_id",
         dim = 64, bits = 10, threshold = 0.1)),
+
+    // SemDeDup: k-means clusters bound the quadratic step; within a
+    // cluster, drop every vector with a lower-id neighbor above the
+    // cosine threshold. k grows with corpus size (k ∝ √N) at scale.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(ld(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 8, iters = 2, threshold = 0.7)),
 
     // Two-stage near-dup dedup at scale: LSH candidates → exact
     // Jaccard verification (only candidate pairs are re-checked).
@@ -1369,6 +1381,32 @@ object SparkEntry {
       }
     }),
 
+    // The PRODUCTION sink shape for the streaming upsert: state changes
+    // append to a parquet log via foreachBatch (nothing driver-buffered),
+    // the log is compacted to one row per key (staged rename), and the
+    // current table is read back from files — write path, maintenance
+    // pass, and read path all exercised in one query. Same oracle as
+    // stream_upsert: the sink mechanics must not change the semantics.
+    "stream_upsert_filesink" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingUpsert
+      val keyed = eventsStream(s, dir).select(
+        col("user_id").cast("string").as("key"),
+        col("event_id").as("order"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "view", "r")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u").as("op"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"))).as("payload")
+      ).as[StreamingUpsert.KeyedEvent]
+      val root = s"/root/repo/target/tmp/fsink-${java.util.UUID.randomUUID()}"
+      StreamingUpsert.upsertToLog(keyed, s"$root/log", s"$root/ckpt")
+      StreamingUpsert.compactLog(s, s"$root/log"): Unit
+      StreamingUpsert.readCurrent(s, s"$root/log",
+        StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, props STRING"))
+        .localCheckpoint(true)
+    }),
+
     // Event-time windowed streaming aggregation with watermark — the
     // stateful streaming surface the reference handles in batch
     // (SURVEY §2.5 notes it has no watermarks/windows). Complete-mode
@@ -1499,6 +1537,28 @@ object SparkEntry {
         s"$root/lake", s"$root/ckpt", "topic")
       Jobs.rawIngest(RawSource.fileStream(s, s"$root/in"), spec)
       val day = Lake.readDay(s, spec.dataDir, 2024, 1, 2)
+        .drop(Lake.partitionColumns: _*)
+      val parsed = Jobs.parseRaw(day)
+      CdcOps.foldMerge(parsed, Seq("user_id"), Seq("timestamp", "event_id"))
+    }),
+
+    // The same e2e pipeline on ORC — the reference's actual lake format
+    // (`raw_data_handler.py:86`, `daily_data_handler.py:134`). Identical
+    // semantics (same oracle); only the columnar container differs.
+    "cdc_pipeline_orc" -> ((s, dir) => {
+      import graft.jobs.Jobs
+      import graft.model.TableSpec
+      import graft.sources.{Lake, RawSource}
+      val root = s"/root/repo/target/tmp/pipeq-orc-${java.util.UUID.randomUUID()}"
+      cdcEvents(s, dir).select(
+        col("timestamp"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"),
+          col(CdcOps.OpColumn), col(CdcOps.DeletedColumn))).as("value"))
+        .write.parquet(s"$root/in")
+      val spec = TableSpec("pipeq_orc", "graft_db", Seq("user_id"),
+        s"$root/lake", s"$root/ckpt", "topic", format = "orc")
+      Jobs.rawIngest(RawSource.fileStream(s, s"$root/in"), spec)
+      val day = Lake.readDay(s, spec.dataDir, 2024, 1, 2, spec.format)
         .drop(Lake.partitionColumns: _*)
       val parsed = Jobs.parseRaw(day)
       CdcOps.foldMerge(parsed, Seq("user_id"), Seq("timestamp", "event_id"))
@@ -1637,6 +1697,13 @@ object SparkEntry {
          |    ORDER BY event_id DESC) AS __rn
          |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
 
+    // sink mechanics (file log + compaction), not semantics: same oracle
+    "stream_upsert_filesink" ->
+      s"""$cdcSql SELECT event_id, user_id, value, props FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY event_id DESC) AS __rn
+         |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
     // batch split is mechanics, not semantics: same oracle as stream_upsert
     "stream_upsert_multibatch" ->
       s"""$cdcSql SELECT event_id, user_id, value, props FROM (
@@ -1645,6 +1712,15 @@ object SparkEntry {
          |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
 
     "cdc_pipeline_file" ->
+      s"""$cdcSql SELECT "timestamp", event_id, props, user_id, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc
+         |  WHERE year("timestamp") = 2024 AND month("timestamp") = 1
+         |    AND day("timestamp") = 2) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
+    // the columnar container (ORC vs parquet) must not change semantics
+    "cdc_pipeline_orc" ->
       s"""$cdcSql SELECT "timestamp", event_id, props, user_id, value FROM (
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
@@ -2359,6 +2435,17 @@ object SparkEntry {
          |  CASE lang $cases ELSE '${Corpus.hexThreshold(defaultMixRate)}' END""".stripMargin
     },
 
+    "corpus_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT MIN(cnt) AS mn FROM c),
+        |r AS (SELECT source,
+        |    sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |  < CAST(round(r.rate * 4294967296) AS BIGINT)""".stripMargin,
+
     "corpus_shard_stats" ->
       """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
         |  COUNT(*) AS n_docs,
@@ -2574,6 +2661,7 @@ object SparkEntry {
     "knn_pq" -> OracleGen.knnPq(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
     "dedup_clusters" -> OracleGen.dedupClusters,
+    "dedup_semantic" -> OracleGen.dedupSemantic(),
     "dedup_simhash" -> OracleGen.dedupSimhash,
     "dedup_embedding" -> OracleGen.dedupEmbedding,
     "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,

@@ -241,6 +241,36 @@ object Corpus {
     TopK.topKPerGroup(scored, Seq(strataCol), "coin", idCol, k)
   }
 
+  /** Temperature-flattened source mixing — the data-mixing step of LLM
+    * corpus assembly (cf. multilingual sampling in Conneau & Lample
+    * 2019 §3.1): sample each source at rate `(min_count/count)^0.5` so
+    * dominant sources are downsampled toward the rarest one instead of
+    * a hard cap. The exponent is fixed at 0.5 (sqrt) because IEEE sqrt
+    * and division are correctly rounded in every engine — a general
+    * `pow(x, α)` is not, and would break oracle portability.
+    *
+    * Keep/drop per row is the [[hashKeep]] md5 coin against
+    * `round(rate · 2³²)` — deterministic, reproducible, a pure filter.
+    * Scale shape: one tiny per-source count aggregate (map-side
+    * combined), a 1-row min broadcast back over it, then a broadcast
+    * join of the rate table onto the corpus scan. No corpus-sized
+    * shuffle at any size.
+    */
+  def temperatureMix(df: DataFrame, idCol: String = "doc_id",
+                     stratumCol: String = "source"): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+    val mn = counts.agg(min(col("__c")).as("__m"))
+    val rates = counts.crossJoin(broadcast(mn))
+      .select(col(stratumCol),
+        sqrt(col("__m").cast("double") / col("__c").cast("double")).as("__rate"))
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.select(col(idCol), col(stratumCol))
+      .join(broadcast(rates), stratumCol)
+      .filter(coin < round(col("__rate") * lit(4294967296.0)).cast("long"))
+      .select(col(idCol), col(stratumCol), round(col("__rate"), 6).as("rate"))
+  }
+
   /** BM25 keyword relevance over the corpus for a fixed query-term set
     * — the retrieval scoring behind corpus search / quality probes
     * (Robertson idf, Lucene parameterization: k1 term-frequency

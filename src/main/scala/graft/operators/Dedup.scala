@@ -263,4 +263,39 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embeddings, then WITHIN each cluster drop every vector that has a
+    * lower-id neighbor above the cosine threshold — one representative
+    * survives per tight semantic group, without any cross-cluster
+    * comparison. Output: one row per vector with its cluster and the
+    * keep/drop verdict.
+    *
+    * Scale shape: the clustering bounds the quadratic step — pairs are
+    * formed by a self-equi-join on `cell_id` (shuffle keyed by cell,
+    * never corpus × corpus), and at 100 TB you raise k with corpus size
+    * (k ∝ √N keeps expected cluster size √N) exactly as the paper
+    * does over its 8 TB runs. The drop rule is an EXISTS against the
+    * pair set — no transitive closure, so no iteration.
+    */
+  def semanticDedup(embs: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.7): DataFrame = {
+    val labeled = KMeans.sphericalKMeans(embs, vecCol, idCol, k = k, iters = iters)
+      .select(col("vec_id").as("id"), col("cell_id"))
+    val vecs = embs.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
+    val members = labeled.join(vecs, "id")
+    val dropped = members.select(col("cell_id"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(members.select(col("cell_id"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6)
+        >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    members.join(dropped, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell_id"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
 }

@@ -96,6 +96,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == ((true, false))) // canonical but wrong language
   }
 
+  test("temperatureMix: rarest source keeps all, dominant downsamples toward sqrt rate") {
+    // 400 "web" docs vs 25 "books" docs: rate_books = 1.0, rate_web = sqrt(25/400) = 0.25
+    val df = ((0L until 400L).map(i => (i, "web")) ++ (400L until 425L).map(i => (i, "books")))
+      .toDF("doc_id", "source")
+    val kept = Corpus.temperatureMix(df, "doc_id", "source")
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("books") == 25L) // rate 1.0: everything survives
+    val web = bySrc("web")
+    assert(web > 60 && web < 140, s"web kept $web of 400 at rate 0.25") // md5 coin ≈ binomial(400, .25)
+    val rates = kept.select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("books") == 1.0 && rates("web") == 0.25)
+    // determinism: identical row set on re-run
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Corpus.temperatureMix(df, "doc_id", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("shardStats: counts partition the corpus and tokens sum up") {
     val df = (0L until 200L).map(i => (i, s"word$i tok tok")).toDF("doc_id", "text")
     val stats = Corpus.shardStats(df).collect()

@@ -122,6 +122,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.sortBy(x => (x._1, x._3)).sameElements(again.sortBy(x => (x._1, x._3))))
   }
 
+  test("semanticDedup: planted near-identical vectors collapse to the lowest id") {
+    val rnd = new Random(23)
+    val dim = 16
+    def vec() = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    // 40 well-separated random vectors + 3 planted near-copies of id 1
+    // (tiny perturbation: cosine to the original > 0.999)
+    val base = (1L to 40L).map(i => (i, vec()))
+    val orig = base.head._2
+    val copies = (100L to 102L).map(i =>
+      (i, orig.map(x => x + rnd.nextDouble() * 1e-4)))
+    val embs = (base ++ copies).toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup
+      .semanticDedup(embs, "embedding", "vec_id", k = 4, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 43) // one verdict per vector
+    assert(out(1L), "lowest id of the duplicate group must survive")
+    assert(Seq(100L, 101L, 102L).forall(!out(_)), "planted copies must drop")
+    // random vectors in 16-d are near-orthogonal: none clears 0.95
+    assert(base.tail.forall { case (i, _) => out(i) }, "unrelated vectors must survive")
+  }
+
   test("ANN recall@3 vs brute force clears the floor on the real embeddings table") {
     // Correctness rows pin determinism; THIS pins retrieval quality —
     // the point of ANN. Ground truth = exact brute-force cosine top-3;
