@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.CdcOps
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Sketch}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.sources.Tables
 
@@ -92,6 +92,12 @@ object SparkEntry {
     */
   private val mixRates = Map("en" -> 0.3, "zh" -> 1.0)
   private val defaultMixRate = 0.8
+
+  /** Train/val/test weights for `corpus_split` — shared with the oracle
+    * so the exact 2³²-scaled boundaries are interpolated into both
+    * engines' predicates.
+    */
+  private val splitWeights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
   // ---------------------------------------------------------------
   // CDC event stream synthesized from the `events` table:
@@ -823,6 +829,15 @@ object SparkEntry {
           (abs(col("approx") - col("n_users")) <= col("n_users") * 0.05)
             .as("approx_within_5pct"))),
 
+    // Count-min-sketch heavy hitters: the bounded-memory mergeable
+    // sketch (≤ depth×width counters REGARDLESS of key cardinality —
+    // sketches from disjoint shards/days merge by addition) estimating
+    // the top-20 keys, with the exact count riding along as the oracle
+    // anchor: est ≥ exact always, overcount = hash collisions only.
+    "q_heavy_hitters" -> ((s, dir) =>
+      Sketch.cmsHeavyHitters(ld(s, dir, "events"), "user_id",
+        depth = 4, width = 64, topN = 20)),
+
     // Decile bucketing at scale: the nine interpolated thresholds come
     // from ONE corpus aggregate (broadcast back as a 1-row array), and
     // the bucket of each row is a pure projection comparing against
@@ -1061,6 +1076,13 @@ object SparkEntry {
     "corpus_temperature_mix" -> ((s, dir) =>
       Corpus.temperatureMix(ld(s, dir, "documents"))),
 
+    // Deterministic train/val/test split: stable hash assignment (not
+    // randomSplit) — a doc keeps its split across reruns and corpus
+    // growth, which is what makes held-out sets trustworthy. Pure
+    // projection, no shuffle at any scale.
+    "corpus_split" -> ((s, dir) =>
+      Corpus.deterministicSplit(ld(s, dir, "documents"), "doc_id", splitWeights)),
+
     // Hash-shard export stats: 16 deterministic md5 shards with
     // per-shard doc/token counts and min/max content fingerprints.
     "corpus_shard_stats" -> ((s, dir) =>
@@ -1227,6 +1249,20 @@ object SparkEntry {
       val e = ld(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Metadata-filtered ANN (the RAG retrieval shape: vector search
+    // under an attribute predicate): candidates pre-filtered by a
+    // left-semi join against matching documents BEFORE scoring, so a
+    // selective predicate shrinks the scan instead of post-filtering
+    // ranked results (post-filtering at k can return < k rows).
+    "knn_filtered" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val en = ld(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Similarity.bruteForceTopK(e.join(en, Seq("vec_id"), "left_semi"),
+        e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -1419,6 +1455,35 @@ object SparkEntry {
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("sum_value"))
       val sinkName = s"graft_winagg_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        s.table(sinkName).localCheckpoint(true)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
+    // Stateful streaming sessionization: session_window + watermark
+    // over the file-backed stream — variable-length session state that
+    // MERGES across rows (and micro-batches) is the stateful surface
+    // fixed windows can't show. Same boundary rule as the batch
+    // q_session_window (gap of exactly 30 min still merges); complete
+    // mode emits the final merged sessions.
+    "stream_session_window" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), sumD(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("n_events"), col("sum_value"))
+      val sinkName = s"graft_sesswin_${System.nanoTime()}"
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(sinkName)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2115,6 +2180,24 @@ object SparkEntry {
         |  TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // rebuilds the exact same CMS bucket for bucket: same md5 "j:key"
+    // hashes, same depth/width, est = min over rows of bucket totals
+    "q_heavy_hitters" ->
+      """WITH cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+        |buck AS (SELECT js.j, user_id, c,
+        |    CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b
+        |  FROM cnt CROSS JOIN range(4) js(j)),
+        |sketch AS (SELECT j, b, SUM(c) AS cnt FROM buck GROUP BY j, b),
+        |top AS (SELECT user_id, c FROM cnt ORDER BY c DESC, user_id LIMIT 20),
+        |est AS (SELECT bk.user_id, MIN(s.cnt) AS est
+        |  FROM buck bk JOIN top t ON t.user_id = bk.user_id
+        |  JOIN sketch s ON s.j = bk.j AND s.b = bk.b
+        |  GROUP BY bk.user_id)
+        |SELECT t.user_id, t.c AS exact_cnt, CAST(e.est AS BIGINT) AS est_cnt,
+        |  CAST(e.est - t.c AS BIGINT) AS overcount
+        |FROM top t JOIN est e ON e.user_id = t.user_id""".stripMargin,
+
     "q_distinct_approx" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users, TRUE AS approx_within_5pct
@@ -2361,6 +2444,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
 
+    // same gap rule as q_session_window, plus the decimal-exact value
+    // sum; the sink mechanics (streaming state) must not change the
+    // batch sessionization semantics
+    "stream_session_window" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, value, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS w_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
     // µs-cast both sides BEFORE comparing: the engine reads ts
     // truncated to µs, so the interval boundaries must be evaluated on
     // the truncated values too.
@@ -2445,6 +2551,15 @@ object SparkEntry {
         |FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |  < CAST(round(r.rate * 4294967296) AS BIGINT)""".stripMargin,
+
+    "corpus_split" -> {
+      val bounds = Corpus.splitBounds(splitWeights)
+      val coin = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+      val cases = bounds.init
+        .map { case (n, hi) => s"WHEN $coin < $hi THEN '$n'" }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+         |FROM documents""".stripMargin
+    },
 
     "corpus_shard_stats" ->
       """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
@@ -2634,6 +2749,24 @@ object SparkEntry {
         |        CASE WHEN qn * nrm = 0 THEN 0.0
         |             ELSE list_dot_product(qv, v) / (qn * nrm) END AS cos
         |      FROM n, q WHERE n.vec_id <> query_id),
+        |r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS "rank"
+        |      FROM s)
+        |SELECT query_id, candidate_id, cosine, "rank" FROM r WHERE "rank" <= 3""".stripMargin,
+
+    // candidate set restricted to English docs BEFORE ranking (queries
+    // stay unfiltered, as in the Spark query)
+    "knn_filtered" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT n.* FROM n JOIN (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en') d
+        |      ON d.doc_id = n.vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |s AS (SELECT query_id, c.vec_id AS candidate_id,
+        |        CASE WHEN qn * nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(qv, v) / (qn * nrm) END AS cos
+        |      FROM c, q WHERE c.vec_id <> query_id),
         |r AS (SELECT query_id, candidate_id, round(CAST(cos AS DOUBLE), 6) AS cosine,
         |        row_number() OVER (PARTITION BY query_id
         |          ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS "rank"

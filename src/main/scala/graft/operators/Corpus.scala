@@ -89,6 +89,41 @@ object Corpus {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
   }
 
+  /** Deterministic train/val/test assignment — the split step every
+    * training-data pipeline runs last: each row lands in exactly one
+    * named split by comparing its 32-bit md5 coin against the
+    * cumulative-weight thresholds. Hash-based (not `randomSplit`) so
+    * the assignment is stable under reruns, re-partitioning, and
+    * engine changes — a document keeps its split forever, which is
+    * what makes held-out sets trustworthy as the corpus grows. A pure
+    * projection: no shuffle, no state, embarrassingly parallel at any
+    * scale.
+    *
+    * @param splits ordered (name, weight) pairs; weights sum to ~1.
+    *               Boundaries are exact longs (`round(cum · 2³²)`), so
+    *               both engines make identical assignments.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0))
+    val bounds = splitBounds(splits)
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val expr = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, hi), acc) => when(coin < hi, name).otherwise(acc)
+    }
+    df.select(col(idCol), expr.as("split"))
+  }
+
+  /** (name, exclusive upper coin bound) per split — cumulative weights
+    * scaled to 2³² and rounded once, shared with the oracle so the
+    * literal boundaries are identical on both engines.
+    */
+  def splitBounds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.map(_._1).zip(cum.map(c => math.round(c * 4294967296.0)))
+  }
+
   /** Gopher-style repetition metrics per document (Rae et al. 2021,
     * "Scaling Language Models" §A1.1 quality rules, adapted to token
     * n-grams): how much of a document is the same n-gram over and over.

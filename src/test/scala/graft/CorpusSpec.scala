@@ -116,6 +116,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("deterministicSplit: total partition, stable under reruns AND corpus growth") {
+    val weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val small = (0L until 500L).toDF("doc_id")
+    val out = Corpus.deterministicSplit(small, "doc_id", weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 500) // exactly one split per row
+    val by = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(by("train") > 420 && by("train") < 480, s"train=${by("train")}")
+    assert(by.getOrElse("val", 0) + by.getOrElse("test", 0) == 500 - by("train"))
+    // growth stability: the first 500 docs keep their split when the
+    // corpus doubles — the property randomSplit does NOT have
+    val grown = Corpus.deterministicSplit((0L until 1000L).toDF("doc_id"), "doc_id", weights)
+      .filter(col("doc_id") < 500)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == out)
+  }
+
   test("shardStats: counts partition the corpus and tokens sum up") {
     val df = (0L until 200L).map(i => (i, s"word$i tok tok")).toDF("doc_id", "text")
     val stats = Corpus.shardStats(df).collect()

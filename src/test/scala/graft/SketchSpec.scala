@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketch
+
+/** Count-min sketch: bounded size, the one-sided error guarantee, and
+  * the additive-merge property that makes it work across shards.
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Zipf-ish skew: key k appears ~ 600/k times
+  private def skewed = (1 to 30).flatMap(k => Seq.fill(600 / k)(k.toLong))
+
+  test("cmsBuild: sketch is bounded by depth x width and counts sum to depth x N") {
+    val df = skewed.toDF("k")
+    val sk = Sketch.cmsBuild(df, "k", depth = 4, width = 16).collect()
+    assert(sk.length <= 4 * 16)
+    // every input row lands in exactly one bucket per hash row
+    val perRow = sk.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perRow.values.toSet == Set(skewed.size.toLong))
+  }
+
+  test("cmsHeavyHitters: estimates never undercount and the top set is exact") {
+    val out = Sketch.cmsHeavyHitters(skewed.toDF("k"), "k",
+      depth = 4, width = 16, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    // top-10 by exact count = keys 1..10 (counts strictly decrease in k)
+    assert(out.map(_._1).sorted.toSeq == (1L to 10L).toSeq)
+    out.foreach { case (k, exact, est, over) =>
+      assert(exact == 600 / k)
+      assert(est >= exact, s"CMS undercounted key $k")
+      assert(over == est - exact && over >= 0)
+    }
+  }
+
+  test("cms merges: sketch(a ++ b) = bucketwise sum of sketch(a) + sketch(b)") {
+    val (a, b) = skewed.splitAt(skewed.size / 2)
+    def toMap(xs: Seq[Long]) =
+      Sketch.cmsBuild(xs.toDF("k"), "k", depth = 3, width = 8).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = toMap(skewed)
+    val merged = (toMap(a).toSeq ++ toMap(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(whole == merged)
+  }
+
+  test("heavy hitters is deterministic across runs and tie-broken by key") {
+    val ties = (1L to 6L).flatMap(k => Seq.fill(5)(k)) // all counts equal
+    val out = Sketch.cmsHeavyHitters(ties.toDF("k"), "k", topN = 3)
+      .collect().map(_.getLong(0))
+    assert(out.sorted.sameElements(Array(1L, 2L, 3L))) // smallest keys win ties
+    val again = Sketch.cmsHeavyHitters(ties.toDF("k"), "k", topN = 3)
+      .collect().map(_.getLong(0))
+    assert(out.sorted.sameElements(again.sorted))
+  }
+}
