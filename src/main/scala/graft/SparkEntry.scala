@@ -232,6 +232,21 @@ object SparkEntry {
         .withColumn("net_delta", col("n_creates") - col("n_deletes"))
     }),
 
+    // Replica reconciliation: LWW snapshot of the first half of the
+    // log vs the full log, full-outer diff per key — the validation
+    // pass a replication pipeline runs to prove replica == source
+    // (and the audit trail when it isn't). Null-safe per-column
+    // comparison, one co-partitioned shuffle.
+    "cdc_reconcile" -> ((s, dir) => {
+      val ev = cdcEvents(s, dir)
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      def snap(df: DataFrame) =
+        CdcOps.foldMerge(df, Seq("user_id"), Seq("timestamp", "event_id"))
+      CdcOps.snapshotDiff(
+        snap(ev.filter(col("timestamp") < cut)), snap(ev),
+        Seq("user_id"), Seq("value", "props"))
+    }),
+
     // SCD Type-2 history from the change log: every upsert opens a
     // version, the next event of the same key closes it, deletes close
     // without opening. ONE window over (key, ts) — the lead() and the
@@ -1584,6 +1599,56 @@ object SparkEntry {
       }
     }),
 
+    // Stream-stream LEFT OUTER interval join: unmatched purchases
+    // surface with null click columns once the global watermark (min
+    // across both sides) proves no click can still arrive. Outer
+    // emission happens in the batch AFTER the watermark advances, so
+    // the input is staged as two mod-time-ordered files (split at Jan
+    // 15): batch 2 evicts batch 1's unmatched state using batch 1's
+    // closing watermark. Purchases that watermark never clears are
+    // withheld — correct unbounded-stream semantics, and the oracle
+    // models the boundary explicitly (as stream_late_data does).
+    "stream_outer_join" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      val inDir = stagedInputDir("split2", dir) { in =>
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split))
+          .zipWithIndex.foreach { case (group, i) =>
+            val tmp = new java.io.File(in.getParentFile, s"g$i")
+            group.coalesce(1).write.parquet(tmp.toString)
+            val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(in, f"$i%03d.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(System.currentTimeMillis()): Unit
+            Thread.sleep(1100)
+          }
+      }
+      def side(tpe: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        side("purchase"), side("click"), "user_id",
+        leftTs = "ts", rightTs = "ts",
+        before = "30 minutes", after = "0 seconds", watermark = "1 hour",
+        joinType = "left_outer")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          col("right_event_id").as("click_id"), col("right_ts").as("click_ts"))
+      val sinkName = s"graft_ojoin_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        s.table(sinkName).localCheckpoint(true)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     // End-to-end file pipeline: synthesize the raw Kafka envelope,
     // stream it (AvailableNow + checkpoint) into a date-partitioned
     // lake, partition-prune one day back out, infer the payload schema,
@@ -1840,6 +1905,27 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN __op = 'c' THEN 1 ELSE 0 END)
          |    - SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS net_delta
          |FROM cdc GROUP BY 1""".stripMargin,
+
+    "cdc_reconcile" ->
+      s"""$cdcSql, o AS (SELECT user_id, value, props FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY "timestamp" DESC, event_id DESC) AS rn
+         |    FROM cdc WHERE "timestamp" < TIMESTAMP '2024-01-15 00:00:00')
+         |  WHERE rn = 1 AND __op <> 'd'),
+         |n AS (SELECT user_id, value, props FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY "timestamp" DESC, event_id DESC) AS rn
+         |    FROM cdc)
+         |  WHERE rn = 1 AND __op <> 'd')
+         |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         |  CASE WHEN o.user_id IS NULL THEN 'insert'
+         |       WHEN n.user_id IS NULL THEN 'delete'
+         |       WHEN (o.value IS DISTINCT FROM n.value)
+         |         OR (o.props IS DISTINCT FROM n.props) THEN 'update'
+         |       ELSE 'unchanged' END AS status,
+         |  o.value AS value_old, n.value AS value_new,
+         |  o.props AS props_old, n.props AS props_new
+         |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin,
 
     "cdc_scd2" ->
       s"""$cdcSql, v AS (
@@ -2479,6 +2565,36 @@ object SparkEntry {
         |  c.event_id AS click_id, c.ts AS click_ts
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""".stripMargin,
+
+    // inner matches always emit; null-padded rows only for batch-1
+    // purchases (ts < the Jan 15 file split) that batch 1's closing
+    // watermark provably closed: ts < min(max batch-1 purchase ts, max
+    // batch-1 click ts, each ms-truncated as Spark tracks event time)
+    // - 1h. Batch-2 state is never evicted (no batch follows), so its
+    // unmatched purchases are withheld — modeled by the split filter.
+    "stream_outer_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT make_timestamp(LEAST(
+        |    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM p
+        |     WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM c
+        |     WHERE ts < TIMESTAMP '2024-01-15 00:00:00'))
+        |    - 3600000000) AS w),
+        |j AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |        c.event_id AS click_id, c.ts AS click_ts
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts),
+        |u AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |        CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS TIMESTAMP) AS click_ts
+        |      FROM p
+        |      WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)
+        |        AND p.ts < TIMESTAMP '2024-01-15 00:00:00'
+        |        AND p.ts < (SELECT w FROM wm))
+        |SELECT * FROM j UNION ALL SELECT * FROM u""".stripMargin,
 
     "corpus_pipeline" ->
       """WITH scored AS (

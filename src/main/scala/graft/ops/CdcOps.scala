@@ -274,6 +274,39 @@ object CdcOps {
       .filter(col(OpColumn) =!= OpCode.Delete)
       .drop(metaColumns: _*)
 
+  /** Replica reconciliation — diff two snapshots of the same keyed
+    * table (source vs replica, or t₁ vs t₂): FULL OUTER join on the
+    * key, each key classified insert / delete / update / unchanged.
+    * The comparison is null-safe per column (`IS NOT DISTINCT FROM`),
+    * never a stringified fingerprint — double→string formatting is
+    * engine-specific, the values themselves are not.
+    *
+    * Scale shape: ONE co-partitioned shuffle on the key for both sides
+    * (AQE skew-handles hot keys); classification is a pure projection.
+    * At 100 TB run it per lake partition — with both sides
+    * partition-pruned the join never holds more than a partition's
+    * keys, and the all-'unchanged' bulk can be filtered before any
+    * downstream collect/report.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val or = compareCols.foldLeft(
+      oldSnap.select((keys ++ compareCols).map(col): _*).withColumn("__old", lit(true)))(
+      (d, c) => d.withColumnRenamed(c, s"${c}_old"))
+    val nr = compareCols.foldLeft(
+      newSnap.select((keys ++ compareCols).map(col): _*).withColumn("__new", lit(true)))(
+      (d, c) => d.withColumnRenamed(c, s"${c}_new"))
+    val changed = compareCols.map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduce(_ || _)
+    or.join(nr, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        when(col("__old").isNull, "insert")
+          .when(col("__new").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged").as("status")) ++
+        compareCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new"))): _*)
+  }
+
   /** History "increment" mode for append-only fact tables
     * (`history_data_handler.py:143-157`): full-row dedup, then append.
     * The reference's `coalesce(1)` small-files control is replaced by

@@ -31,18 +31,26 @@ object StreamingOps {
     *
     * Right columns are prefixed with `right_` (the join key keeps the
     * left name).
+    *
+    * `joinType` may be `left_outer`: unmatched left rows surface with
+    * null right columns once the watermark proves no matching right
+    * row can still arrive — Spark holds them in state until then, so
+    * outer results trail the inner ones by up to the watermark delay
+    * (and rows the final watermark never clears are withheld, the
+    * price of a provably-correct outer result on an unbounded stream).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    before: String, after: String,
-                   watermark: String): DataFrame = {
+                   watermark: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"right_$c"))
       .withWatermark(s"right_$rightTs", watermark)
     l.join(r,
       col(key) === col(s"right_$key") &&
         col(s"right_$rightTs") >= col(leftTs) - expr(s"INTERVAL $before") &&
-        col(s"right_$rightTs") <= col(leftTs) + expr(s"INTERVAL $after"))
+        col(s"right_$rightTs") <= col(leftTs) + expr(s"INTERVAL $after"),
+      joinType)
       .drop(s"right_$key")
   }
 }

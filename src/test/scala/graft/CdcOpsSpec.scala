@@ -134,6 +134,25 @@ class CdcOpsSpec extends AnyFunSuite {
     assert(none.count() == 500L)
   }
 
+  test("snapshotDiff classifies insert/delete/update/unchanged null-safely") {
+    val old = Seq(
+      (1L, Some(10.0), Some("a")), // unchanged
+      (2L, Some(20.0), Some("b")), // updated value
+      (3L, None, Some("c")),       // updated: null -> value
+      (4L, Some(40.0), None)       // deleted
+    ).toDF("id", "v", "p")
+    val neu = Seq(
+      (1L, Some(10.0), Some("a")),
+      (2L, Some(21.0), Some("b")),
+      (3L, Some(30.0), Some("c")),
+      (5L, Some(50.0), Some("e"))  // inserted
+    ).toDF("id", "v", "p")
+    val out = CdcOps.snapshotDiff(old, neu, Seq("id"), Seq("v", "p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "update", 3L -> "update",
+      4L -> "delete", 5L -> "insert"))
+  }
+
   test("withDatePartitions derives op_year/op_month/op_day") {
     val out = CdcOps.withDatePartitions(Seq(ts(1)).toDF("timestamp"))
     val r = out.collect()(0)

@@ -56,4 +56,41 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(got == Seq((1L, 100L)))
     } finally query.stop()
   }
+
+  test("left-outer interval join emits null rows after the watermark closes the state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp, Long)]
+    val buys = MemoryStream[(String, Timestamp, Long)]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("user", "ts", "click_id"),
+      buys.toDF().toDF("user", "ts", "buy_id"),
+      key = "user", leftTs = "ts", rightTs = "ts",
+      before = "0 seconds", after = "1 hour", watermark = "10 minutes",
+      joinType = "left_outer")
+    val query = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("oj_out").start()
+    try {
+      clicks.addData(("u1", ts("2024-01-01 10:00:00"), 1L), ("u2", ts("2024-01-01 10:00:00"), 2L))
+      buys.addData(("u1", ts("2024-01-01 10:30:00"), 100L)) // u2 stays unmatched
+      query.processAllAvailable()
+      // inner match emits immediately; u2's null row is withheld while
+      // a matching buy could still arrive
+      val before = spark.table("oj_out").select("click_id").as[Long].collect().toSeq
+      assert(before == Seq(1L))
+      // advance both watermarks past u2's whole match window
+      // (10:00 + 1h + 10min), then one more batch to evict + emit
+      clicks.addData(("u3", ts("2024-01-01 12:00:00"), 3L))
+      buys.addData(("u3", ts("2024-01-01 12:00:01"), 103L))
+      query.processAllAvailable()
+      clicks.addData(("u4", ts("2024-01-01 12:00:02"), 4L))
+      buys.addData(("u4", ts("2024-01-01 12:00:03"), 104L))
+      query.processAllAvailable()
+      val out = spark.table("oj_out")
+        .select("click_id", "right_buy_id")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(out(2L) == -1L, "unmatched click must surface with null buy")
+      assert(out(1L) == 100L)
+    } finally query.stop()
+  }
 }
