@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Dedup, Similarity, Sketch}
+
+/** Physical-plan shape assertions — the scale contract, checked, not
+  * narrated: operators that claim "no corpus shuffle" / "broadcast
+  * join" / "one exchange" must show exactly that in the executed plan.
+  * Each assertion runs an action first so AQE finalizes the plan it
+  * actually executed.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def executed(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countOf(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
+
+  private def docs = (0L until 400L)
+    .map(i => (i, s"tok$i words here", if (i % 4 == 0) "web" else "books"))
+    .toDF("doc_id", "text", "source")
+
+  test("deterministicSplit is a pure projection: zero exchanges") {
+    val plan = executed(Corpus.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1)))
+    assert(!plan.contains("Exchange"), s"split shuffles:\n$plan")
+  }
+
+  test("temperatureMix joins the rate table by broadcast, never sort-merge") {
+    val plan = executed(Corpus.temperatureMix(docs, "doc_id", "source"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side sort-merge:\n$plan")
+  }
+
+  test("cmsBuild aggregates through exactly one shuffle (map-side combined)") {
+    val plan = executed(Sketch.cmsBuild(
+      (0L until 1000L).toDF("k"), "k", depth = 4, width = 32))
+    assert(countOf(plan, "Exchange") == 1, s"expected 1 exchange:\n$plan")
+    assert(countOf(plan, "HashAggregate") == 2, // partial + final
+      s"expected partial+final aggregate:\n$plan")
+    assert(!plan.contains("Sort"), s"unexpected sort:\n$plan")
+  }
+
+  test("exact dedup shuffles fingerprints, not text: exchange carries the hash only") {
+    val plan = executed(Dedup.exact(docs, "text", "doc_id"))
+    // plan strings print root-first, so map-side combine = a partial
+    // HashAggregate BELOW the exchange (later in the string)
+    val exIdx = plan.indexOf("Exchange")
+    assert(exIdx >= 0 && plan.lastIndexOf("HashAggregate") > exIdx,
+      s"no map-side combine below the shuffle:\n$plan")
+  }
+
+  test("brute-force ANN broadcasts the query side; the candidate scan never shuffles pairs") {
+    val embs = (0L until 200L)
+      .map(i => (i, Seq.fill(8)((i % 7).toDouble + 0.5)))
+      .toDF("vec_id", "embedding")
+    val df = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 2)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"scored pairs shuffle:\n$plan")
+  }
+}
