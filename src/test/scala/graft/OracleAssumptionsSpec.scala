@@ -41,4 +41,30 @@ class OracleAssumptionsSpec extends AnyFunSuite {
     val dir = writeDocs(Seq.empty)
     assert(OracleGen.guardViolations(spark, dir) == Seq("documents table is empty"))
   }
+
+  test("stream_outer_join boundary assumptions hold on the driver testdata") {
+    // The oracle models Spark's state eviction as `p.ts < wm1` with
+    // wm1 = min(max b1 purchase ts, max b1 click ts) - 1h (ms-floor).
+    // That < is only provably right while no purchase sits EXACTLY on
+    // the boundary, and wm1 only exists while batch 1 has both sides.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      assume(new java.io.File(s"$dir/events.parquet").exists())
+      val ev = graft.sources.Tables.load(spark, dir, "events")
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val b1 = ev.filter(col("ts") < split)
+      def sideMaxUs(tpe: String) = {
+        val rows = b1.filter(col("event_type") === tpe)
+          .agg(max(unix_micros(col("ts")))).collect()
+        assert(!rows(0).isNullAt(0), s"$sf: no $tpe rows in batch 1")
+        rows(0).getLong(0)
+      }
+      val wm1 = math.min(sideMaxUs("purchase"), sideMaxUs("click")) / 1000 * 1000 -
+        3600L * 1000000
+      val onBoundary = ev.filter(col("event_type") === "purchase" &&
+        unix_micros(col("ts")) === wm1).count()
+      assert(onBoundary == 0, s"$sf: purchase exactly on the eviction boundary")
+    }
+  }
 }
