@@ -1098,6 +1098,12 @@ object SparkEntry {
     "corpus_split" -> ((s, dir) =>
       Corpus.deterministicSplit(ld(s, dir, "documents"), "doc_id", splitWeights)),
 
+    // Sharded inverted index: term → sorted posting list per doc-id
+    // shard, so no term's corpus-wide list ever sits in one buffer —
+    // the index is materialized as it would be stored at 100 TB.
+    "corpus_inverted_index" -> ((s, dir) =>
+      Corpus.invertedIndex(ld(s, dir, "documents"))),
+
     // Hash-shard export stats: 16 deterministic md5 shards with
     // per-shard doc/token counts and min/max content fingerprints.
     "corpus_shard_stats" -> ((s, dir) =>
@@ -2676,6 +2682,14 @@ object SparkEntry {
       s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
          |FROM documents""".stripMargin
     },
+
+    "corpus_inverted_index" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) t WHERE tok <> '')
+        |SELECT term, doc_id % 8 AS shard, COUNT(*) AS df_shard,
+        |  list_sort(list(doc_id)) AS postings
+        |FROM toks GROUP BY term, doc_id % 8""".stripMargin,
 
     "corpus_shard_stats" ->
       """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,

@@ -124,6 +124,30 @@ object Corpus {
     splits.map(_._1).zip(cum.map(c => math.round(c * 4294967296.0)))
   }
 
+  /** Sharded inverted index — term → sorted posting list, the
+    * retrieval/contamination-lookup infrastructure export. Posting
+    * lists are built PER SHARD (`doc_id mod nShards`): at 100 TB a
+    * stop-word's corpus-wide posting list cannot sit in one
+    * aggregation buffer, so the index is materialized the way it
+    * would be stored and served — one bounded list per (term, shard),
+    * each ≤ the shard's doc count, a term's full list recovered by
+    * reading its shard rows. Plan: explode → distinct (term, doc) →
+    * ONE grouped aggregation keyed (term, shard); raising nShards is
+    * the knob that keeps every buffer bounded as the corpus grows.
+    */
+  def invertedIndex(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", nShards: Int = 8): DataFrame = {
+    require(nShards >= 1)
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .groupBy(col("term"), col("shard"))
+      .agg(count(lit(1)).as("df_shard"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
+
   /** Gopher-style repetition metrics per document (Rae et al. 2021,
     * "Scaling Language Models" §A1.1 quality rules, adapted to token
     * n-grams): how much of a document is the same n-gram over and over.

@@ -133,6 +133,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(grown == out)
   }
 
+  test("invertedIndex: postings are distinct, sorted, and shard-partitioned") {
+    val df = Seq(
+      (0L, "alpha beta alpha"),   // dup token within doc -> one posting
+      (1L, "beta  gamma"),        // multi-space
+      (8L, "beta"),               // same shard as doc 0 (mod 8)
+      (9L, "ALPHA")               // case-folds into alpha, shard 1
+    ).toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(df, nShards = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getSeq[Long](3))))
+      .toMap
+    assert(out(("alpha", 0L)) == ((1L, Seq(0L))))
+    assert(out(("alpha", 1L)) == ((1L, Seq(9L))))
+    assert(out(("beta", 0L)) == ((2L, Seq(0L, 8L)))) // sorted within shard
+    assert(out(("beta", 1L)) == ((1L, Seq(1L))))
+    assert(out(("gamma", 1L)) == ((1L, Seq(1L))))
+    assert(out.size == 5)
+    // df_shard always equals the posting-list length
+    assert(out.values.forall { case (dfs, p) => dfs == p.size })
+  }
+
   test("shardStats: counts partition the corpus and tokens sum up") {
     val df = (0L until 200L).map(i => (i, s"word$i tok tok")).toDF("doc_id", "text")
     val stats = Corpus.shardStats(df).collect()
