@@ -514,6 +514,37 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell_id, sim AS cosine FROM (
   FROM sf) WHERE rn = 1"""
   }
 
+  /** Oracle for `embed_pca` — replays [[graft.operators.Pca]]'s power
+    * iteration exactly: 6-dp components, per-row contribution
+    * `round(v[i]·round(v·pvₜ,6),6)` cast to exact decimal, summed,
+    * rounded, then the direction renormalized with `list_dot_product`
+    * (the same sequential fold as the Scala norm) and re-rounded.
+    */
+  def embedPca(iters: Int = 3, dim: Int = 64): String = {
+    val v0 = {
+      val c = java.math.BigDecimal.valueOf(1.0 / math.sqrt(dim.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      Seq.fill(dim)(c).mkString("[", ", ", "]")
+    }
+    val iterCtes = (1 to iters).map { t =>
+      s"""t${t}m AS (SELECT u.i AS i,
+    round(CAST(SUM(CAST(round(e.v[CAST(u.i AS INT)] *
+        round(list_dot_product(e.v, p.pv), 6), 6) AS DECIMAL(25,12))) AS DOUBLE), 6) AS m
+  FROM e CROSS JOIN p${t - 1} p, LATERAL unnest(range(1, ${dim + 1})) AS u(i)
+  GROUP BY u.i),
+t${t}v AS (SELECT list(m ORDER BY i) AS mv FROM t${t}m),
+p$t AS (SELECT list_transform(mv,
+    x -> round(x / sqrt(list_dot_product(mv, mv)), 6)) AS pv FROM t${t}v)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+p0 AS (SELECT $v0 AS pv),
+$iterCtes
+SELECT e.vec_id, round(list_dot_product(e.v, p.pv), 6) AS pc1
+FROM e CROSS JOIN p$iters p"""
+  }
+
   /** Oracle for `dedup_semantic` (SemDeDup): the [[embedKmeans]]
     * assignment feeds a within-cell pair join over 6-dp-rounded
     * vectors; a vector is dropped iff a lower-id cell-mate clears the

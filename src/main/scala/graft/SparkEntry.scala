@@ -1199,6 +1199,14 @@ object SparkEntry {
       Dedup.embeddingNearDup(ld(s, dir, "embeddings"), "embedding", "vec_id",
         dim = 64, bits = 10, threshold = 0.1)),
 
+    // First principal direction by power iteration: one exact-decimal
+    // corpus aggregate per iteration (dim numbers to the driver), then
+    // a pure codegen'd projection scores every vector — the whitening /
+    // outlier-pruning axis of an embedding table.
+    "embed_pca" -> ((s, dir) =>
+      graft.operators.Pca.pc1Scores(ld(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, iters = 3)),
+
     // SemDeDup: k-means clusters bound the quadratic step; within a
     // cluster, drop every vector with a lower-id neighbor above the
     // cosine threshold. k grows with corpus size (k ∝ √N) at scale.
@@ -2925,6 +2933,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
     "dedup_clusters" -> OracleGen.dedupClusters,
     "dedup_semantic" -> OracleGen.dedupSemantic(),
+    "embed_pca" -> OracleGen.embedPca(),
     "dedup_simhash" -> OracleGen.dedupSimhash,
     "dedup_embedding" -> OracleGen.dedupEmbedding,
     "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.vecnative
+
+/** First principal direction of an embedding table by power iteration
+  * — the dimensionality-reduction / whitening primitive (top PC scores
+  * drive outlier pruning and cheap 1-d indexing of embedding spaces).
+  *
+  * Each iteration is ONE corpus aggregate: with the current direction
+  * vₜ broadcast as a literal, every row contributes x·(x·vₜ) and the
+  * per-dimension sums are taken in EXACT decimal arithmetic
+  * (order-independent — the same discipline as [[KMeans]] centroid
+  * means), so the fitted direction is bit-stable under any partitioning.
+  * Only `dim` numbers ever reach the driver per iteration (bounded
+  * model fit, like the IVF/PQ codebooks). The final output is a pure
+  * projection: every vector's 6-dp-rounded score along the fitted
+  * direction via the native codegen'd dot kernel.
+  *
+  * Determinism/oracle parity: input components and every derived
+  * quantity are rounded to 6 dp before use (products before the
+  * decimal cast, sums after, the normalized direction after its
+  * divide), the start vector is the exact constant 1/√dim per
+  * component, and norms use the same sequential fold as DuckDB's
+  * `list_dot_product` — so the oracle replays the identical iteration.
+  */
+object Pca {
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The fitted unit direction after `iters` power iterations. */
+  def fitPc1(embs: DataFrame, vecCol: String, idCol: String,
+             dim: Int, iters: Int): Seq[Double] = {
+    val e = embs
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
+    var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      val d = round(vecnative.dot_product(col("v"), typedlit(v)), 6)
+      val sums = e.select((0 until dim).map(i =>
+        sum(round(element_at(col("v"), i + 1) * d, 6).cast("decimal(25,12)"))
+          .as(s"s$i")): _*).collect()(0)
+      val raw = (0 until dim).map(i => round6(sums.getDecimal(i).doubleValue()))
+      val nrm = math.sqrt(raw.map(x => x * x).sum) // ascending-index fold
+      require(nrm > 0, "power iteration collapsed to the zero vector")
+      v = raw.map(x => round6(x / nrm))
+    }
+    v
+  }
+
+  /** (id, pc1): every vector's score along the fitted first principal
+    * direction. The scoring pass is a single codegen'd projection.
+    */
+  def pc1Scores(embs: DataFrame, vecCol: String, idCol: String,
+                dim: Int, iters: Int = 3): DataFrame = {
+    val v = fitPc1(embs, vecCol, idCol, dim, iters)
+    embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        round(vecnative.dot_product(
+          transform(col(vecCol), x => round(x.cast("double"), 6)), typedlit(v)), 6)
+          .as("pc1"))
+  }
+}
