@@ -1098,6 +1098,14 @@ object SparkEntry {
     "corpus_split" -> ((s, dir) =>
       Corpus.deterministicSplit(ld(s, dir, "documents"), "doc_id", splitWeights)),
 
+    // Deterministic fractional upsampling: low-resource zh at 2.5×
+    // (every doc 2 or 3 times on its md5 coin, expectation exactly
+    // 2.5), everything else once — the upsampling half of temperature
+    // mixing, reproducible row-for-row.
+    "corpus_upsample" -> ((s, dir) =>
+      Corpus.upsample(ld(s, dir, "documents"), "doc_id", "lang",
+        Map("zh" -> 2.5))),
+
     // Sharded inverted index: term → sorted posting list per doc-id
     // shard, so no term's corpus-wide list ever sits in one buffer —
     // the index is materialized as it would be stored at 100 TB.
@@ -2689,6 +2697,20 @@ object SparkEntry {
         .map { case (n, hi) => s"WHEN $coin < $hi THEN '$n'" }.mkString(" ")
       s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "corpus_upsample" -> {
+      val cases = Seq("zh" -> 2.5).map { case (l, f) =>
+        val whole = math.floor(f).toLong
+        val bound = math.round((f - whole) * 4294967296.0)
+        s"""WHEN lang = '$l' THEN $whole + (CASE WHEN
+           |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           |      < $bound THEN 1 ELSE 0 END)""".stripMargin
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, CASE $cases ELSE 1 END AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy
+         |FROM d, LATERAL unnest(range(d.n)) AS u(c)""".stripMargin
     },
 
     "corpus_inverted_index" ->

@@ -124,6 +124,34 @@ object Corpus {
     splits.map(_._1).zip(cum.map(c => math.round(c * 4294967296.0)))
   }
 
+  /** Deterministic fractional upsampling — the complement of
+    * downsample mixing: a low-resource stratum with factor f appears
+    * ⌊f⌋ times plus one more when the row's md5 coin clears frac(f),
+    * so the EXPECTED multiplicity is exactly f while every run emits
+    * the identical row set (no RNG state, no `sample` nondeterminism).
+    * Pure projection + generator: `array_repeat`/`posexplode`, no
+    * shuffle at any scale; `copy` disambiguates the clones for
+    * downstream shuffling/packing.
+    */
+  def upsample(df: DataFrame, idCol: String, stratumCol: String,
+               factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0))
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    def copies(f: Double): Column = {
+      val whole = math.floor(f).toLong
+      val fracBound = math.round((f - whole) * 4294967296.0)
+      (lit(whole) + when(coin < lit(fracBound), 1L).otherwise(0L)).cast("int")
+    }
+    val n = factors.foldLeft(copies(defaultFactor)) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, copies(f)).otherwise(acc)
+    }
+    df.select(col(idCol), col(stratumCol), array_repeat(lit(1), n).as("__r"))
+      .select(col(idCol), col(stratumCol),
+        posexplode(col("__r")).as(Seq("copy", "__one")))
+      .select(col(idCol), col(stratumCol), col("copy").cast("long").as("copy"))
+  }
+
   /** Sharded inverted index — term → sorted posting list, the
     * retrieval/contamination-lookup infrastructure export. Posting
     * lists are built PER SHARD (`doc_id mod nShards`): at 100 TB a

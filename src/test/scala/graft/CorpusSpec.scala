@@ -133,6 +133,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(grown == out)
   }
 
+  test("upsample: factor 2.5 emits 2 or 3 deterministic copies, mean near 2.5") {
+    val df = (0L until 400L).map(i => (i, if (i < 200) "zh" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.upsample(df, "doc_id", "lang", Map("zh" -> 2.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // en: exactly one copy each, copy index 0
+    (200L until 400L).foreach(i => assert(byDoc(i) == Seq(0L)))
+    // zh: 2 or 3 contiguous copy indices; mean multiplicity ~ 2.5
+    val zhCounts = (0L until 200L).map(i => byDoc(i).size)
+    assert(zhCounts.forall(n => n == 2 || n == 3))
+    (0L until 200L).foreach(i => assert(byDoc(i) == (0 until byDoc(i).size).map(_.toLong)))
+    val mean = zhCounts.sum.toDouble / 200
+    assert(mean > 2.3 && mean < 2.7, s"mean $mean")
+    // determinism
+    val again = Corpus.upsample(df, "doc_id", "lang", Map("zh" -> 2.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("invertedIndex: postings are distinct, sorted, and shard-partitioned") {
     val df = Seq(
       (0L, "alpha beta alpha"),   // dup token within doc -> one posting
