@@ -514,6 +514,37 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell_id, sim AS cosine FROM (
   FROM sf) WHERE rn = 1"""
   }
 
+  /** Oracle for `text_winnow` — replays
+    * [[graft.functions.ShingleKernels.winnowFingerprints]]: positional
+    * shingle FNV hashes, per-window rightmost-minimum selection
+    * (unsigned HUGEINT order, position DESC tie-break), distinct
+    * selected hashes per doc converted to signed and sorted. Docs with
+    * no shingle surface with an empty list.
+    */
+  def textWinnow(n: Int = 5, w: Int = 4): String = {
+    val signed =
+      s"CAST(CASE WHEN h >= $Pow63::HUGEINT THEN h - $M64::HUGEINT ELSE h END AS BIGINT)"
+    s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+ph AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ${fnvShingle("t", "i", n)} AS h
+       FROM norm, LATERAL unnest(range(1, greatest(length(t) - ${n - 1}, 0) + 1)) AS u(i)),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM ph GROUP BY doc_id),
+sel AS (SELECT doc_id, i0, h FROM (
+    SELECT p.doc_id, w0.i0, p.h,
+      row_number() OVER (PARTITION BY p.doc_id, w0.i0
+        ORDER BY p.h ASC, p.i DESC) AS rn
+    FROM cnt c2
+    CROSS JOIN LATERAL unnest(range(1, c2.c - least($w, c2.c) + 2)) AS w0(i0)
+    JOIN ph p ON p.doc_id = c2.doc_id
+      AND p.i >= w0.i0 AND p.i < w0.i0 + least($w, c2.c)
+  ) WHERE rn = 1),
+fp AS (SELECT DISTINCT doc_id, $signed AS sh FROM sel),
+agg AS (SELECT doc_id, list_sort(list(sh)) AS fingerprints FROM fp GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.fingerprints, CAST([] AS BIGINT[])) AS fingerprints,
+  CAST(COALESCE(len(a.fingerprints), 0) AS BIGINT) AS n_fp
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+  }
+
   /** Oracle for `embed_pca` — replays [[graft.operators.Pca]]'s power
     * iteration exactly: 6-dp components, per-row contribution
     * `round(v[i]·round(v·pvₜ,6),6)` cast to exact decimal, summed,

@@ -994,6 +994,18 @@ object SparkEntry {
         col("doc_id"),
         TF.contentFingerprint(col("text")).as("fp"))),
 
+    // Winnowing fingerprints (MOSS, Schleimer et al. 2003): rolling-
+    // hash 5-char shingles, every 4-window keeps its rightmost-minimal
+    // hash — verbatim overlaps ≥ 8 chars between docs are GUARANTEED
+    // to share a fingerprint, with ~2/(w+1) of shingles retained. One
+    // codegen'd kernel pass per row (monotonic deque, O(shingles)),
+    // zero shuffle at any scale.
+    "text_winnow" -> ((s, dir) =>
+      ld(s, dir, "documents").select(col("doc_id"),
+        graft.functions.native.winnow_fingerprints(col("text"), 5, 4)
+          .as("fingerprints"))
+        .withColumn("n_fp", size(col("fingerprints")).cast("long"))),
+
     // PII scrubbing as a pure projection: per-pattern match counts on
     // the original text plus a fingerprint of the redacted text (the
     // scrub itself is a codegen'd regexp_replace chain — zero shuffle
@@ -2956,6 +2968,7 @@ object SparkEntry {
     "dedup_clusters" -> OracleGen.dedupClusters,
     "dedup_semantic" -> OracleGen.dedupSemantic(),
     "embed_pca" -> OracleGen.embedPca(),
+    "text_winnow" -> OracleGen.textWinnow(),
     "dedup_simhash" -> OracleGen.dedupSimhash,
     "dedup_embedding" -> OracleGen.dedupEmbedding,
     "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,

@@ -144,6 +144,50 @@ object ShingleKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): positional FNV-1a hashes of every n-char shingle of
+    * the normalized text; each w-wide window selects its minimal hash
+    * (UNSIGNED compare, rightmost minimum — the robust-winnowing tie
+    * rule); output = the distinct selected hashes, sorted signed. Any
+    * verbatim match of length ≥ n+w−1 chars between two documents is
+    * guaranteed to share a fingerprint. Texts with fewer than w
+    * shingles winnow their single short window (≥ 1 fingerprint
+    * whenever ≥ 1 shingle exists). One pass via a monotonic deque —
+    * O(shingles), not O(shingles·w).
+    */
+  def winnowFingerprints(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val chars = normalize(text.toString)
+    val count = chars.length - n + 1
+    if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hashes = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = (h ^ chars(i + j)) * FnvPrime; j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    val win = math.min(w, count)
+    val sel = new Array[Long](count)
+    var nSel = 0
+    val deque = new Array[Int](count) // indices, increasing unsigned hash
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < count) {
+      // evict ties too: a later equal hash replaces an earlier one
+      while (tail > head &&
+        java.lang.Long.compareUnsigned(hashes(deque(tail - 1)), hashes(i)) >= 0) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) { sel(nSel) = hashes(deque(head)); nSel += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(dedupSorted(sel, nSel))
+  }
+
   /** splitmix64 of the index — deterministic per-salt constant. */
   def salt(i: Int): Long = {
     var z = i.toLong + 0x9E3779B97F4A7C15L
@@ -174,6 +218,18 @@ case class TokenHashes(child: Expression, lowercase: Boolean = true) extends Una
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.tokenHashes($c, $lowercase)")
   override protected def withNewChildInternal(c: Expression): TokenHashes = copy(child = c)
+}
+
+/** array<bigint> winnowing fingerprints of a string column. */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  require(n > 0 && w > 0, "shingle length and window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.winnowFingerprints(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.winnowFingerprints($c, $n, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
 }
 
 /** 64-bit SimHash of an array<bigint> hash column. */
@@ -207,6 +263,8 @@ object native {
     Bridge.column(TokenHashes(Bridge.expression(c)))
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(hashes)))
+  def winnow_fingerprints(c: Column, n: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(c), n, w))
   def minhashes(hashes: Column, k: Int): Column =
     Bridge.column(MinHashes(Bridge.expression(hashes), k))
 }

@@ -14,6 +14,48 @@ class NativeExpressionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("winnow_fingerprints matches a naive reference and keeps the overlap guarantee") {
+    val n = 5
+    val w = 4
+    // naive winnow on already-normalized text (lowercase, single spaces)
+    def naive(t: String): Seq[Long] = {
+      val count = t.length - n + 1
+      if (count <= 0) return Seq.empty
+      val hs = (0 until count).map { i =>
+        var h = -3750763034362895579L // FNV offset basis
+        (0 until n).foreach(j => h = (h ^ t.charAt(i + j)) * 1099511628211L)
+        h
+      }
+      val win = math.min(w, count)
+      (0 to count - win).map { i0 =>
+        // rightmost minimum by unsigned value
+        (i0 until i0 + win).reduceLeft((a, b) =>
+          if (java.lang.Long.compareUnsigned(hs(b), hs(a)) <= 0) b else a)
+      }.map(hs).distinct.sorted
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "abababababababab", // periodic: repeated hashes exercise the tie rule
+      "aaaaaaaaaaaa",     // all shingles identical
+      "short", "tiny", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id", native.winnow_fingerprints($"text", n, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == naive(t), s"mismatch on '$t'")
+    }
+    // guarantee: docs sharing a >= n+w-1 char run share a fingerprint
+    val shared = "zqxjkvwpqm" // 10 > n+w-1 = 8
+    val a = s"prefix text $shared and more words"
+    val b = s"totally different lead-in $shared closing remark"
+    val g2 = Seq((0L, a), (1L, b)).toDF("id", "text")
+      .select($"id", native.winnow_fingerprints($"text", n, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(g2(0L).intersect(g2(1L)).nonEmpty, "shared run produced no common fingerprint")
+    // density: winnowing keeps far fewer than all shingles on long text
+    assert(got(0L).size < texts.head.length - n + 1)
+  }
+
   test("char_shingle_hashes: dedup, normalization, short-text edge cases") {
     val df = Seq(
       ("a", "Hello  World hello world"), // case+ws normalize to one form
