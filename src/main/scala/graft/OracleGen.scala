@@ -521,7 +521,10 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell_id, sim AS cosine FROM (
     * selected hashes per doc converted to signed and sorted. Docs with
     * no shingle surface with an empty list.
     */
-  def textWinnow(n: Int = 5, w: Int = 4): String = {
+  /** Shared CTE chain ending in `fp(doc_id, sh)` — one row per doc per
+    * distinct selected (signed) winnowing fingerprint.
+    */
+  private def winnowCtes(n: Int, w: Int): String = {
     val signed =
       s"CAST(CASE WHEN h >= $Pow63::HUGEINT THEN h - $M64::HUGEINT ELSE h END AS BIGINT)"
     s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
@@ -538,12 +541,31 @@ sel AS (SELECT doc_id, i0, h FROM (
     JOIN ph p ON p.doc_id = c2.doc_id
       AND p.i >= w0.i0 AND p.i < w0.i0 + least($w, c2.c)
   ) WHERE rn = 1),
-fp AS (SELECT DISTINCT doc_id, $signed AS sh FROM sel),
+fp AS (SELECT DISTINCT doc_id, $signed AS sh FROM sel)"""
+  }
+
+  def textWinnow(n: Int = 5, w: Int = 4): String =
+    s"""${winnowCtes(n, w)},
 agg AS (SELECT doc_id, list_sort(list(sh)) AS fingerprints FROM fp GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(a.fingerprints, CAST([] AS BIGINT[])) AS fingerprints,
   CAST(COALESCE(len(a.fingerprints), 0) AS BIGINT) AS n_fp
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
-  }
+
+  /** Oracle for `dedup_winnow` — candidate pairs sharing ≥ minShared
+    * winnowing fingerprints, degenerate fingerprints (> maxDocsPerFp
+    * docs) dropped before pairing, mirroring
+    * [[graft.operators.Dedup.winnowCandidates]].
+    */
+  def dedupWinnow(n: Int = 5, w: Int = 4,
+                  minShared: Int = 3, maxDocsPerFp: Int = 100): String =
+    s"""${winnowCtes(n, w)},
+fcnt AS (SELECT sh, COUNT(*) AS c FROM fp GROUP BY sh),
+keep AS (SELECT fp.doc_id, fp.sh FROM fp JOIN fcnt ON fcnt.sh = fp.sh
+         WHERE fcnt.c <= $maxDocsPerFp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM keep a JOIN keep b ON a.sh = b.sh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= $minShared"""
 
   /** Oracle for `embed_pca` — replays [[graft.operators.Pca]]'s power
     * iteration exactly: 6-dp components, per-row contribution

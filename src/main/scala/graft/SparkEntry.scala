@@ -1227,6 +1227,13 @@ object SparkEntry {
       graft.operators.Pca.pc1Scores(ld(s, dir, "embeddings"),
         "embedding", "vec_id", dim = 64, iters = 3)),
 
+    // Winnowing-based near-dup candidates: guaranteed recall on
+    // verbatim overlaps >= 24 chars (n=15, w=10 — about four words;
+    // vs MinHash's probabilistic recall); pairs form on the
+    // fingerprint key, boilerplate fingerprints capped before pairing.
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowCandidates(ld(s, dir, "documents"), "text", "doc_id")),
+
     // SemDeDup: k-means clusters bound the quadratic step; within a
     // cluster, drop every vector with a lower-id neighbor above the
     // cosine threshold. k grows with corpus size (k ∝ √N) at scale.
@@ -2969,6 +2976,7 @@ object SparkEntry {
     "dedup_semantic" -> OracleGen.dedupSemantic(),
     "embed_pca" -> OracleGen.embedPca(),
     "text_winnow" -> OracleGen.textWinnow(),
+    "dedup_winnow" -> OracleGen.dedupWinnow(n = 15, w = 10, minShared = 2),
     "dedup_simhash" -> OracleGen.dedupSimhash,
     "dedup_embedding" -> OracleGen.dedupEmbedding,
     "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,

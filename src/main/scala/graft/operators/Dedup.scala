@@ -264,6 +264,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing-fingerprint near-dup candidates: docs sharing at least
+    * `minShared` selected fingerprints ([[graft.functions.native
+    * .winnow_fingerprints]]) — the copy-detection complement of
+    * MinHash-LSH: winnowing GUARANTEES a shared fingerprint for any
+    * verbatim overlap ≥ n+w−1 chars, so candidate recall on verbatim
+    * reuse (boilerplate, quoting, mirrored pages) is exact rather than
+    * probabilistic.
+    *
+    * Scale shape: one codegen'd kernel pass selects ~2/(w+1) of the
+    * shingles per doc; pairs form by a self-equi-join keyed on the
+    * FINGERPRINT (like the LSH band join — never all-pairs), with
+    * degenerate fingerprints (> `maxDocsPerFp` docs — ubiquitous
+    * boilerplate) dropped before pairing, bounding any one join key's
+    * fan-out.
+    */
+  def winnowCandidates(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 15, w: Int = 10,
+                       minShared: Int = 2, maxDocsPerFp: Int = 100): DataFrame = {
+    val fps = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.native.winnow_fingerprints(col(textCol), n, w)).as("sh"))
+    val capped = fps
+      .withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("__c") <= maxDocsPerFp)
+      .drop("__c")
+    capped.select(col("doc_id").as("id_a"), col("sh"))
+      .join(capped.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embeddings, then WITHIN each cluster drop every vector that has a
     * lower-id neighbor above the cosine threshold — one representative

@@ -56,6 +56,21 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(got(0L).size < texts.head.length - n + 1)
   }
 
+  test("winnowCandidates pairs docs sharing a long verbatim run, not disjoint ones") {
+    val boiler = "all rights reserved contact the site administrator for details"
+    val docs = Seq(
+      (1L, s"unique opening words alpha $boiler"),
+      (2L, s"different beginning beta gamma $boiler trailing content"),
+      (3L, "completely unrelated vocabulary zeta theta iota kappa lambda"),
+      (4L, "another disjoint document mu nu xi omicron pi rho sigma")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "shared boilerplate must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("char_shingle_hashes: dedup, normalization, short-text edge cases") {
     val df = Seq(
       ("a", "Hello  World hello world"), // case+ws normalize to one form
