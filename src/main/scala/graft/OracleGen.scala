@@ -575,8 +575,7 @@ HAVING COUNT(*) >= $minShared"""
     */
   def embedPca(iters: Int = 3, dim: Int = 64): String = {
     val v0 = {
-      val c = java.math.BigDecimal.valueOf(1.0 / math.sqrt(dim.toDouble))
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val c = graft.functions.VectorKernels.round6(1.0 / math.sqrt(dim.toDouble))
       Seq.fill(dim)(c).mkString("[", ", ", "]")
     }
     val iterCtes = (1 to iters).map { t =>

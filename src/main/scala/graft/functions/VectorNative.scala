@@ -116,9 +116,6 @@ object VectorKernels {
     bucket.toInt
   }
 
-  private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-
   /** PQ encode: code j = argmin over sub-centroids t of the 6-dp-rounded
     * sequential L2² between subvector j and centroid (j, t), ties to the
     * lowest t — exactly the `least(struct(round(l2sq…), t)…)` trees in
@@ -162,6 +159,25 @@ object VectorKernels {
     case other => throw new IllegalArgumentException(
       s"expected array<float|double>, got $other")
   }
+
+  /** Analysis-time gate for the kernels: fail with a clean
+    * AnalysisException on anything but array<float|double> instead of
+    * a runtime IllegalArgumentException mid-job (the fold forms these
+    * kernels replaced accepted any numeric array via an element cast —
+    * the narrowing must at least surface at plan time).
+    */
+  def checkVectorInput(e: Expression, side: String)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$side must be array<float> or array<double>, got ${other.catalogString}" +
+          " (cast the column first)")
+  }
+
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }
 
 /** double cosine similarity of two numeric-array columns. */
@@ -169,6 +185,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   // lazy: children are unresolved until analysis
   private lazy val lf = VectorKernels.isFloatArray(left)
   private lazy val rf = VectorKernels.isFloatArray(right)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorKernels.checkVectorInput(left, "left")
+    if (l.isFailure) l else VectorKernels.checkVectorInput(right, "right")
+  }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -192,6 +212,10 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
   // lazy: children are unresolved until analysis
   private lazy val lf = VectorKernels.isFloatArray(left)
   private lazy val rf = VectorKernels.isFloatArray(right)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = VectorKernels.checkVectorInput(left, "left")
+    if (l.isFailure) l else VectorKernels.checkVectorInput(right, "right")
+  }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -213,6 +237,8 @@ case class HyperplaneBucketExpr(child: Expression, dim: Int, bits: Int, seed: Lo
     extends UnaryExpression {
   require(bits <= 30, "bucket bits must fit an int")
   private lazy val vf = VectorKernels.isFloatArray(child)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkVectorInput(child, "input")
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
@@ -230,6 +256,8 @@ case class HyperplaneBucketExpr(child: Expression, dim: Int, bits: Int, seed: Lo
 case class PqEncodeExpr(child: Expression, cents: Array[Array[Array[Double]]])
     extends UnaryExpression {
   private lazy val vf = VectorKernels.isFloatArray(child)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkVectorInput(child, "input")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true

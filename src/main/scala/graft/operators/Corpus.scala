@@ -56,6 +56,16 @@ object Corpus {
           .otherwise(lit(0.0)).as("contamination"))
   }
 
+  /** 32-bit md5 coin of a row id — long in [0, 2³²), THE deterministic
+    * sampling primitive every split/mix/upsample operator shares. Must
+    * stay byte-for-byte in sync with the oracle form
+    * `CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)`
+    * and the 2³² threshold-scaling convention — one definition so a
+    * drift cannot hit a single operator silently.
+    */
+  def md5Coin(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Uniform-in-[0,1) deterministic coin for a row id: the first 8 hex
     * chars of `md5(id)` compared as a STRING against a precomputed hex
     * threshold — engine-portable (md5 hex is lowercase in both Spark
@@ -107,8 +117,7 @@ object Corpus {
                          splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0))
     val bounds = splitBounds(splits)
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val coin = md5Coin(col(idCol))
     val expr = bounds.init.foldRight(lit(bounds.last._1): Column) {
       case ((name, hi), acc) => when(coin < hi, name).otherwise(acc)
     }
@@ -136,8 +145,7 @@ object Corpus {
   def upsample(df: DataFrame, idCol: String, stratumCol: String,
                factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
     require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0))
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val coin = md5Coin(col(idCol))
     def copies(f: Double): Column = {
       val whole = math.floor(f).toLong
       val fracBound = math.round((f - whole) * 4294967296.0)
@@ -323,8 +331,7 @@ object Corpus {
   def capPerStratum(docs: DataFrame, k: Int, strataCol: String = "source",
                     idCol: String = "doc_id"): DataFrame = {
     val scored = docs.select(col(strataCol), col(idCol),
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long").cast("double").as("coin"))
+      md5Coin(col(idCol)).cast("double").as("coin"))
     TopK.topKPerGroup(scored, Seq(strataCol), "coin", idCol, k)
   }
 
@@ -350,8 +357,7 @@ object Corpus {
     val rates = counts.crossJoin(broadcast(mn))
       .select(col(stratumCol),
         sqrt(col("__m").cast("double") / col("__c").cast("double")).as("__rate"))
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val coin = md5Coin(col(idCol))
     df.select(col(idCol), col(stratumCol))
       .join(broadcast(rates), stratumCol)
       .filter(coin < round(col("__rate") * lit(4294967296.0)).cast("long"))

@@ -28,8 +28,8 @@ import graft.functions.vecnative
   */
 object Pca {
 
-  private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  // the shared 6-dp HALF_UP contract — one definition, not a copy
+  private def round6(x: Double): Double = graft.functions.VectorKernels.round6(x)
 
   /** The fitted unit direction after `iters` power iterations. */
   def fitPc1(embs: DataFrame, vecCol: String, idCol: String,
@@ -43,6 +43,8 @@ object Pca {
       val sums = e.select((0 until dim).map(i =>
         sum(round(element_at(col("v"), i + 1) * d, 6).cast("decimal(25,12)"))
           .as(s"s$i")): _*).collect()(0)
+      require(!sums.isNullAt(0),
+        "power iteration needs at least one non-null embedding row")
       val raw = (0 until dim).map(i => round6(sums.getDecimal(i).doubleValue()))
       val nrm = math.sqrt(raw.map(x => x * x).sum) // ascending-index fold
       require(nrm > 0, "power iteration collapsed to the zero vector")

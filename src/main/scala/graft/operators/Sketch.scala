@@ -37,7 +37,11 @@ object Sketch {
     */
   def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1)
-    df.select(posexplode(array((0 until depth).map(j =>
+    // NULL keys are excluded, matching the oracle: DuckDB's `||` concat
+    // propagates NULL into a NULL bucket while Spark's concat_ws would
+    // silently hash the bare "j" prefix — drop them on both sides.
+    df.filter(col(keyCol).isNotNull)
+      .select(posexplode(array((0 until depth).map(j =>
         bucketOf(j, col(keyCol), width)): _*)).as(Seq("j", "bucket")))
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -59,7 +63,8 @@ object Sketch {
                       depth: Int = 4, width: Int = 64,
                       topN: Int = 20): DataFrame = {
     val sketch = cmsBuild(df, keyCol, depth, width)
-    val top = df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
+    val top = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col(keyCol))
       .limit(topN)
     val probes = top.select(col(keyCol), col("exact_cnt"),

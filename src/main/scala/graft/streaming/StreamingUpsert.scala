@@ -184,9 +184,19 @@ object StreamingUpsert {
       .toDF().localCheckpoint(true) // materialize before the source dir moves
     val n = compacted.count()
     compacted.write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(path, old)
-    fs.rename(tmp, path)
-    fs.delete(old, true)
+    // Hadoop rename signals failure by RETURNING FALSE, not throwing —
+    // unchecked, a leftover .compact-old from a crashed run would make
+    // both renames no-ops and silently skip compaction, and a failure
+    // between the two renames must abort loudly (rolling back the
+    // first) rather than leave no directory at dataDir.
+    if (fs.exists(old)) // debris from a crashed prior run; path is live
+      require(fs.delete(old, true), s"cannot clear stale $old")
+    require(fs.rename(path, old), s"compactLog: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back so readers still see the log
+      throw new IllegalStateException(s"compactLog: rename $tmp -> $path failed; rolled back")
+    }
+    require(fs.delete(old, true), s"compactLog: cleanup of $old failed")
     n
   }
 }
