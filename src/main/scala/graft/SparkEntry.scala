@@ -1118,6 +1118,12 @@ object SparkEntry {
       Corpus.upsample(ld(s, dir, "documents"), "doc_id", "lang",
         Map("zh" -> 2.5))),
 
+    // Corpus-wide top-100 bigram counts: the LM-statistics export
+    // (occurrences + doc frequency), two map-side-combined aggs and a
+    // distributed TakeOrdered — the vocabulary never globally sorts.
+    "corpus_ngram_counts" -> ((s, dir) =>
+      Corpus.ngramCounts(ld(s, dir, "documents"))),
+
     // Sharded inverted index: term → sorted posting list per doc-id
     // shard, so no term's corpus-wide list ever sits in one buffer —
     // the index is materialized as it would be stored at 100 TB.
@@ -2717,6 +2723,20 @@ object SparkEntry {
       s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
          |FROM documents""".stripMargin
     },
+
+    "corpus_ngram_counts" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, GREATEST(len(tk) - 1, 0)),
+        |      i -> tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)])) AS gram
+        |  FROM toks),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
+        |SELECT gram, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+        |  COUNT(*) AS n_docs
+        |FROM gc GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin,
 
     "corpus_upsample" -> {
       val cases = Seq("zh" -> 2.5).map { case (l, f) =>

@@ -160,6 +160,31 @@ object Corpus {
       .select(col(idCol), col(stratumCol), col("copy").cast("long").as("copy"))
   }
 
+  /** Corpus-wide n-gram statistics — the language-model counting pass
+    * (LM smoothing tables, boilerplate mining, contamination lookups):
+    * each token n-gram's total occurrence count and document
+    * frequency, cut to the top `k` grams (count desc, gram asc —
+    * deterministic at the boundary).
+    *
+    * Scale shape: project grams (no shuffle) → explode → one
+    * (doc, gram) count agg → one gram-keyed agg, all map-side
+    * combined; the final top-k is a distributed TakeOrdered moving k
+    * rows, never a global sort of the gram vocabulary.
+    */
+  def ngramCounts(docs: DataFrame, n: Int = 2, k: Int = 100,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        TextFunctions.nonEmptyTokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.wordShinglesAllOf(col("__toks"), n)).as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("gram"))
+      .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Sharded inverted index — term → sorted posting list, the
     * retrieval/contamination-lookup infrastructure export. Posting
     * lists are built PER SHARD (`doc_id mod nShards`): at 100 TB a
