@@ -1696,6 +1696,53 @@ object SparkEntry {
       }
     }),
 
+    // FULL outer stream-stream interval join over the same staged
+    // two-batch input: unmatched rows on EITHER side surface with
+    // nulls, and the two sides close at different watermark points —
+    // a purchase is provably unmatched at ts < wm, a click only at
+    // ts + 30min < wm (a future purchase could still reach back). The
+    // oracle models both eviction boundaries.
+    "stream_full_outer_join" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      val inDir = stagedInputDir("split2", dir) { in =>
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split))
+          .zipWithIndex.foreach { case (group, i) =>
+            val tmp = new java.io.File(in.getParentFile, s"g$i")
+            group.coalesce(1).write.parquet(tmp.toString)
+            val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(in, f"$i%03d.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(System.currentTimeMillis()): Unit
+            Thread.sleep(1100)
+          }
+      }
+      def side(tpe: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        side("purchase"), side("click"), "user_id",
+        leftTs = "ts", rightTs = "ts",
+        before = "30 minutes", after = "0 seconds", watermark = "1 hour",
+        joinType = "full_outer")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          col("right_event_id").as("click_id"), col("right_ts").as("click_ts"))
+      val sinkName = s"graft_fojoin_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        s.table(sinkName).localCheckpoint(true)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     // End-to-end file pipeline: synthesize the raw Kafka envelope,
     // stream it (AvailableNow + checkpoint) into a date-partitioned
     // lake, partition-prune one day back out, infer the payload schema,
@@ -2599,6 +2646,41 @@ object SparkEntry {
         |  MAX(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    // both eviction boundaries modeled: left closes at ts < wm1, right
+    // at ts + 30min < wm1 (a future purchase can reach 30min back);
+    // batch-2 state is never evicted, hence the split filters
+    "stream_full_outer_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT make_timestamp(LEAST(
+        |    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM p
+        |     WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM c
+        |     WHERE ts < TIMESTAMP '2024-01-15 00:00:00'))
+        |    - 3600000000) AS w),
+        |j AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |        c.event_id AS click_id, c.ts AS click_ts
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts),
+        |ul AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |        CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS TIMESTAMP) AS click_ts
+        |      FROM p
+        |      WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)
+        |        AND p.ts < TIMESTAMP '2024-01-15 00:00:00'
+        |        AND p.ts < (SELECT w FROM wm)),
+        |ur AS (SELECT CAST(NULL AS BIGINT) AS purchase_id, c.user_id,
+        |        CAST(NULL AS TIMESTAMP) AS purchase_ts,
+        |        c.event_id AS click_id, c.ts AS click_ts
+        |      FROM c
+        |      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)
+        |        AND c.ts < TIMESTAMP '2024-01-15 00:00:00'
+        |        AND c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+        |SELECT * FROM j UNION ALL SELECT * FROM ul UNION ALL SELECT * FROM ur""".stripMargin,
 
     // µs-cast both sides BEFORE comparing: the engine reads ts
     // truncated to µs, so the interval boundaries must be evaluated on

@@ -51,6 +51,9 @@ object StreamingOps {
         col(s"right_$rightTs") >= col(leftTs) - expr(s"INTERVAL $before") &&
         col(s"right_$rightTs") <= col(leftTs) + expr(s"INTERVAL $after"),
       joinType)
+      // right-only rows of a full/right outer carry the key only on the
+      // right side; coalescing is a no-op for inner/left rows
+      .withColumn(key, coalesce(col(key), col(s"right_$key")))
       .drop(s"right_$key")
   }
 }
