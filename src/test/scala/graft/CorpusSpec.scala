@@ -153,6 +153,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("ngramCounts: occurrence and doc-frequency counts, deterministic cut at k") {
+    val df = Seq(
+      (1L, "a b a b a b"), // "a b" x3, "b a" x2
+      (2L, "a b c"),       // "a b", "b c"
+      (3L, "x y")          // "x y"
+    ).toDF("doc_id", "text")
+    val out = Corpus.ngramCounts(df, n = 2, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "a b": 4 occurrences over 2 docs; tie at the k=2 cut between
+    // "b a"(2) and the 1-count grams resolves by count desc, gram asc
+    assert(out.toSeq == Seq(("a b", 4L, 2L), ("b a", 2L, 1L)))
+    val again = Corpus.ngramCounts(df, n = 2, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("invertedIndex: postings are distinct, sorted, and shard-partitioned") {
     val df = Seq(
       (0L, "alpha beta alpha"),   // dup token within doc -> one posting
