@@ -495,6 +495,187 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // ---- deep-join TPC-H family (Q7/Q9/Q10/Q13/Q14/Q15/Q17/Q18/Q19/
+    // Q22 adapted to the narrowed synthetic schema). Join-planning
+    // showcases: the fixed-size dims (supplier=100, nation=25) always
+    // broadcast; `part` scales with the data so it joins by shuffle
+    // with its filter pushed to the scan; fact-fact joins shuffle once
+    // on the fact key; every money aggregate runs in exact decimal and
+    // casts to double last (order-independent hashes).
+
+    // Q7 volume shipping: revenue between two nations by ship year,
+    // in both directions. supplier+nation broadcast; the only shuffle
+    // is lineitem⋈orders(⋈customer) on the fact keys.
+    "q7_nation_volume" -> ((s, dir) => {
+      val sup = ld(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(ld(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = ld(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(ld(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      ld(s, dir, "lineitem")
+        .join(ld(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+    }),
+
+    // Q9 product-type profit by supplier nation and order year. The
+    // `part` filter prunes at the scan BEFORE the shuffle join (part
+    // scales with data, so no broadcast); supplier/nation broadcast.
+    "q9_profit_by_nation" -> ((s, dir) => {
+      val p = ld(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val sup = ld(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(ld(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      ld(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ld(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("profit"))
+    }),
+
+    // Q10 returned-item reporting: top 20 customers by revenue lost to
+    // returns in a half-year window. Both date filters push to the
+    // scans; the ranking is a distributed TakeOrdered(20), never a
+    // global sort.
+    "q10_returned_items" -> ((s, dir) => {
+      val o = ld(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = ld(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      ld(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(ld(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q13 customer order-count distribution: LEFT OUTER join so
+    // zero-order customers keep c_count=0, then a second (tiny) agg
+    // over at most max-orders-per-customer distinct counts.
+    "q13_order_distribution" -> ((s, dir) =>
+      ld(s, dir, "customer").select(col("c_custkey"))
+        .join(ld(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // Q14 promotion-effect share: one quarter of lineitem joined to
+    // part; both legs of the ratio are exact decimal sums cast to
+    // double at the end, so the division is one deterministic IEEE op.
+    "q14_promo_share" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+      ld(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .join(ld(s, dir, "part").select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+            / sum(rev).cast("double"), 6).as("promo_share"))
+    }),
+
+    // Q15 top supplier by quarterly revenue: aggregate-then-max — the
+    // 1-row max broadcasts back over the 100-row per-supplier revenue
+    // (never a global sort), then the supplier dim decorates.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = ld(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+        .join(broadcast(ld(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // Q17 small-quantity-order revenue: the correlated 0.2*avg(qty)
+    // subquery decorrelated into a per-part aggregate re-joined on the
+    // same key; the brand/type part filter semi-prunes lineitem FIRST
+    // so the average only runs over surviving parts.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val pk = ld(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "MEDIUM")
+        .select(col("p_partkey"))
+      val li = ld(s, dir, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sumD(col("l_extendedprice")) / lit(7.0), 6).as("avg_yearly"))
+    }),
+
+    // Q18 large-volume orders: groupBy-HAVING on the fact table first
+    // (one shuffle on l_orderkey), then the survivors (tiny) broadcast
+    // back against orders/customer.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = ld(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sumD(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      ld(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(ld(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+    }),
+
+    // Q19 bracketed discounted revenue: an equi-join on partkey with
+    // the three OR'd brackets as a residual condition — stays a hash
+    // join (never a nested loop); the build side pre-filters to the
+    // three brands at the scan.
+    "q19_bracket_revenue" -> ((s, dir) => {
+      val p = ld(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      ld(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey") &&
+          ((col("p_brand") === "Brand#1" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+           (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+           (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // Q22 idle rich customers: global positive-balance average is a
+    // 1-row broadcast; "no recent orders" is a LEFT ANTI against the
+    // date-pruned orders scan; final agg groups by nation key.
+    "q22_idle_customers" -> ((s, dir) => {
+      val avgBal = ld(s, dir, "customer").filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+      val recent = ld(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .select(col("o_custkey").as("c_custkey"))
+      ld(s, dir, "customer")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sumD(col("c_acctbal")).as("totacctbal"))
+    }),
+
     // Correlated-subquery pattern decorrelated by hand: orders above
     // their customer's average order value. The per-customer average is
     // a groupBy re-joined on the same key — one shuffle, reused by the
@@ -2285,6 +2466,113 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  CAST($revenueExpr AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+         |JOIN customer c ON o.o_custkey  = c.c_custkey
+         |JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+         |JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST($revenueExpr AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |WHERE p_type = 'ECONOMY'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST($revenueExpr AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT round(CAST(100.0 AS DOUBLE) * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+         |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |  / CAST($revenueExpr AS DOUBLE), 6) AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST($revenueExpr AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH pk AS (SELECT p_partkey FROM part
+        |    WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM'),
+        |  li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |    FROM lineitem JOIN pk ON l_partkey = p_partkey),
+        |  a AS (SELECT l_partkey AS ap_partkey,
+        |      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |    FROM li GROUP BY 1)
+        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    / CAST(7.0 AS DOUBLE), 6) AS avg_yearly
+        |FROM li JOIN a ON l_partkey = ap_partkey
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_bracket_revenue" ->
+      s"""SELECT CAST($revenueExpr AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q_above_avg" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice

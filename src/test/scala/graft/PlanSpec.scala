@@ -58,6 +58,34 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine below the shuffle:\n$plan")
   }
 
+  private val sf = "/root/testdata/sf0.001"
+  private def haveTestdata = new java.io.File(s"$sf/lineitem.parquet").exists()
+
+  test("q19's OR-bracket residual rides the partkey equi-join — hash join, never a nested loop") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("q19_bracket_revenue")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"OR residual degraded to a nested loop:\n$plan")
+  }
+
+  test("q18 broadcasts the HAVING-filtered order keys back over the facts") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("q18_large_orders")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"big-order set not broadcast:\n$plan")
+  }
+
+  test("q15 resolves the max-revenue supplier with broadcasts only — no sort-merge join") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("q15_top_supplier")(spark, sf))
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$plan")
+  }
+
+  test("q22's anti-join against recent orders never goes cartesian") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("q22_idle_customers")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in anti-join plan:\n$plan")
+  }
+
   test("brute-force ANN broadcasts the query side; the candidate scan never shuffles pairs") {
     val embs = (0L until 200L)
       .map(i => (i, Seq.fill(8)((i % 7).toDouble + 0.5)))
