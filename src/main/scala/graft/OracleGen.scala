@@ -73,11 +73,19 @@ object OracleGen {
   private def fnvStep(acc: String, c: String): String =
     s"((($acc) // 65536 * 65536 + xor(CAST(($acc) % 65536 AS BIGINT), CAST(($c) AS BIGINT))) * $FnvPrime) % $M64::HUGEINT"
 
-  /** FNV-1a 64 of the n-char shingle at 1-based position `i` of `textcol`. */
-  private def fnvShingle(textcol: String, i: String, n: Int): String =
-    (0 until n).foldLeft(s"$FnvOffset::HUGEINT") { (acc, k) =>
-      fnvStep(acc, s"ord(substr($textcol, CAST($i+$k AS INT), 1))")
-    }
+  /** FNV-1a 64 of the n-char shingle at 1-based position `i` of `textcol`,
+    * emitted as ONE `list_reduce` over the shingle's char codes so the SQL
+    * is constant-size in `n`. (The previous textual foldLeft embedded the
+    * accumulator ~3× per step → ~3^n SQL growth; at n=15 that was a
+    * 6.2 MB oracle string that DuckDB parsed for minutes and which blew
+    * the driver's round-5 correctness-gate budget.)
+    */
+  private def fnvShingle(textcol: String, i: String, n: Int): String = {
+    val st = fnvStep("acc", "c")
+    s"list_reduce(list_prepend($FnvOffset::HUGEINT, " +
+      s"list_transform(range(0, $n), k -> CAST(ord(substr($textcol, CAST(($i)+k AS INT), 1)) AS HUGEINT))), " +
+      s"(acc, c) -> $st)"
+  }
 
   /** FNV-1a 64 of a whole token column via list_reduce over char codes. */
   private def fnvToken(tok: String): String = {
@@ -91,19 +99,28 @@ object OracleGen {
   // MinHash mixes (mirror of ShingleKernels.minHashes)
   // ------------------------------------------------------------------
 
-  /** `signed(rotl(h, r_i) ^ salt_i)` for mix i; `h` an unsigned HUGEINT
-    * expression. The xor is done in two 32-bit BIGINT halves.
+  /** `signed(rotl(h, r_i) ^ salt_i)` for mix i, staged as three
+    * expressions meant for CONSECUTIVE projection CTEs (rot → xor →
+    * signed) so every sub-term is computed once per row as a column.
+    * A single nested expression re-embeds the rotation ~6× and DuckDB
+    * re-evaluates each textual reference — measured ~20 s of the
+    * round-5 minhash-oracle runtime at sf0.01 came from exactly that.
+    * The xor is done in two 32-bit BIGINT halves (DuckDB has no
+    * unsigned 64-bit xor).
     */
-  private def mixSql(h: String, i: Int): String = {
+  private def rotSql(h: String, i: Int): String = {
     val r = (i * 23 + 17) % 63 + 1
+    s"(($h) % ${BigInt(1) << (64 - r)}::HUGEINT * ${BigInt(1) << r}::HUGEINT + ($h) // ${BigInt(1) << (64 - r)}::HUGEINT)"
+  }
+  private def xorSaltSql(rot: String, i: Int): String = {
     val salt = u64(ShingleKernels.salt(i))
     val hi = salt >> 32
     val lo = salt & 0xFFFFFFFFL
-    val rot = s"(($h) % ${BigInt(1) << (64 - r)}::HUGEINT * ${BigInt(1) << r}::HUGEINT + ($h) // ${BigInt(1) << (64 - r)}::HUGEINT)"
-    val x = s"(CAST(xor(CAST($rot // 4294967296 AS BIGINT), $hi) AS HUGEINT) * 4294967296 " +
+    s"(CAST(xor(CAST($rot // 4294967296 AS BIGINT), $hi) AS HUGEINT) * 4294967296 " +
       s"+ CAST(xor(CAST($rot % 4294967296 AS BIGINT), $lo) AS HUGEINT))"
-    s"CAST(CASE WHEN $x >= $Pow63::HUGEINT THEN $x - $M64::HUGEINT ELSE $x END AS BIGINT)"
   }
+  private def signedSql(x: String): String =
+    s"CAST(CASE WHEN $x >= $Pow63::HUGEINT THEN $x - $M64::HUGEINT ELSE $x END AS BIGINT)"
 
   /** Shared CTE chain for the MinHash-LSH pipeline, ending in
     * `pairs(id_a, id_b)` — mirrors [[graft.operators.Dedup.minHashCandidates]]:
@@ -112,22 +129,30 @@ object OracleGen {
     * bucket cap → in-bucket pairs.
     */
   private def minhashCtes(k: Int, bands: Int, rpb: Int, maxBucket: Int, shingleLen: Int): String = {
-    val mhAggs = (0 until k).map(i => s"MIN(${mixSql("h", i)}) AS mh$i").mkString(",\n    ")
+    val rots = (0 until k).map(i => s"${rotSql("h", i)} AS r$i").mkString(",\n    ")
+    val xors = (0 until k).map(i => s"${xorSaltSql(s"r$i", i)} AS x$i").mkString(",\n    ")
+    val mhAggs = (0 until k).map(i => s"MIN(${signedSql(s"x$i")}) AS mh$i").mkString(",\n    ")
     val banded = (0 until bands).map { b =>
       s"SELECT doc_id, $b AS band, ${(0 until rpb).map(j => s"mh${b * rpb + j} AS k$j").mkString(", ")} FROM sigs"
     }.mkString("\n  UNION ALL ")
     val coal = (0 until k).map(i => s"COALESCE(g.mh$i, ${Long.MaxValue}) AS mh$i").mkString(", ")
     val keyEq = (0 until rpb).map(j => s"a.k$j = b.k$j").mkString(" AND ")
-    s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
-dh AS (SELECT DISTINCT doc_id, ${fnvShingle("t", "i", shingleLen)} AS h
+    // MATERIALIZED everywhere a CTE is referenced more than once (banded
+    // reads sigs `bands` times; the recursive dedup_clusters closure
+    // re-reads pairs per round) — DuckDB otherwise inlines and re-runs
+    // the whole upstream pipeline per reference.
+    s"""WITH norm AS MATERIALIZED (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+dh AS MATERIALIZED (SELECT DISTINCT doc_id, ${fnvShingle("t", "i", shingleLen)} AS h
        FROM norm, LATERAL unnest(range(1, greatest(length(t) - ${shingleLen - 1}, 0) + 1)) AS u(i)),
-gsigs AS (SELECT doc_id, $mhAggs FROM dh GROUP BY doc_id),
-sigs AS (SELECT n.doc_id, $coal FROM norm n LEFT JOIN gsigs g ON n.doc_id = g.doc_id),
+rots AS (SELECT doc_id, $rots FROM dh),
+xors AS (SELECT doc_id, $xors FROM rots),
+gsigs AS (SELECT doc_id, $mhAggs FROM xors GROUP BY doc_id),
+sigs AS MATERIALIZED (SELECT n.doc_id, $coal FROM norm n LEFT JOIN gsigs g ON n.doc_id = g.doc_id),
 banded AS ($banded),
-capped AS (SELECT * FROM (
+capped AS MATERIALIZED (SELECT * FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY band, ${(0 until rpb).map("k" + _).mkString(", ")}) AS bn FROM banded)
   WHERE bn <= $maxBucket),
-pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM capped a JOIN capped b
             ON a.band = b.band AND $keyEq AND a.doc_id < b.doc_id)"""
   }

@@ -56,6 +56,23 @@ object SparkEntry {
     in.getAbsolutePath
   }
 
+  /** Lay `groups` out as one parquet file each, named in planting order,
+    * with explicit strictly-increasing mod times spaced 2 s apart (the
+    * file source orders by mod time; an explicit gap is unambiguous at
+    * any filesystem timestamp granularity) — no wall-clock sleeps.
+    */
+  private def stageOrderedFiles(in: java.io.File, groups: Seq[DataFrame]): Unit = {
+    val base = System.currentTimeMillis() - 3600L * 1000
+    groups.zipWithIndex.foreach { case (group, i) =>
+      val tmp = new java.io.File(in.getParentFile, s"g$i")
+      group.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, f"$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(base + i * 2000L), s"cannot set mtime on $dst")
+    }
+  }
+
   /** Per-JVM memoized bucketed tables for `q_bucketed_join`: bucketBy(8)
     * + sortBy both sides on the join key, once per sfDir (dir-keyed
     * table names), so a repeated invocation times the exchange-free join
@@ -328,15 +345,19 @@ object SparkEntry {
     // TPC-H Q2-style correlated "min per group, then decorate" lookup:
     // cheapest supplier per small part. The correlated subquery is
     // decorrelated by hand into groupBy + window-over-filtered-keys —
-    // the part filter semi-joins the cost table BEFORE the window so
-    // the per-part sort only runs over parts that survive the filter.
+    // and the `p_size <= 10` part filter is pushed BELOW the cost
+    // aggregate as a broadcast left-semi join on lineitem, so the
+    // (l_partkey, l_suppkey) groupBy shuffles only the ~10% of rows
+    // whose part survives, not the whole fact table.
     "q2_min_cost_supplier" -> ((s, dir) => {
+      val smallParts = ld(s, dir, "part").filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_name"))
       val cost = ld(s, dir, "lineitem")
+        .join(broadcast(smallParts.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(round(sumD(col("l_extendedprice")) / sumD(col("l_quantity")), 6)
           .as("unit_cost"))
-      val smallParts = ld(s, dir, "part").filter(col("p_size") <= 10)
-        .select(col("p_partkey"), col("p_name"))
       val w = Window.partitionBy(col("l_partkey"))
         .orderBy(col("unit_cost").asc, col("l_suppkey").asc)
       cost.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
@@ -1762,16 +1783,8 @@ object SparkEntry {
         // one parquet file per group, strictly increasing mod times so
         // the file source (latestFirst=false orders by mod time)
         // batches them in planting order
-        Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split), planted)
-          .zipWithIndex.foreach { case (group, i) =>
-            val tmp = new java.io.File(in.getParentFile, s"g$i")
-            group.coalesce(1).write.parquet(tmp.toString)
-            val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-            val dst = new java.io.File(in, f"$i%03d.parquet")
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            dst.setLastModified(System.currentTimeMillis()): Unit
-            Thread.sleep(1100)
-          }
+        stageOrderedFiles(in,
+          Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split), planted))
       }
       val agg = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1840,16 +1853,8 @@ object SparkEntry {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
-        Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split))
-          .zipWithIndex.foreach { case (group, i) =>
-            val tmp = new java.io.File(in.getParentFile, s"g$i")
-            group.coalesce(1).write.parquet(tmp.toString)
-            val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-            val dst = new java.io.File(in, f"$i%03d.parquet")
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            dst.setLastModified(System.currentTimeMillis()): Unit
-            Thread.sleep(1100)
-          }
+        stageOrderedFiles(in,
+          Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split)))
       }
       def side(tpe: String) = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1887,16 +1892,8 @@ object SparkEntry {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
-        Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split))
-          .zipWithIndex.foreach { case (group, i) =>
-            val tmp = new java.io.File(in.getParentFile, s"g$i")
-            group.coalesce(1).write.parquet(tmp.toString)
-            val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-            val dst = new java.io.File(in, f"$i%03d.parquet")
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            dst.setLastModified(System.currentTimeMillis()): Unit
-            Thread.sleep(1100)
-          }
+        stageOrderedFiles(in,
+          Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split)))
       }
       def side(tpe: String) = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)

@@ -284,11 +284,15 @@ object Dedup {
                        minShared: Int = 2, maxDocsPerFp: Int = 100): DataFrame = {
     val fps = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(graft.functions.native.winnow_fingerprints(col(textCol), n, w)).as("sh"))
-    val capped = fps
-      .withColumn("__c", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+    // Per-fingerprint doc counts via a map-side-combinable aggregate,
+    // then join the survivors back — a count-over-window here would
+    // sort-shuffle the whole exploded relation and buffer every hot
+    // fingerprint's rows in one partition, exactly the boilerplate
+    // fan-out `maxDocsPerFp` exists to bound.
+    val keepFp = fps.groupBy(col("sh")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") <= maxDocsPerFp)
-      .drop("__c")
+      .select(col("sh"))
+    val capped = fps.join(keepFp, "sh")
     capped.select(col("doc_id").as("id_a"), col("sh"))
       .join(capped.select(col("doc_id").as("id_b"), col("sh")), "sh")
       .filter(col("id_a") < col("id_b"))

@@ -290,6 +290,13 @@ object CdcOps {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: compareCols must be non-empty")
+    val internal = Seq("__old", "__new") ++
+      compareCols.flatMap(c => Seq(s"${c}_old", s"${c}_new"))
+    val clash = (keys ++ compareCols).intersect(internal)
+    require(clash.isEmpty,
+      s"snapshotDiff: input column(s) ${clash.mkString(", ")} collide with " +
+        "the internal __old/__new markers or the *_old/*_new output names")
     val or = compareCols.foldLeft(
       oldSnap.select((keys ++ compareCols).map(col): _*).withColumn("__old", lit(true)))(
       (d, c) => d.withColumnRenamed(c, s"${c}_old"))

@@ -80,6 +80,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$plan")
   }
 
+  test("q2's part filter is pushed below the cost aggregate as a semi-join") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("q2_min_cost_supplier")(spark, sf))
+    // root-first plan string: the semi-join must appear BELOW (after)
+    // the last HashAggregate so the groupBy only sees filtered rows
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(semiIdx >= 0, s"no semi-join in plan:\n$plan")
+    assert(plan.lastIndexOf("HashAggregate") < semiIdx,
+      s"cost aggregate runs below the part semi-join (unfiltered facts):\n$plan")
+  }
+
   test("q22's anti-join against recent orders never goes cartesian") {
     assume(haveTestdata)
     val plan = executed(SparkEntry.queries("q22_idle_customers")(spark, sf))
