@@ -598,29 +598,59 @@ HAVING COUNT(*) >= $minShared"""
     * rounded, then the direction renormalized with `list_dot_product`
     * (the same sequential fold as the Scala norm) and re-rounded.
     */
-  def embedPca(iters: Int = 3, dim: Int = 64): String = {
+  /** Power-iteration CTE chain `${pfx}p0 … ${pfx}p$iters` over a source
+    * CTE `src(vec_id, v)` — shared by [[embedPca]] and the deflated
+    * second component in [[embedPca2]].
+    */
+  private def pcaIterCtes(src: String, pfx: String, iters: Int, dim: Int): String = {
     val v0 = {
       val c = graft.functions.VectorKernels.round6(1.0 / math.sqrt(dim.toDouble))
       Seq.fill(dim)(c).mkString("[", ", ", "]")
     }
     val iterCtes = (1 to iters).map { t =>
-      s"""t${t}m AS (SELECT u.i AS i,
-    round(CAST(SUM(CAST(round(e.v[CAST(u.i AS INT)] *
-        round(list_dot_product(e.v, p.pv), 6), 6) AS DECIMAL(25,12))) AS DOUBLE), 6) AS m
-  FROM e CROSS JOIN p${t - 1} p, LATERAL unnest(range(1, ${dim + 1})) AS u(i)
+      s"""${pfx}t${t}m AS (SELECT u.i AS i,
+    round(CAST(SUM(CAST(round($src.v[CAST(u.i AS INT)] *
+        round(list_dot_product($src.v, p.pv), 6), 6) AS DECIMAL(25,12))) AS DOUBLE), 6) AS m
+  FROM $src CROSS JOIN ${pfx}p${t - 1} p, LATERAL unnest(range(1, ${dim + 1})) AS u(i)
   GROUP BY u.i),
-t${t}v AS (SELECT list(m ORDER BY i) AS mv FROM t${t}m),
-p$t AS (SELECT list_transform(mv,
-    x -> round(x / sqrt(list_dot_product(mv, mv)), 6)) AS pv FROM t${t}v)"""
+${pfx}t${t}v AS (SELECT list(m ORDER BY i) AS mv FROM ${pfx}t${t}m),
+${pfx}p$t AS (SELECT list_transform(mv,
+    x -> round(x / sqrt(list_dot_product(mv, mv)), 6)) AS pv FROM ${pfx}t${t}v)"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    s"${pfx}p0 AS (SELECT $v0 AS pv),\n$iterCtes"
+  }
+
+  private def pcaSourceCte: String =
+    s"""e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS vec_id,
     list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
-  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-p0 AS (SELECT $v0 AS pv),
-$iterCtes
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"""
+
+  def embedPca(iters: Int = 3, dim: Int = 64): String =
+    s"""WITH $pcaSourceCte,
+${pcaIterCtes("e", "", iters, dim)}
 SELECT e.vec_id, round(list_dot_product(e.v, p.pv), 6) AS pc1
 FROM e CROSS JOIN p$iters p"""
-  }
+
+  /** Oracle for `embed_pca2` — [[embedPca]]'s first direction, then
+    * Hotelling deflation (x ← x − (x·pc1)·pc1 with 6-dp rounding at the
+    * projection, each product, and each difference — mirroring
+    * [[graft.operators.Pca]]'s `deflated`), then the same power
+    * iteration over the deflated vectors for direction 2. pc2 scores
+    * the DEFLATED vector, exactly as the Scala side does.
+    */
+  def embedPca2(iters: Int = 3, dim: Int = 64): String =
+    s"""WITH $pcaSourceCte,
+${pcaIterCtes("e", "", iters, dim)},
+d1 AS (SELECT e.vec_id, e.v, round(list_dot_product(e.v, p.pv), 6) AS pj
+  FROM e CROSS JOIN p$iters p),
+e2 AS MATERIALIZED (SELECT d1.vec_id, list_transform(range(1, ${dim + 1}),
+    i -> round(d1.v[CAST(i AS INT)] - round(d1.pj * p.pv[CAST(i AS INT)], 6), 6)) AS v
+  FROM d1 CROSS JOIN p$iters p),
+${pcaIterCtes("e2", "q", iters, dim)}
+SELECT e.vec_id, round(list_dot_product(e.v, pa.pv), 6) AS pc1,
+  round(list_dot_product(e2.v, pb.pv), 6) AS pc2
+FROM e JOIN e2 ON e2.vec_id = e.vec_id
+CROSS JOIN p$iters pa CROSS JOIN qp$iters pb"""
 
   /** Oracle for `dedup_semantic` (SemDeDup): the [[embedKmeans]]
     * assignment feeds a within-cell pair join over 6-dp-rounded

@@ -283,6 +283,21 @@ object SparkEntry {
         lit("2024-01-15 00:00:00").cast("timestamp"),
         Seq("timestamp", "event_id"))),
 
+    // Composition pin: the as-of state read FROM the SCD2 history (the
+    // version whose [valid_from, valid_to) covers the instant; deleted
+    // keys have no covering version) must equal the LWW log replay —
+    // same oracle as cdc_snapshot_asof, so Scd.scd2 and Scd.snapshotAt
+    // are held against each other by the gate, not just by ScdSpec.
+    "cdc_scd2_asof" -> ((s, dir) => {
+      val t = lit("2024-01-15 00:00:00").cast("timestamp")
+      graft.ops.Scd.scd2(cdcEvents(s, dir), Seq("user_id"),
+          Seq("timestamp", "event_id"))
+        .filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select(col("timestamp"), col("event_id"), col("user_id"),
+          col("value"), col("props"))
+    }),
+
     "cdc_date_parts" -> ((s, dir) =>
       CdcOps.withDatePartitions(
         ld(s, dir, "events").select(col("ts").as("timestamp"), col("event_id")))
@@ -1435,6 +1450,14 @@ object SparkEntry {
       graft.operators.Pca.pc1Scores(ld(s, dir, "embeddings"),
         "embedding", "vec_id", dim = 64, iters = 3)),
 
+    // Two components via Hotelling deflation: pc2 is fit by the same
+    // power iteration over vectors with the pc1 projection subtracted
+    // (componentwise 6-dp contract) — a real 2-d reduction, still only
+    // 2 × dim numbers of driver state and one projection to score.
+    "embed_pca2" -> ((s, dir) =>
+      graft.operators.Pca.pcaScores(ld(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, iters = 3, nComponents = 2)),
+
     // Winnowing-based near-dup candidates: guaranteed recall on
     // verbatim overlaps >= 24 chars (n=15, w=10 — about four words;
     // vs MinHash's probabilistic recall); pairs form on the
@@ -2210,6 +2233,15 @@ object SparkEntry {
          |FROM v WHERE __op <> 'd'""".stripMargin,
 
     "cdc_snapshot_asof" ->
+      s"""$cdcSql SELECT $payloadCols FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc WHERE "timestamp" <= TIMESTAMP '2024-01-15 00:00:00')
+         |WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
+    // deliberately the SAME replay oracle as cdc_snapshot_asof: the
+    // SCD2-derived as-of view must land on identical rows
+    "cdc_scd2_asof" ->
       s"""$cdcSql SELECT $payloadCols FROM (
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
@@ -3362,6 +3394,7 @@ object SparkEntry {
     "dedup_clusters" -> OracleGen.dedupClusters,
     "dedup_semantic" -> OracleGen.dedupSemantic(),
     "embed_pca" -> OracleGen.embedPca(),
+    "embed_pca2" -> OracleGen.embedPca2(),
     "text_winnow" -> OracleGen.textWinnow(),
     "dedup_winnow" -> OracleGen.dedupWinnow(n = 15, w = 10, minShared = 2),
     "dedup_simhash" -> OracleGen.dedupSimhash,

@@ -31,12 +31,27 @@ object Pca {
   // the shared 6-dp HALF_UP contract — one definition, not a copy
   private def round6(x: Double): Double = graft.functions.VectorKernels.round6(x)
 
-  /** The fitted unit direction after `iters` power iterations. */
-  def fitPc1(embs: DataFrame, vecCol: String, idCol: String,
-             dim: Int, iters: Int): Seq[Double] = {
-    val e = embs
+  /** Componentwise Hotelling deflation: x ← x − (x·dir)·dir with the
+    * shared 6-dp contract at every step (the projection, each product,
+    * each difference) so Spark and the DuckDB oracle replay the same
+    * arithmetic. A pure `zip_with` projection — codegen'd, no shuffle.
+    */
+  private def deflated(vc: org.apache.spark.sql.Column,
+                       dir: Seq[Double]): org.apache.spark.sql.Column = {
+    val p = round(vecnative.dot_product(vc, typedlit(dir)), 6)
+    zip_with(vc, typedlit(dir), (x, dv) => round(x - round(p * dv, 6), 6))
+  }
+
+  /** The fitted unit direction after `iters` power iterations, over
+    * vectors first deflated by the already-fitted `deflate` directions
+    * (empty = first component).
+    */
+  def fitPc(embs: DataFrame, vecCol: String, idCol: String,
+            dim: Int, iters: Int, deflate: Seq[Seq[Double]] = Nil): Seq[Double] = {
+    val base = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
+    val e = deflate.foldLeft(base)((df, dir) => df.select(deflated(col("v"), dir).as("v")))
     var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
     for (_ <- 1 to iters) {
       val d = round(vecnative.dot_product(col("v"), typedlit(v)), 6)
@@ -58,11 +73,34 @@ object Pca {
     */
   def pc1Scores(embs: DataFrame, vecCol: String, idCol: String,
                 dim: Int, iters: Int = 3): DataFrame = {
-    val v = fitPc1(embs, vecCol, idCol, dim, iters)
+    val v = fitPc(embs, vecCol, idCol, dim, iters)
     embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("vec_id"),
         round(vecnative.dot_product(
           transform(col(vecCol), x => round(x.cast("double"), 6)), typedlit(v)), 6)
           .as("pc1"))
+  }
+
+  /** (id, pc1, …, pcK): scores along the first `nComponents` principal
+    * directions, each further direction fit by power iteration over
+    * vectors deflated by its predecessors. pcₖ is the score of the
+    * (k−1)-times-deflated vector along direction k — identical to the
+    * raw-vector score under exact orthogonality, and well-defined under
+    * the 6-dp contract. Fitting state stays bounded (k × dim numbers on
+    * the driver); the scoring pass is one codegen'd projection.
+    */
+  def pcaScores(embs: DataFrame, vecCol: String, idCol: String,
+                dim: Int, iters: Int = 3, nComponents: Int = 2): DataFrame = {
+    var dirs = Vector.empty[Seq[Double]]
+    for (_ <- 0 until nComponents)
+      dirs :+= fitPc(embs, vecCol, idCol, dim, iters, dirs)
+    var vc = transform(col(vecCol), x => round(x.cast("double"), 6))
+    val scores = dirs.zipWithIndex.map { case (dir, k) =>
+      val s = round(vecnative.dot_product(vc, typedlit(dir)), 6).as(s"pc${k + 1}")
+      vc = deflated(vc, dir)
+      s
+    }
+    embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id") +: scores: _*)
   }
 }
