@@ -119,6 +119,70 @@ class CliSpec extends AnyFunSuite {
     assert(spark.table("graft_db.cliorc_daily").count() == 1)
   }
 
+  test("e2e composition: CLI ingest → raw compact → upsert log → log compact → increment history") {
+    import org.apache.spark.sql.types.StructType
+    import graft.streaming.StreamingUpsert
+    import graft.streaming.StreamingUpsert.KeyedEvent
+
+    val root = tmp("compose")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.clic_history")
+    val env = Map(
+      "table_name" -> "clic", "db" -> "graft_db", "ds" -> "2024-01-02",
+      "source_dir" -> s"$root/in",
+      "settings" -> settingsJson(root, mode = "increment"))
+
+    def envelope(t: Timestamp, op: String, id: String, product: String) =
+      (t, s"""{"ID":"$id","PRODUCT":"$product","__op":"$op","__deleted":"false"}""")
+    Seq(
+      envelope(Timestamp.valueOf("2024-01-01 00:00:01"), "c", "1", "LOAN"),
+      envelope(Timestamp.valueOf("2024-01-01 00:00:02"), "u", "1", "DEPOSIT"),
+      envelope(Timestamp.valueOf("2024-01-01 00:00:03"), "c", "2", "CARD"),
+      envelope(Timestamp.valueOf("2024-01-01 00:00:04"), "d", "2", ""),
+      envelope(Timestamp.valueOf("2024-01-01 00:00:05"), "c", "3", "FUND"))
+      .toDF("timestamp", "value").write.parquet(s"$root/in")
+
+    // 1. CLI raw ingest (file stream → partitioned lake)
+    RawLoad.run(spark, env)
+    val rawCount = spark.read.parquet(s"$root/lake").count()
+    assert(rawCount == 5)
+
+    // 2. Lake.compact the day's partition leaf (rename choreography #1);
+    //    rows must survive exactly
+    graft.sources.Lake.compact(spark,
+      s"$root/lake/op_year=2024/op_month=1/op_day=1", targetBytes = 512L * 1024 * 1024)
+    assert(spark.read.parquet(s"$root/lake").count() == rawCount)
+
+    // 3. Parse the COMPACTED raw envelope and fold it through the
+    //    streaming upsert log (production file-sink path)
+    val schema = StructType.fromDDL(
+      "ID STRING, PRODUCT STRING, __op STRING, __deleted STRING")
+    val parsed = graft.ops.CdcOps.parseEnvelope(
+      spark.read.parquet(s"$root/lake").select($"timestamp", $"value"), schema)
+    val keyedDir = s"$root/keyed"
+    StreamingUpsert.toKeyedEvents(parsed, Seq("ID")).write.parquet(keyedDir)
+    StreamingUpsert.upsertToLog(
+      spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[KeyedEvent]].schema)
+        .parquet(keyedDir).as[KeyedEvent],
+      s"$root/log", s"$root/logckpt")
+
+    // 4. compactLog (rename choreography #2): one row per key incl. the
+    //    tombstone; current state identical before and after
+    val payloadSchema = StructType.fromDDL("ID STRING, PRODUCT STRING")
+    def current() = StreamingUpsert.readCurrent(spark, s"$root/log", payloadSchema)
+      .select($"ID", $"PRODUCT").as[(String, String)].collect().toMap
+    val before = current()
+    assert(before == Map("1" -> "DEPOSIT", "3" -> "FUND")) // 2 tombstoned
+    assert(StreamingUpsert.compactLog(spark, s"$root/log") == 3)
+    assert(current() == before)
+
+    // 5. HistoryLoad increment mode reads ds−1 from the COMPACTED raw
+    //    partition — the CLI path composes with both compactions
+    HistoryLoad.run(spark, env)
+    assert(spark.table("graft_db.clic_history").count() == 5)
+  }
+
   test("HistoryLoad increment mode appends via the same env contract") {
     val root = tmp("incr")
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
