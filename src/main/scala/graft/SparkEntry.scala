@@ -233,6 +233,18 @@ object SparkEntry {
       CdcOps.foldMerge(cdcEvents(s, dir), Seq("user_id"),
         Seq("timestamp", "event_id"))),
 
+    // Schema drift in the gate (P7, SURVEY §7.4 risk 1): an old
+    // producer without `props` unions with the current schema —
+    // alignment is BY NAME with missing columns null-filled
+    // (unionByName(allowMissingColumns)); the reference's positional
+    // union would crash or silently misalign here.
+    "cdc_schema_drift" -> ((s, dir) => {
+      val ev = cdcEvents(s, dir)
+      val old = ev.filter(col(CdcOps.OpColumn) === "c").drop("props")
+      val current = ev.filter(col(CdcOps.OpColumn) =!= "c")
+      old.unionByName(current, allowMissingColumns = true)
+    }),
+
     // Daily churn report — the monitoring surface of a CDC pipeline:
     // per day, event counts by op code, distinct keys touched, and the
     // net live-row delta (creates − deletes). One groupBy(day) with
@@ -1300,6 +1312,22 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       Corpus.bm25(ld(s, dir, "documents"), bm25Terms, bm25K1, bm25Bp)),
 
+    // Bigram count-LM quality score (CCNet-style statistical filter,
+    // model trained on the corpus itself): mean log P(w2|w1) per doc
+    // under add-one smoothing. Counts are map-side-combined aggs;
+    // scoring is N:1 equi-joins on the bigram/prefix keys + one
+    // decimal-sum per-doc agg — no windows, no driver model state.
+    "text_bigram_lm" -> ((s, dir) =>
+      Corpus.bigramLmScore(ld(s, dir, "documents"))),
+
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of
+    // target (en) vs raw distribution, summed per doc — the
+    // data-selection score for tilting a crawl toward a target domain.
+    // Model = one bounded 64-bucket aggregate, broadcast back.
+    "corpus_importance" -> ((s, dir) =>
+      Corpus.importanceWeights(ld(s, dir, "documents"),
+        isTarget = col("lang") === "en")),
+
     // ---- corpus-level pipeline ops ------------------------------
     // Benchmark-contamination check: distinct word 5-grams of each
     // training doc vs the (broadcast) benchmark-set grams — the
@@ -2222,6 +2250,13 @@ object SparkEntry {
          |  o.props AS props_old, n.props AS props_new
          |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin,
 
+    // same ROWS as the drift-free log: old-producer creates just carry
+    // a null-filled props — by-name alignment is pure projection
+    "cdc_schema_drift" ->
+      s"""$cdcSql SELECT "timestamp", event_id, user_id, __op, __deleted, value,
+         |  CASE WHEN __op = 'c' THEN NULL ELSE props END AS props
+         |FROM cdc""".stripMargin,
+
     "cdc_scd2" ->
       s"""$cdcSql, v AS (
          |  SELECT user_id, event_id, "timestamp", value, props, __op,
@@ -3093,6 +3128,46 @@ object SparkEntry {
         |    THEN round(CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / tr.n_grams, 6)
         |    ELSE CAST(0.0 AS DOUBLE) END AS contamination
         |FROM tr LEFT JOIN sh ON sh.doc_id = tr.doc_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |pairs AS MATERIALIZED (SELECT doc_id,
+        |    tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
+        |lp AS (SELECT p.doc_id,
+        |    round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS lp
+        |  FROM pairs p JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+        |  JOIN c1 ON c1.w1 = p.w1 CROSS JOIN v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    round(CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |  FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "corpus_importance" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id, lang = 'en' AS t,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |bt AS MATERIALIZED (SELECT doc_id, t,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS b FROM toks),
+        |counts AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN t THEN 0 ELSE 1 END) AS cr FROM bt GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+        |ratios AS (SELECT b,
+        |    round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE))
+        |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)), 6) AS lr
+        |  FROM counts CROSS JOIN tot),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    round(CAST(SUM(CAST(lr AS DECIMAL(25,12))) AS DOUBLE), 6) AS weight
+        |  FROM bt JOIN ratios USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang = 'en' AS is_target,
+        |  COALESCE(a.n_tokens, 0) AS n_tokens, COALESCE(a.weight, 0.0) AS weight
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     "corpus_sample_stratified" -> {
       val cases = mixRates.map { case (l, r) =>

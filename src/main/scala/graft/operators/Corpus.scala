@@ -436,6 +436,95 @@ object Corpus {
         round(terms.map(contrib).reduce(_ + _), 6).as("bm25"))
   }
 
+  /** Bigram language-model quality score — the count-LM document filter
+    * of CCNet (Wenzek et al. 2020) with the pretrained KenLM replaced by
+    * an add-one-smoothed bigram model trained on the corpus itself:
+    * every document scores the mean natural-log probability of its
+    * bigrams, P(w₂|w₁) = (C(w₁ w₂)+1) / (C(w₁ ·)+V). Low scores flag
+    * gibberish and ultra-rare constructions, anomalously high ones
+    * boilerplate — the statistical quality axis that runs next to the
+    * heuristic [[graft.functions.TextFunctions.qualityScore]].
+    *
+    * Parity: each bigram's log-prob is rounded to 6 dp, per-doc sums go
+    * through exact DECIMAL accumulation (order-independent), the mean is
+    * re-rounded; docs with < 2 tokens surface with 0 bigrams and a NULL
+    * score.
+    *
+    * Scale shape: the model is two map-side-combined count aggregates;
+    * scoring joins the bigram stream to them on the bigram/prefix key
+    * (N:1 equi-joins — co-partitioned shuffles, no row fan-out) and the
+    * vocabulary size is a single broadcast row. No windows, no driver
+    * state. At 100 TB the count tables shard across the cluster like
+    * any aggregate — nothing requires them to fit anywhere whole.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.nonEmptyTokens(lower(col(textCol))).as("__toks"))
+    val pairs = toks.select(col(idCol),
+      explode(TextFunctions.wordShinglesAllOf(col("__toks"), 2)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val c2 = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("__toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val lp = pairs
+      .join(c2, "bg").join(c1, "w1").crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log((col("c2") + 1).cast("double") /
+        (col("c1") + col("v")).cast("double")), 6))
+    val agg = lp.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bigrams"),
+      round(sum(col("lp").cast("decimal(25,12)")).cast("double") / count(lit(1)), 6)
+        .as("avg_logp"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_logp"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): how target-like
+    * is every document, estimated with hashed-unigram bag-of-words
+    * models. Tokens hash into `nBuckets` features (the same md5
+    * bucketing as [[graft.functions.VectorFunctions.hashEmbed]]); the
+    * `isTarget` rows and the rest each fit an add-one-smoothed unigram
+    * distribution over the buckets, and a document's weight is
+    * Σ_tokens round₆(ln p̂_target(b) − ln p̂_raw(b)). Resampling by
+    * weight tilts a raw crawl toward the target domain — the data-
+    * selection step before pretraining-mix assembly.
+    *
+    * Scale shape: the two feature distributions end in ≤ nBuckets rows
+    * from ONE map-side-combined aggregate; the log-ratio table is
+    * broadcast back, so scoring is projection → broadcast join → one
+    * per-doc decimal-sum aggregate. The only corpus-keyed shuffle is
+    * the doc-id aggregation; driver state is the bucket table alone.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 64,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1)
+    val toks = docs.select(col(idCol), isTarget.cast("boolean").as("__t"),
+        explode(TextFunctions.nonEmptyTokens(lower(col(textCol)))).as("tok"))
+      .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+        lit(nBuckets.toLong)))
+    val counts = toks.groupBy(col("b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log((col("ct") + 1).cast("double") / (col("nt") + nBuckets).cast("double"))
+          - log((col("cr") + 1).cast("double") / (col("nr") + nBuckets).cast("double")), 6)
+          .as("lr"))
+    val agg = toks.join(broadcast(ratios), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr").cast("decimal(25,12)")).cast("double"), 6).as("weight"))
+    docs.select(col(idCol), isTarget.cast("boolean").as("is_target"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
   /** Contiguous token-budget shard packing — the sample-prep step that
     * cuts an id-ordered corpus into shards of ≈`budget` tokens each
     * (per stratum), preserving document order so a shard is a

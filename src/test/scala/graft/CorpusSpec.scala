@@ -197,4 +197,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(2)).sum == 600L) // 3 tokens per doc
     assert(stats.forall(r => r.getString(3) <= r.getString(4))) // fp_min <= fp_max
   }
+
+  test("bigramLmScore: add-one bigram probabilities, short docs score null") {
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: (a b), (b a), (a b)
+      (2L, "a b"),       // bigram: (a b)
+      (3L, "x"),         // no bigram
+      (4L, "")           // no tokens
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLmScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // corpus: C(a b)=3, C(b a)=1; C1(a)=3, C1(b)=1; V={a,b,x}=3
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAB = r6(math.log(4.0 / 6.0)) // (3+1)/(3+3)
+    val lpBA = r6(math.log(2.0 / 4.0)) // (1+1)/(1+3)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2.get - r6((2 * lpAB + lpBA) / 3.0)) < 1e-9)
+    assert(out(2L) == ((1L, Some(lpAB))))
+    assert(out(3L) == ((0L, None)) && out(4L) == ((0L, None)))
+  }
+
+  test("importanceWeights: target-vocab docs weigh positive, raw-vocab negative") {
+    // disjoint vocab: target docs all "good…", raw docs all "junk…"
+    val df = (
+      (0L until 10L).map(i => (i, s"good$i goodcommon", true)) ++
+      (10L until 30L).map(i => (i, s"junk$i junkcommon junkmore", false)) ++
+      Seq((99L, "", false))
+    ).toDF("doc_id", "text", "is_tgt")
+    val out = Corpus.importanceWeights(df, isTarget = col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size == 31)
+    // deterministic across runs
+    val again = Corpus.importanceWeights(df, isTarget = col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == again)
+    assert(out(99L) == ((false, 0L, 0.0))) // empty doc: no tokens, weight 0
+    // with disjoint vocabularies the mean target weight must exceed the
+    // mean raw weight decisively (bucket collisions can blur single docs)
+    val tgt = out.filter(x => x._2._1 && x._1 != 99L).values.map(_._3)
+    val raw = out.filter(x => !x._2._1 && x._1 != 99L).values.map(_._3)
+    assert(tgt.sum / tgt.size > raw.sum / raw.size + 1.0,
+      s"target mean ${tgt.sum / tgt.size} vs raw mean ${raw.sum / raw.size}")
+  }
 }
