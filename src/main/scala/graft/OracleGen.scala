@@ -186,6 +186,17 @@ SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS canonical_id,
   COALESCE(l.comp, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id"""
 
+  /** Oracle for `dedup_incremental` — [[graft.operators.Dedup.minHashAdmit]]
+    * with existing = doc_id < `split`, incoming = the rest: the full
+    * all-pairs CTE restricted to pairs whose LARGER id is incoming is
+    * exactly the admit join (every pair has id_a < id_b, so id_b ≥ split
+    * ⟺ the probe side was an incoming doc).
+    */
+  def dedupIncremental(split: Long = 250): String =
+    s"""${minhashCtes(16, 4, 4, 1000, 5)}
+SELECT d.doc_id, NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id) AS keep
+FROM documents d WHERE d.doc_id >= $split"""
+
   /** Oracle for `dedup_verify_pipeline`: MinHash-LSH candidates, then
     * exact shingle-hash-set Jaccard over candidate pairs only
     * (threshold 0.5; an empty-vs-empty pair scores 1.0, matching

@@ -1451,6 +1451,16 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")),
 
+    // Incremental admission: an incoming batch deduped against the
+    // existing corpus — pairs probe only incoming buckets (cost ∝
+    // batch, not corpus²); first-wins keep verdict per incoming doc.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      Dedup.minHashAdmit(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "text", "doc_id")
+    }),
+
     // Candidate PAIRS resolved to duplicate GROUPS (operators.Cluster):
     // connected components by iterative min-label propagation over the
     // LSH pair list, every doc mapped to its cluster's smallest id.
@@ -3466,6 +3476,7 @@ object SparkEntry {
     "embed_kmeans" -> OracleGen.embedKmeans(),
     "knn_pq" -> OracleGen.knnPq(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
+    "dedup_incremental" -> OracleGen.dedupIncremental(),
     "dedup_clusters" -> OracleGen.dedupClusters,
     "dedup_semantic" -> OracleGen.dedupSemantic(),
     "embed_pca" -> OracleGen.embedPca(),

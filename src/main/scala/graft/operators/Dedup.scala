@@ -145,12 +145,15 @@ object Dedup {
         struct((0 until rowsPerBand).map(j =>
           col(s"sig.mh${b * rowsPerBand + j}").as(s"k$j")): _*)
       }: _*)).as(Seq("band", "bucket")))
-    // cap pathological buckets so a degenerate key can't go quadratic
-    val capped = banded
-      .withColumn("__bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // cap pathological buckets so a degenerate key can't go quadratic —
+    // bucket sizes via a map-side-combinable aggregate + survivor join
+    // (a count-over-window here would sort-shuffle the whole banded
+    // relation and buffer each hot bucket in one partition)
+    val capped = banded.join(
+      banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket)
+        .select(col("band"), col("bucket")),
+      Seq("band", "bucket"))
     val a = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"),
@@ -162,6 +165,56 @@ object Dedup {
           when(col(s"sig_a.mh$i") === col(s"sig_b.mh$i"), 1).otherwise(0))
           .reduce(_ + _).cast("double") / k).as("jaccard_est"))
       .distinct()
+  }
+
+  /** Incremental near-dup ADMISSION — dedup an incoming batch against
+    * an existing corpus without re-pairing existing×existing: pairs
+    * form only on buckets the incoming side touches, and an incoming
+    * doc is admitted iff no candidate partner precedes it (any existing
+    * doc, or an incoming doc with a smaller id — first-wins within the
+    * batch). The production shape of continuous ingestion dedup, where
+    * the existing side's banded signatures are a stored index
+    * maintained across ingests rather than recomputed.
+    *
+    * Scale shape: one band-keyed shuffle exactly like
+    * [[minHashCandidates]], but the pair join's probe side is the
+    * INCOMING buckets only — join output scales with the batch, not
+    * corpus²; existing signatures stream through the exchange without
+    * ever joining each other. Bucket caps apply to the union (a stored
+    * index would cap its buckets the same way).
+    */
+  def minHashAdmit(existing: DataFrame, incoming: DataFrame,
+                   textCol: String, idCol: String,
+                   shingleLen: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    def sigs(docs: DataFrame, isNew: Boolean) = docs
+      .select(col(idCol).as("id"),
+        graft.functions.native.minhashes(
+          graft.functions.native.char_shingle_hashes(col(textCol), shingleLen), k).as("__mh"))
+      .select(col("id"), lit(isNew).as("__new"),
+        struct((0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*).as("sig"))
+    val signed = sigs(existing, isNew = false).unionByName(sigs(incoming, isNew = true))
+    val banded = signed.select(
+      col("id"), col("__new"),
+      posexplode(array((0 until bands).map { b =>
+        struct((0 until rowsPerBand).map(j =>
+          col(s"sig.mh${b * rowsPerBand + j}").as(s"k$j")): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val capped = banded.join(
+      banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket)
+        .select(col("band"), col("bucket")),
+      Seq("band", "bucket"))
+    val dupIncoming = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capped.filter(col("__new")).select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("id")).distinct()
+    incoming.select(col(idCol).cast("long").as("doc_id"))
+      .join(dupIncoming.withColumn("__dup", lit(true)),
+        col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("__dup").isNull.as("keep"))
   }
 
   /** SimHash 64-bit signature from a materialized token-hash array:

@@ -139,6 +139,27 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 4L)))
   }
 
+  test("minHashAdmit drops incoming dups of existing docs and within-batch dups, first-wins") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val existing = (Seq((1L, base)) ++
+      (2L to 20L).map(i => (i, s"existing corpus document $i with its own distinct content payload")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base + " again"),                    // dup of existing 1 → dropped
+      (101L, "fresh unseen material about stream processing and watermarks today"),
+      (102L, "fresh unseen material about stream processing and watermarks today plus"),
+      (103L, "completely novel standalone subject matter never seen before anywhere")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minHashAdmit(existing, incoming, "text", "doc_id",
+        shingleLen = 5, bands = 8, rowsPerBand = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.keySet == Set(100L, 101L, 102L, 103L)) // verdicts for incoming only
+    assert(!out(100L), "dup of an existing doc must be dropped")
+    assert(out(101L), "first of a within-batch dup pair is kept")
+    assert(!out(102L), "second of a within-batch dup pair is dropped")
+    assert(out(103L))
+  }
+
   test("simHashCandidates catches Hamming-near signatures") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val docs = (Seq(
