@@ -34,13 +34,28 @@ object Pca {
   /** Componentwise Hotelling deflation: x ← x − (x·dir)·dir with the
     * shared 6-dp contract at every step (the projection, each product,
     * each difference) so Spark and the DuckDB oracle replay the same
-    * arithmetic. A pure `zip_with` projection — codegen'd, no shuffle.
+    * arithmetic.
+    *
+    * The projection scalar x·dir must be computed ONCE per row — naively
+    * referenced from the `zip_with` lambda it is re-evaluated per array
+    * element (64 dot folds per row; measured 3× the whole query's
+    * runtime), because higher-order lambdas are interpreted per element
+    * and CollapseProject's fixpoint inlines any single-reference alias
+    * into them, even through an intermediate projection. The barrier
+    * that survives the optimizer: prepend the scalar to the vector
+    * (`__vp = concat(array(p), v)`) — the consuming projection then
+    * references `__vp` twice (slice + element_at), and CollapseProject
+    * never inlines a multiply-referenced non-trivial alias, so the
+    * concat column stays materialized and the lambda reads the scalar
+    * with a constant-time element_at.
     */
-  private def deflated(vc: org.apache.spark.sql.Column,
-                       dir: Seq[Double]): org.apache.spark.sql.Column = {
-    val p = round(vecnative.dot_product(vc, typedlit(dir)), 6)
-    zip_with(vc, typedlit(dir), (x, dv) => round(x - round(p * dv, 6), 6))
-  }
+  private def deflatedFrame(df: DataFrame, dir: Seq[Double],
+                            vCol: String): DataFrame =
+    df.withColumn("__vp", concat(
+        array(round(vecnative.dot_product(col(vCol), typedlit(dir)), 6)), col(vCol)))
+      .withColumn(vCol, zip_with(slice(col("__vp"), 2, dir.length), typedlit(dir),
+        (x, dv) => round(x - round(element_at(col("__vp"), 1) * dv, 6), 6)))
+      .drop("__vp")
 
   /** The fitted unit direction after `iters` power iterations, over
     * vectors first deflated by the already-fitted `deflate` directions
@@ -51,12 +66,15 @@ object Pca {
     val base = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
-    val e = deflate.foldLeft(base)((df, dir) => df.select(deflated(col("v"), dir).as("v")))
+    val e = deflate.foldLeft(base)((df, dir) => deflatedFrame(df, dir, "v"))
     var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
     for (_ <- 1 to iters) {
-      val d = round(vecnative.dot_product(col("v"), typedlit(v)), 6)
-      val sums = e.select((0 until dim).map(i =>
-        sum(round(element_at(col("v"), i + 1) * d, 6).cast("decimal(25,12)"))
+      // stage the per-row projection scalar below the aggregate — inlined
+      // into all `dim` aggregate expressions it would be folded dim times
+      val staged = e.withColumn("__d",
+        round(vecnative.dot_product(col("v"), typedlit(v)), 6))
+      val sums = staged.select((0 until dim).map(i =>
+        sum(round(element_at(col("v"), i + 1) * col("__d"), 6).cast("decimal(25,12)"))
           .as(s"s$i")): _*).collect()(0)
       require(!sums.isNullAt(0),
         "power iteration needs at least one non-null embedding row")
@@ -94,13 +112,14 @@ object Pca {
     var dirs = Vector.empty[Seq[Double]]
     for (_ <- 0 until nComponents)
       dirs :+= fitPc(embs, vecCol, idCol, dim, iters, dirs)
-    var vc = transform(col(vecCol), x => round(x.cast("double"), 6))
-    val scores = dirs.zipWithIndex.map { case (dir, k) =>
-      val s = round(vecnative.dot_product(vc, typedlit(dir)), 6).as(s"pc${k + 1}")
-      vc = deflated(vc, dir)
-      s
+    var cur = embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("__v"))
+    dirs.zipWithIndex.foreach { case (dir, k) =>
+      cur = cur.withColumn(s"pc${k + 1}",
+        round(vecnative.dot_product(col("__v"), typedlit(dir)), 6))
+      if (k + 1 < dirs.length) cur = deflatedFrame(cur, dir, "__v")
     }
-    embs.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("vec_id") +: scores: _*)
+    cur.select(col("vec_id") +: dirs.indices.map(k => col(s"pc${k + 1}")): _*)
   }
 }
