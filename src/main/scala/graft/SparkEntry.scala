@@ -724,6 +724,106 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sumD(col("c_acctbal")).as("totacctbal"))
     }),
 
+    // TPC-H Q8-style market share: of the revenue on orders placed by
+    // EUROPE-region customers, the fraction delivered by NATION_7
+    // suppliers, per order year. All dims broadcast; numerator and
+    // denominator come out of ONE conditional aggregate over the fact
+    // join — share-of-total without a second pass.
+    "q8_market_share" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+      val custNat = ld(s, dir, "nation")
+      val reg = ld(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val supNat = ld(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation"))
+      ld(s, dir, "lineitem")
+        .join(ld(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(ld(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(ld(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("s_nation") === "NATION_7", rev)
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+            / sum(rev).cast("double"), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q11-style important parts (no partsupp table in this
+    // schema — lineitem value from one nation's suppliers stands in
+    // for stock value): parts whose value exceeds 0.2% of that
+    // nation's total. The total is a 1-row broadcast back over the
+    // per-part aggregate — the decorrelated scalar subquery.
+    "q11_important_parts" -> ((s, dir) => {
+      val supN3 = ld(s, dir, "supplier")
+        .join(broadcast(ld(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val joined = ld(s, dir, "lineitem")
+        .join(broadcast(supN3), col("l_suppkey") === col("s_suppkey"))
+      val vals = joined.groupBy(col("l_partkey"))
+        .agg(sumD(col("l_extendedprice")).as("part_value"))
+      val total = joined.agg(sum(dec(col("l_extendedprice"))).as("tot"))
+      vals.crossJoin(broadcast(total))
+        .filter(col("part_value") > col("tot").cast("double") * lit(0.002))
+        .select(col("l_partkey").as("p_partkey"), col("part_value"))
+    }),
+
+    // TPC-H Q12-style shipping report (no commit/receipt dates in this
+    // schema — ship lag vs order date stands in): per order priority,
+    // lines shipped within 30 days vs later, ship year 2000. One fact
+    // join + conditional aggregate; the year filter prunes at the scan.
+    "q12_ship_delay" -> ((s, dir) =>
+      ld(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 2000)
+        .join(ld(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, 1L)
+            .otherwise(0L)).as("on_time"),
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > 30, 1L)
+            .otherwise(0L)).as("late"))),
+
+    // TPC-H Q16-style supplier variety (lineitem is the part-supplier
+    // relation here): distinct suppliers per (brand, size), one brand
+    // and the PROMO type excluded. Filtered part dim broadcast; the
+    // countDistinct expands (brand, size, suppkey) once — no window.
+    "q16_supplier_variety" -> ((s, dir) => {
+      val p = ld(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      ld(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q21-style waiting-orders blame: suppliers that shipped
+    // > 60 days after the order date on multi-supplier orders where
+    // NO other supplier was late (the exists/not-exists pair expressed
+    // as ONE per-order aggregate: n_supp >= 2 and exactly one late
+    // supplier), counted per supplier, top 10. No correlated re-scan
+    // of the fact table — the order stats come from the same join.
+    "q21_late_solo_suppliers" -> ((s, dir) => {
+      val lo = ld(s, dir, "lineitem")
+        .join(ld(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      val stats = lo.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .select(col("l_orderkey"))
+      lo.filter(col("late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(stats, "l_orderkey")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(ld(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // Correlated-subquery pattern decorrelated by hand: orders above
     // their customer's average order value. The per-customer average is
     // a groupBy re-joined on the same key — one shuffle, reused by the
@@ -2647,6 +2747,63 @@ object SparkEntry {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+         |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+         |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |    / CAST($revenueExpr AS DOUBLE), 6) AS mkt_share
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |GROUP BY year(o_orderdate)""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH j AS (SELECT l_partkey, l_extendedprice FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'),
+        |vals AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+        |  FROM j GROUP BY l_partkey),
+        |tot AS (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS tot FROM j)
+        |SELECT l_partkey AS p_partkey, part_value
+        |FROM vals, tot WHERE part_value > CAST(tot.tot AS DOUBLE) * 0.002""".stripMargin,
+
+    "q12_ship_delay" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30
+        |      THEN 1 ELSE 0 END) AS on_time,
+        |  SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+        |      THEN 1 ELSE 0 END) AS late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 2000
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |GROUP BY p_brand, p_size""".stripMargin,
+
+    "q21_late_solo_suppliers" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |st AS (SELECT l_orderkey FROM (
+        |    SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |      COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |    FROM lo GROUP BY l_orderkey)
+        |  WHERE n_supp >= 2 AND n_late = 1),
+        |q AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late),
+        |w AS (SELECT l_suppkey, COUNT(*) AS numwait
+        |  FROM q JOIN st USING (l_orderkey) GROUP BY l_suppkey)
+        |SELECT s_name, numwait FROM w JOIN supplier ON s_suppkey = l_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
 
     "q_above_avg" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
