@@ -2136,6 +2136,14 @@ object SparkEntry {
         substring(hex(blob), 1, 8).as("hex_prefix"))
     }),
 
+    // Exact media dedup: blobs fingerprinted, only (hash, id) shuffles
+    // — Dedup.exact for binary columns, keep = lowest id per group.
+    "mm_dedup" -> ((s, dir) =>
+      graft.operators.Multimodal.dedupBlobs(
+        ld(s, dir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("blob")),
+        "blob", "doc_id")),
+
     // Batch media resize through the stub codec: binary → binary
     // mapPartitions with typed output dims; blobs never shuffle.
     "mm_resize" -> ((s, dir) => {
@@ -3617,6 +3625,14 @@ object SparkEntry {
       """SELECT doc_id, octet_length(unhex(md5(text))) AS n_bytes,
         |  substr(hex(unhex(md5(text))), 1, 8) AS hex_prefix
         |FROM documents""".stripMargin,
+
+    "mm_dedup" ->
+      """WITH fps AS (SELECT doc_id, md5(hex(unhex(md5(text)))) AS fp FROM documents),
+        |g AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |  FROM fps GROUP BY fp)
+        |SELECT f.doc_id, g.canonical_id, g.n_copies,
+        |  f.doc_id = g.canonical_id AS keep
+        |FROM fps f JOIN g USING (fp)""".stripMargin,
 
     // hash-kernel / float-exact oracles, machine-generated (OracleGen)
     "mm_resize" -> {

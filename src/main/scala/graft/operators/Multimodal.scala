@@ -147,4 +147,23 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Exact media dedup by content fingerprint — the multimodal twin of
+    * [[Dedup.exact]]: every blob is fingerprinted (md5 over its hex
+    * encoding; hex is an injective byte encoding, so groups equal raw
+    * byte equality, and the hex hop keeps the fingerprint replayable by
+    * engines whose md5 takes only strings) and only (fingerprint, id)
+    * ever reaches the exchange — media payloads never shuffle. keep =
+    * lowest id per content group; the group size rides along for
+    * storage-savings reporting.
+    */
+  def dedupBlobs(df: DataFrame, blobCol: String, idCol: String): DataFrame = {
+    val fp = df.select(col(idCol).cast("long").as("doc_id"),
+      md5(hex(col(blobCol))).as("fp"))
+    val grp = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    fp.join(grp, "fp")
+      .select(col("doc_id"), col("canonical_id"), col("n_copies"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
 }

@@ -122,6 +122,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(f1.nonEmpty && f1.forall(_.getSeq[Float](2).length == 4))
   }
 
+  test("multimodal: dedupBlobs groups identical payloads, keep = lowest id") {
+    val payload = Array[Byte](1, 2, 3, 4)
+    val blobs = Seq(
+      (5L, payload), (2L, payload.clone()), // identical content, different ids
+      (3L, Array[Byte](9, 9)))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.dedupBlobs(blobs, "blob", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(2L) == ((2L, 2L, true)))   // lowest id of the pair keeps
+    assert(out(5L) == ((2L, 2L, false)))  // higher id is the duplicate
+    assert(out(3L) == ((3L, 1L, true)))
+  }
+
   test("multimodal: resizeBlobs halves dims and contracts payload bytes") {
     val blobs = Seq(
       (1L, Array.tabulate[Byte](16)(_.toByte)), // w=16+10=26, h=16+2... bytes(1)=1 -> w=17
