@@ -97,6 +97,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in anti-join plan:\n$plan")
   }
 
+  test("corpus_importance joins its bucket model by broadcast; no window anywhere") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("corpus_importance")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"ratio table not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
+  test("text_bigram_lm is joins + aggregates only — no window, no cartesian blowup") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("text_bigram_lm")(spark, sf))
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("mm_dedup shuffles the content fingerprint, never the blob payload") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("mm_dedup")(spark, sf))
+    assert(plan.contains("hashpartitioning(fp"), s"exchange not keyed on fingerprint:\n$plan")
+    assert(!plan.contains("hashpartitioning(blob"), s"blob bytes shuffle:\n$plan")
+  }
+
+  test("embed_pca2 computes each deflation dot product once — never inside a lambda") {
+    assume(haveTestdata)
+    val df = SparkEntry.queries("embed_pca2")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the optimizer must not inline the projection scalar into the
+    // zip_with lambda (interpreted per element = 64x the fold work)
+    val lambdaBodies = "lambdafunction\\([^)]*dotprod".r.findAllIn(plan).toSeq
+    assert(lambdaBodies.isEmpty, s"dot fold inlined into a lambda:\n$plan")
+  }
+
   test("brute-force ANN broadcasts the query side; the candidate scan never shuffles pairs") {
     val embs = (0L until 200L)
       .map(i => (i, Seq.fill(8)((i % 7).toDouble + 0.5)))
