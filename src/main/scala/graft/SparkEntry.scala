@@ -1412,6 +1412,44 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       Corpus.bm25(ld(s, dir, "documents"), bm25Terms, bm25K1, bm25Bp)),
 
+    // Hybrid retrieval: BM25 keyword rank fused with hashed-embedding
+    // cosine rank by reciprocal-rank fusion (RRF: Σ 1/(60+rank) over
+    // the lists a doc appears in). Each signal cuts to a bounded
+    // top-100 via TakeOrdered (distributed heap — never a corpus-wide
+    // window); the rank windows then see ≤ 100 rows, and the fused
+    // list re-cuts to 20 — the standard engine-side fusion when
+    // keyword and vector signals disagree.
+    "text_hybrid_rrf" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val dim = 16
+      def embedOf(df: DataFrame, textCol: Column) = df
+        .select(col("*"), TF.tokens(lower(trim(textCol))).as("__toks"))
+        .select(col("*"), VF.hashEmbed(col("__toks"), dim).as("__v"))
+        .drop("__toks")
+      val bmTop = Corpus.bm25(docs, bm25Terms, bm25K1, bm25Bp)
+        .select(col("doc_id"), col("bm25").as("s1"))
+        .orderBy(col("s1").desc, col("doc_id")).limit(100)
+      val probe = embedOf(
+        s.range(1).select(lit("spark merge window stream").as("ptext")), col("ptext"))
+        .select(col("__v").as("__pv"))
+      val ceTop = embedOf(docs.select(col("doc_id"), col("text")), col("text"))
+        .crossJoin(broadcast(probe))
+        .select(col("doc_id"),
+          round(VF.cosineSimilarity(col("__v"), col("__pv")), 6).as("s2"))
+        .orderBy(col("s2").desc, col("doc_id")).limit(100)
+      val r1 = bmTop.withColumn("r1",
+        row_number().over(Window.orderBy(col("s1").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r1"))
+      val r2 = ceTop.withColumn("r2",
+        row_number().over(Window.orderBy(col("s2").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r2"))
+      r1.join(r2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r1"), col("r2"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r2")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }),
+
     // Bigram count-LM quality score (CCNet-style statistical filter,
     // model trained on the corpus itself): mean log P(w2|w1) per doc
     // under add-one smoothing. Counts are map-side-combined aggs;
@@ -2190,6 +2228,35 @@ object SparkEntry {
 
   private def revenueExpr: String =
     "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))"
+
+  // bm25 oracle fragments, shared by text_bm25 and text_hybrid_rrf
+  private def bm25OracleCtes: String = {
+    val tfCols = bm25Terms.map(t =>
+      s"""    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x = '$t')) AS BIGINT) AS tf_$t""".stripMargin).mkString(",\n")
+    val dfCols = bm25Terms.map(t =>
+      s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(",\n")
+    s"""base AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl,
+       |$tfCols
+       |  FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(dl) AS DOUBLE) AS total_dl,
+       |$dfCols
+       |  FROM base)""".stripMargin
+  }
+  private def bm25OracleNHit: String =
+    bm25Terms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+  // same double constants as the engine side (shortest round-trip)
+  private def bm25OracleScore: String =
+    bm25Terms.map(t =>
+      s"""ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5))
+         |    * (CAST(tf_$t AS DOUBLE) * ${bm25K1 + 1.0})
+         |    / (CAST(tf_$t AS DOUBLE) + $bm25K1 * (1.0 - $bm25Bp
+         |       + $bm25Bp * CAST(dl AS DOUBLE) / (total_dl / n)))""".stripMargin)
+      .mkString("\n  + ")
 
   private val langScoreSqls: Seq[(String, String)] = TF.langMarkers.map {
     case (lang, words) =>
@@ -3441,34 +3508,46 @@ object SparkEntry {
         |    AS cos_probe
         |FROM emb CROSS JOIN pemb""".stripMargin,
 
-    "text_bm25" -> {
-      val tfCols = bm25Terms.map(t =>
-        s"""    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-           |      x -> x = '$t')) AS BIGINT) AS tf_$t""".stripMargin).mkString(",\n")
-      val dfCols = bm25Terms.map(t =>
-        s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
-        .mkString(",\n")
-      val nHit = bm25Terms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END")
-        .mkString("CAST(", " + ", " AS BIGINT)")
-      // same double constants as the engine side (shortest round-trip)
-      val contribs = bm25Terms.map(t =>
-        s"""ln(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5))
-           |    * (CAST(tf_$t AS DOUBLE) * ${bm25K1 + 1.0})
-           |    / (CAST(tf_$t AS DOUBLE) + $bm25K1 * (1.0 - $bm25Bp
-           |       + $bm25Bp * CAST(dl AS DOUBLE) / (total_dl / n)))""".stripMargin)
-        .mkString("\n  + ")
-      s"""WITH base AS (SELECT doc_id,
-         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl,
-         |$tfCols
+    "text_bm25" ->
+      s"""WITH $bm25OracleCtes
+         |SELECT doc_id, dl, $bm25OracleNHit AS n_hit,
+         |  round($bm25OracleScore, 6) AS bm25
+         |FROM base CROSS JOIN stats""".stripMargin,
+
+    "text_hybrid_rrf" ->
+      s"""WITH $bm25OracleCtes,
+         |bm AS (SELECT doc_id, round($bm25OracleScore, 6) AS s1
+         |  FROM base CROSS JOIN stats),
+         |bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY s1 DESC, doc_id) AS r1
+         |  FROM bm ORDER BY s1 DESC, doc_id LIMIT 100),
+         |toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
          |  FROM documents),
-         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |    CAST(SUM(dl) AS DOUBLE) AS total_dl,
-         |$dfCols
-         |  FROM base)
-         |SELECT doc_id, dl, $nHit AS n_hit,
-         |  round($contribs, 6) AS bm25
-         |FROM base CROSS JOIN stats""".stripMargin
-    },
+         |emb AS (SELECT doc_id, list_transform(range(0, 16), i ->
+         |    CAST(len(list_filter(list_transform(tk,
+         |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16),
+         |      b -> b = i)) AS DOUBLE)) AS v
+         |  FROM toks),
+         |ptoks AS (SELECT list_filter(string_split_regex(
+         |    lower(trim('spark merge window stream')), '\\s+'), t -> t <> '') AS tk),
+         |pemb AS (SELECT list_transform(range(0, 16), i ->
+         |    CAST(len(list_filter(list_transform(tk,
+         |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16),
+         |      b -> b = i)) AS DOUBLE)) AS pv
+         |  FROM ptoks),
+         |ce AS (SELECT doc_id,
+         |    round(CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)) = 0
+         |      THEN 0.0 ELSE list_dot_product(v, pv)
+         |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))) END, 6) AS s2
+         |  FROM emb CROSS JOIN pemb),
+         |cetop AS (SELECT doc_id, row_number() OVER (ORDER BY s2 DESC, doc_id) AS r2
+         |  FROM ce ORDER BY s2 DESC, doc_id LIMIT 100),
+         |f AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         |    CAST(b.r1 AS BIGINT) AS r1, CAST(c.r2 AS BIGINT) AS r2,
+         |    round(COALESCE(1.0 / (60 + b.r1), 0.0)
+         |      + COALESCE(1.0 / (60 + c.r2), 0.0), 6) AS rrf
+         |  FROM bmtop b FULL JOIN cetop c ON b.doc_id = c.doc_id)
+         |SELECT doc_id, r1, r2, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "corpus_cap_per_source" ->
       """WITH scored AS (SELECT source, doc_id,
