@@ -162,7 +162,10 @@ object Multimodal {
       md5(hex(col(blobCol))).as("fp"))
     val grp = fp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-    fp.join(grp, "fp")
+      .withColumnRenamed("fp", "__gfp")
+    // null-SAFE join key: null blobs form one "no content" group in the
+    // aggregate, and a plain equi-join would silently drop those rows
+    fp.join(grp, col("fp") <=> col("__gfp"))
       .select(col("doc_id"), col("canonical_id"), col("n_copies"),
         (col("doc_id") === col("canonical_id")).as("keep"))
   }

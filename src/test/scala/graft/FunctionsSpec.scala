@@ -134,6 +134,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 2L, true)))   // lowest id of the pair keeps
     assert(out(5L) == ((2L, 2L, false)))  // higher id is the duplicate
     assert(out(3L) == ((3L, 1L, true)))
+
+    // null blobs form one "no content" group and must not vanish from
+    // the report (a plain equi-join would drop null fingerprints)
+    val withNulls = Seq(
+      (1L, Array[Byte](7)), (8L, null.asInstanceOf[Array[Byte]]),
+      (9L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val nout = Multimodal.dedupBlobs(withNulls, "blob", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(nout.size == 3)
+    assert(nout(8L) == ((8L, 2L, true)) && nout(9L) == ((8L, 2L, false)))
   }
 
   test("multimodal: resizeBlobs halves dims and contracts payload bytes") {
