@@ -1835,6 +1835,50 @@ object SparkEntry {
       }
     }),
 
+    // The same LWW upsert on Spark 4's transformWithState API (typed
+    // state handles created in init, RocksDB-backed store, native TTL
+    // support) — pinned to the SAME oracle as stream_upsert: two state
+    // APIs, one truth.
+    "stream_upsert_tws" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingUpsert
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val keyed = eventsStream(s, dir).select(
+          col("user_id").cast("string").as("key"),
+          col("event_id").as("order"),
+          when(col("event_type") === "signup", "c")
+            .when(col("event_type") === "view", "r")
+            .when(col("event_type") === "error", "d")
+            .otherwise("u").as("op"),
+          to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"))).as("payload")
+        ).as[StreamingUpsert.KeyedEvent]
+        val sinkName = s"graft_upsert_tws_${System.nanoTime()}"
+        val q = StreamingUpsert.upsertTws(keyed).writeStream
+          .outputMode("update").format("memory").queryName(sinkName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          StreamingUpsert.liveRows(
+            StreamingUpsert.latestPerKey(s.table(sinkName).as[StreamingUpsert.KeyState]),
+            StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, props STRING"))
+            .localCheckpoint(true)
+        } finally {
+          if (q.isActive) q.stop()
+          s.catalog.dropTempView(sinkName)
+        }
+      } finally {
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // The multi-batch proof for the streaming upsert: the same events
     // re-laid-out as 4 parquet files, streamed with maxFilesPerTrigger=1
     // so the upsert state genuinely crosses several micro-batches (the
@@ -2330,6 +2374,13 @@ object SparkEntry {
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
 
     "stream_upsert" ->
+      s"""$cdcSql SELECT event_id, user_id, value, props FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY event_id DESC) AS __rn
+         |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
+    // same semantics on the transformWithState API: same oracle
+    "stream_upsert_tws" ->
       s"""$cdcSql SELECT event_id, user_id, value, props FROM (
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY event_id DESC) AS __rn

@@ -93,6 +93,52 @@ object StreamingUpsert {
         GroupStateTimeout.ProcessingTimeTimeout)(foldGroupTtl(ttlMs))
   }
 
+  /** [[upsert]]'s LWW fold on the Spark 4 `transformWithState` API —
+    * the arbitrary-state successor of `flatMapGroupsWithState`: typed
+    * state handles created in `init`, RocksDB-backed (the API requires
+    * the RocksDB state-store provider), native per-state TTL available
+    * via [[org.apache.spark.sql.streaming.TTLConfig]]. Semantics are
+    * IDENTICAL to [[foldGroup]] — max-order per key, stale arrivals
+    * ignored, emit only on change — and `stream_upsert_tws` pins both
+    * implementations to the same oracle.
+    */
+  class LwwStatefulProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, KeyedEvent, KeyState] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[KeyState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[KeyState]("lww",
+        org.apache.spark.sql.Encoders.product[KeyState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyState] = {
+      rows.reduceOption((a, b) => if (a.order >= b.order) a else b) match {
+        case None => Iterator.empty
+        case Some(ev) =>
+          val current = if (state.exists()) Option(state.get()) else None
+          if (current.exists(_.order >= ev.order)) Iterator.empty
+          else {
+            val next = KeyState(key, ev.order, ev.op, ev.payload)
+            state.update(next)
+            Iterator.single(next)
+          }
+      }
+    }
+  }
+
+  /** Fold the stream via [[LwwStatefulProcessor]]. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider` (set it before starting the
+    * query; `transformWithState` rejects the default HDFS-backed store).
+    */
+  def upsertTws(events: Dataset[KeyedEvent]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(new LwwStatefulProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+  }
+
   /** Adapt a CDC DataFrame (any payload schema + `__op` + an ordering
     * column) into the keyed envelope: key = PKs joined with a unit
     * separator, order = microseconds of the ordering timestamp, payload

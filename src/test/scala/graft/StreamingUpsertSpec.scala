@@ -52,6 +52,42 @@ class StreamingUpsertSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transformWithState processor replays the same LWW fold across batches (RocksDB store)") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[KeyedEvent]
+      val query = StreamingUpsert.upsertTws(input.toDS()).writeStream
+        .outputMode(OutputMode.Update).format("memory").queryName("tws_out").start()
+      try {
+        input.addData(KeyedEvent("k1", 1, "c", "v1@1"), KeyedEvent("k2", 2, "c", "v2@2"))
+        query.processAllAvailable()
+        input.addData(KeyedEvent("k1", 5, "u", "v1@5"),
+          KeyedEvent("k1", 3, "u", "v1@3"), KeyedEvent("k2", 6, "d", ""))
+        query.processAllAvailable()
+        input.addData(KeyedEvent("k1", 4, "u", "v1@4")) // stale vs state 5
+        query.processAllAvailable()
+
+        val out = spark.table("tws_out").as[KeyState].collect()
+        val latest = out.groupBy(_.key).view.mapValues(_.maxBy(_.order)).toMap
+        assert(latest("k1") == KeyState("k1", 5, "u", "v1@5"))
+        assert(latest("k2").op == "d")
+        assert(out.count(_.key == "k1") == 2) // stale arrival emitted nothing
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView("tws_out")
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("toKeyedEvents adapts a CDC frame and liveRows round-trips the payload") {
     val df = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "c", "false", "1", "LOAN"),
