@@ -824,6 +824,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q20-style dominant suppliers (lineitem stands in for
+    // partsupp availability): suppliers who shipped more than 30% of
+    // some small part's total quantity. Two aggregates off the SAME
+    // filtered fact join — co-partitioned on l_partkey, so the
+    // decorrelated "more than half the part's stock" subquery costs
+    // one reusable shuffle, then a distinct + broadcast name lookup.
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      val small = ld(s, dir, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey"))
+      val li = ld(s, dir, "lineitem")
+        .join(broadcast(small), col("l_partkey") === col("p_partkey"))
+      val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"))
+      val perPart = li.groupBy(col("l_partkey").as("pp"))
+        .agg(sum(dec(col("l_quantity"))).as("tq"))
+      perSupp.join(perPart, col("l_partkey") === col("pp"))
+        .filter(col("sq").cast("double") > col("tq").cast("double") * lit(0.3))
+        .select(col("l_suppkey")).distinct()
+        .join(broadcast(ld(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
     // Correlated-subquery pattern decorrelated by hand: orders above
     // their customer's average order value. The per-customer average is
     // a groupBy re-joined on the same key — one shuffle, reused by the
@@ -2930,6 +2952,19 @@ object SparkEntry {
         |  FROM q JOIN st USING (l_orderkey) GROUP BY l_suppkey)
         |SELECT s_name, numwait FROM w JOIN supplier ON s_suppkey = l_suppkey
         |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """WITH j AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size <= 5),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        |  FROM j GROUP BY l_partkey, l_suppkey),
+        |pt AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tq
+        |  FROM j GROUP BY l_partkey)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+        |JOIN supplier ON ps.l_suppkey = s_suppkey
+        |WHERE CAST(sq AS DOUBLE) > CAST(tq AS DOUBLE) * 0.3""".stripMargin,
 
     "q_above_avg" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
