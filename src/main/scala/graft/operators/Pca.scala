@@ -66,24 +66,32 @@ object Pca {
     val base = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
+    // cache the (deflated) input across the power iterations — the
+    // standard iterative-ML pattern (each iteration is one aggregate
+    // job; without the persist every job re-reads and re-projects the
+    // source). MEMORY_AND_DISK: rows are dim doubles, and a 100 TB
+    // corpus spills rather than OOMs.
     val e = deflate.foldLeft(base)((df, dir) => deflatedFrame(df, dir, "v"))
-    var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
-    for (_ <- 1 to iters) {
-      // stage the per-row projection scalar below the aggregate — inlined
-      // into all `dim` aggregate expressions it would be folded dim times
-      val staged = e.withColumn("__d",
-        round(vecnative.dot_product(col("v"), typedlit(v)), 6))
-      val sums = staged.select((0 until dim).map(i =>
-        sum(round(element_at(col("v"), i + 1) * col("__d"), 6).cast("decimal(25,12)"))
-          .as(s"s$i")): _*).collect()(0)
-      require(!sums.isNullAt(0),
-        "power iteration needs at least one non-null embedding row")
-      val raw = (0 until dim).map(i => round6(sums.getDecimal(i).doubleValue()))
-      val nrm = math.sqrt(raw.map(x => x * x).sum) // ascending-index fold
-      require(nrm > 0, "power iteration collapsed to the zero vector")
-      v = raw.map(x => round6(x / nrm))
-    }
-    v
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+      for (_ <- 1 to iters) {
+        // stage the per-row projection scalar below the aggregate — inlined
+        // into all `dim` aggregate expressions it would be folded dim times
+        val staged = e.withColumn("__d",
+          round(vecnative.dot_product(col("v"), typedlit(v)), 6))
+        val sums = staged.select((0 until dim).map(i =>
+          sum(round(element_at(col("v"), i + 1) * col("__d"), 6).cast("decimal(25,12)"))
+            .as(s"s$i")): _*).collect()(0)
+        require(!sums.isNullAt(0),
+          "power iteration needs at least one non-null embedding row")
+        val raw = (0 until dim).map(i => round6(sums.getDecimal(i).doubleValue()))
+        val nrm = math.sqrt(raw.map(x => x * x).sum) // ascending-index fold
+        require(nrm > 0, "power iteration collapsed to the zero vector")
+        v = raw.map(x => round6(x / nrm))
+      }
+      v
+    } finally e.unpersist()
   }
 
   /** (id, pc1): every vector's score along the fitted first principal
