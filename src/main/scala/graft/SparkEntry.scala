@@ -2074,6 +2074,54 @@ object SparkEntry {
       }
     }),
 
+    // Gap sessions on transformWithState EVENT-TIME TIMERS (vs the
+    // built-in session_window of stream_session_window): successor-
+    // closed sessions emit in their batch; each key's trailing open
+    // session emits from handleExpiredTimer once the watermark passes
+    // last + gap; sessions the final watermark never clears are
+    // withheld — the oracle models that boundary explicitly.
+    "stream_session_tws" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      val inDir = stagedInputDir("split2", dir) { in =>
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        stageOrderedFiles(in,
+          Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split)))
+      }
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val out = graft.streaming.StreamingOps.sessionizeTws(
+          src, gapMs = 30L * 60L * 1000L, watermark = "1 hour")
+        val sinkName = s"graft_sesstws_${System.nanoTime()}"
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          s.table(sinkName)
+            .select(col("user_id"),
+              timestamp_micros(col("start_us")).as("w_start"),
+              timestamp_micros(col("last_us") + 1800L * 1000000L).as("w_end"),
+              col("n_events"),
+              (col("cents") / lit(100.0)).as("sum_value"))
+            .localCheckpoint(true)
+        } finally {
+          if (q.isActive) q.stop()
+          s.catalog.dropTempView(sinkName)
+        }
+      } finally {
+        prior match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // Stream-stream interval join: each purchase matched to the same
     // user's clicks in the preceding 30 minutes. Both sides watermarked
     // so join state purges as event time advances — the bounded-state
@@ -3307,6 +3355,44 @@ object SparkEntry {
     // same gap rule as q_session_window, plus the decimal-exact value
     // sum; the sink mechanics (streaming state) must not change the
     // batch sessionization semantics
+    // Emission model (same discipline as stream_outer_join): a session
+    // closed by a successor event emits in that batch, unconditionally;
+    // a key's trailing open session emits only if its event-time timer
+    // (floor-ms(last) + gap) expired under the watermark available
+    // while batches still ran — i.e. the BATCH-1 closing watermark,
+    // since AvailableNow runs no trailing timer-only batch here. On the
+    // driver testdata the timeout clause contributes 0 rows at every SF
+    // (each user has batch-2 activity), but the clause keeps the oracle
+    // honest if the corpus generator changes.
+    "stream_session_tws" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, value, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT user_id, ts, value, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |agg AS (SELECT user_id, sid, MIN(ts) AS w_start, MAX(us) AS last_us,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  FROM sessions GROUP BY user_id, sid),
+        |mx AS (SELECT user_id, MAX(sid) AS max_sid FROM sessions GROUP BY user_id),
+        |wm1 AS (SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm_ms
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT a.user_id, a.w_start,
+        |  make_timestamp(a.last_us + 1800 * 1000000) AS w_end,
+        |  a.n_events, a.sum_value
+        |FROM agg a JOIN mx ON mx.user_id = a.user_id CROSS JOIN wm1
+        |WHERE a.sid < mx.max_sid
+        |   OR (a.last_us // 1000) + 1800000 < wm1.wm_ms""".stripMargin,
+
     "stream_session_window" ->
       """WITH gaps AS (
         |  SELECT user_id, ts, value, epoch_us(ts) AS us,

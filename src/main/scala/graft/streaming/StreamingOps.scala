@@ -56,4 +56,90 @@ object StreamingOps {
       .withColumn(key, coalesce(col(key), col(s"right_$key")))
       .drop(s"right_$key")
   }
+
+  /** Input/output rows for [[SessionProcessor]]. Times travel as epoch
+    * MICROS (java.sql.Timestamp in state would lose sub-ms through the
+    * encoder round-trip only at output; µs longs are unambiguous) and
+    * money as exact CENTS (the corpus `value` is a 2-dp double, so
+    * `round(v*100)` is exact and the sum is order-independent —
+    * `cents / 100.0` equals DuckDB's `CAST(SUM(DECIMAL(12,2)) AS
+    * DOUBLE)` because both are the nearest double to the same rational).
+    */
+  final case class SessIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessOpen(startUs: Long, lastUs: Long, n: Long, cents: Long)
+  final case class SessOut(user_id: Long, start_us: Long, last_us: Long,
+                           n_events: Long, cents: Long)
+
+  /** Gap-based sessionizer on Spark 4 `transformWithState` with
+    * EVENT-TIME TIMERS — the API surface the built-in `session_window`
+    * hides: a session closed by a successor event emits immediately in
+    * that batch; the trailing open session per key emits from
+    * [[StatefulProcessor.handleExpiredTimer]] when the watermark passes
+    * `last + gap` (timer re-registered as events extend the session),
+    * and a session the final watermark never clears is withheld —
+    * correct unbounded-stream semantics, modeled explicitly by the
+    * `stream_session_tws` oracle exactly as `stream_outer_join` does.
+    *
+    * State is one [[SessOpen]] + one timer per LIVE key — bounded by
+    * the concurrent-session working set, not key history.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessIn, SessOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+    @transient private var open: ValueState[SessOpen] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessOpen]("session",
+        org.apache.spark.sql.Encoders.product[SessOpen], TTLConfig.NONE)
+    private def tsUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    private def emit(key: Long, s: SessOpen): SessOut =
+      SessOut(key, s.startUs, s.lastUs, s.n, s.cents)
+    override def handleInputRows(key: Long, rows: Iterator[SessIn],
+        timerValues: TimerValues): Iterator[SessOut] = {
+      val evs = rows.toArray.sortBy(e => tsUs(e.ts))
+      var out = List.empty[SessOut]
+      var cur = if (open.exists()) Option(open.get()) else None
+      evs.foreach { e =>
+        val us = tsUs(e.ts)
+        val cents = math.round(e.value * 100.0)
+        cur = cur match {
+          case Some(s) if us - s.lastUs > gapMs * 1000L =>
+            out ::= emit(key, s)
+            Some(SessOpen(us, us, 1L, cents))
+          case Some(s) =>
+            Some(SessOpen(s.startUs, math.max(s.lastUs, us), s.n + 1L, s.cents + cents))
+          case None =>
+            Some(SessOpen(us, us, 1L, cents))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.lastUs / 1000L + gapMs)
+      }
+      out.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessOut] =
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(emit(key, s))
+      } else Iterator.empty
+  }
+
+  /** Sessionize `(user_id, ts, value)` rows via [[SessionProcessor]].
+    * Requires the RocksDB state-store provider (transformWithState
+    * rejects the default store).
+    */
+  def sessionizeTws(events: DataFrame, gapMs: Long,
+                    watermark: String): org.apache.spark.sql.Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "ts", "value").as[SessIn]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+  }
 }

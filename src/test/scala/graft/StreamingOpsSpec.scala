@@ -93,4 +93,54 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(out(1L) == 100L)
     } finally query.stop()
   }
+
+  test("sessionizeTws: successor events close sessions in-batch; event-time timers close idle ones") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Timestamp, Double)]
+      // gap 1 minute, watermark delay 0 (wm = max event time seen so far)
+      val out = StreamingOps.sessionizeTws(
+        input.toDF().toDF("user_id", "ts", "value"), gapMs = 60L * 1000L,
+        watermark = "0 seconds")
+      val query = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sess_tws_out").start()
+      try {
+        // batch 1: user 1 has a 2-event session; user 2 starts one
+        input.addData((1L, ts("2024-01-01 10:00:00"), 1.25),
+          (1L, ts("2024-01-01 10:00:30"), 2.00),
+          (2L, ts("2024-01-01 10:00:30"), 5.00))
+        query.processAllAvailable()
+        // batch 2: user 2's far-later event closes their first session by
+        // SUCCESSOR in this batch; user 1's timer (10:01:30) is still
+        // above the batch-1 watermark (10:00:30) so it must NOT fire yet
+        input.addData((2L, ts("2024-01-01 10:05:00"), 7.50))
+        query.processAllAvailable()
+        val afterB2 = spark.table("sess_tws_out").as[StreamingOps.SessOut].collect()
+        assert(afterB2.map(_.user_id).toSet == Set(2L),
+          s"only user 2's successor-closed session may be out after batch 2: ${afterB2.toSeq}")
+        // batch 3: unrelated user advances the watermark to 10:05:00 —
+        // user 1's idle session must now emit from handleExpiredTimer
+        input.addData((9L, ts("2024-01-01 11:00:00"), 0.50))
+        query.processAllAvailable()
+        val rows = spark.table("sess_tws_out").as[StreamingOps.SessOut].collect()
+          .map(r => r.user_id -> r).toMap
+        assert(rows.keySet == Set(1L, 2L)) // users 2-second + 9's sessions still open
+        assert(rows(1L).n_events == 2L && rows(1L).cents == 325L,
+          s"timer-closed session wrong: ${rows(1L)}")
+        assert(rows(2L).n_events == 1L && rows(2L).cents == 500L)
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView("sess_tws_out")
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
