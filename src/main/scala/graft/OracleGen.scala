@@ -720,4 +720,37 @@ frames AS (SELECT doc_id, fl, format, n_frames,
 SELECT doc_id, frame_idx, round($slotSum, 6) AS feat_sum, format, n_frames
 FROM frames"""
   }
+
+  /** Oracle for `graph_pagerank` — [[graft.operators.Graph.pageRank]]
+    * over [[graft.operators.Graph.purchaseGraph]], the recurrence
+    * UNROLLED one CTE per iteration (the same finite-prefix trick as
+    * [[embedPca]]: no recursive aggregation, linear SQL size in
+    * `iters`). All arithmetic forced to DOUBLE (`e0` literals) so both
+    * engines run the identical IEEE expression tree.
+    */
+  def graphPageRank(iters: Int = 5, damping: Double = 0.85): String = {
+    val d = s"${damping}e0"
+    val ranks = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nd.node,
+  (1.0e0 - $d) / n.n + $d * COALESCE(c.s, 0.0e0) AS rank
+  FROM nodes nd CROSS JOIN n
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / d.deg) AS s
+      FROM r${i - 1} r JOIN e ON e.src = r.node
+      JOIN deg d ON d.src = r.node GROUP BY e.dst) c
+    ON c.node = nd.node)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT
+    'c' || CAST(o_custkey AS VARCHAR) AS c,
+    's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s, c FROM pairs),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0e0 / n.n AS rank FROM nodes CROSS JOIN n),
+$ranks
+SELECT r.node, round(r.rank * n.n, 6) AS rank_norm
+FROM r$iters r CROSS JOIN n"""
+  }
 }

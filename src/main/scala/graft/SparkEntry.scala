@@ -1204,6 +1204,19 @@ object SparkEntry {
       Sketch.cmsHeavyHitters(ld(s, dir, "events"), "user_id",
         depth = 4, width = 64, topN = 20)),
 
+    // HyperLogLog approximate distinct (Flajolet 2007) with md5-derived
+    // 60-bit hashes so the registers are bit-for-bit reproducible in
+    // the oracle (unlike q_distinct_approx, which only bounds Spark's
+    // built-in HLL++ against the exact count). Registers are a
+    // ≤ groups×64-row relation built with one map-side-combined max
+    // agg; the '__all__' row is estimated from the element-wise-MAX
+    // merge of the per-group registers — the mergeability that lets
+    // 100 TB of daily sketches combine without re-reading data. Exact
+    // COUNT(DISTINCT) rides along only as the verification anchor.
+    "q_approx_distinct_hll" -> ((s, dir) =>
+      Sketch.hllDistinctReport(ld(s, dir, "events"), "event_type",
+        "user_id", m = 64)),
+
     // Decile bucketing at scale: the nine interpolated thresholds come
     // from ONE corpus aggregate (broadcast back as a 1-row array), and
     // the bucket of each row is a pure projection comparing against
@@ -1488,6 +1501,13 @@ object SparkEntry {
       Corpus.importanceWeights(ld(s, dir, "documents"),
         isTarget = col("lang") === "en")),
 
+    // fastText-shaped quality-classifier inference: hashed features ·
+    // broadcast weight vector → sigmoid. The md5-derived stand-in
+    // weights make the pass oracle-replayable; a real trained vector
+    // swaps in as the same 64-row broadcast table.
+    "text_classifier_infer" -> ((s, dir) =>
+      Corpus.linearClassifierInfer(ld(s, dir, "documents"))),
+
     // ---- corpus-level pipeline ops ------------------------------
     // Benchmark-contamination check: distinct word 5-grams of each
     // training doc vs the (broadcast) benchmark-set grams — the
@@ -1507,6 +1527,24 @@ object SparkEntry {
     // data-derived (no hand mix table) — rarest source keeps all rows.
     "corpus_temperature_mix" -> ((s, dir) =>
       Corpus.temperatureMix(ld(s, dir, "documents"))),
+
+    // Weighted reservoir sample (Efraimidis–Spirakis A-ES): top-40 docs
+    // per language by key ln(u)/w with a deterministic md5 uniform u
+    // and weight w = n_chars — one distributed pass, exactly k winners
+    // per group, P(pick) ∝ weight. The per-group cut is the bounded-
+    // heap TopK aggregator (map-side combinable), never a corpus-wide
+    // sort; the md5 coin makes the "random" draw replayable in the
+    // oracle. ln(u)/w (not u^(1/w)) keeps the key monotone while
+    // avoiding pow()'s cross-engine edge cases.
+    "corpus_weighted_sample" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long").cast("double") + lit(1.0)) / lit(4503599627370497.0)
+      graft.operators.TopK.topKPerGroup(
+        docs.select(col("lang"), col("doc_id"), (log(u) / col("n_chars")).as("skey")),
+        Seq("lang"), "skey", "doc_id", k = 40)
+        .select(col("lang"), col("doc_id"), col("rank"))
+    }),
 
     // Deterministic train/val/test split: stable hash assignment (not
     // randomSplit) — a doc keeps its split across reruns and corpus
@@ -1631,6 +1669,18 @@ object SparkEntry {
       graft.operators.Cluster.canonicalize(
         docs, Dedup.minHashCandidates(docs, "text", "doc_id"), "doc_id")
     }),
+
+    // Fixed-prefix PageRank over the symmetrized customer↔supplier
+    // purchase graph — the link-authority pass used to weight crawl
+    // sources / pick canonical docs. Edges partitioned by src once;
+    // each of the 5 iterations shuffles only the 2-column rank
+    // relation, lineage truncated per iter. The oracle unrolls the
+    // identical recurrence (one CTE per iteration).
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(s,
+        graft.operators.Graph.purchaseGraph(
+          ld(s, dir, "orders"), ld(s, dir, "lineitem")),
+        iters = 5, damping = 0.85)),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashCandidates(ld(s, dir, "documents"), "text", "doc_id",
@@ -3106,6 +3156,36 @@ object SparkEntry {
         |  CAST(e.est - t.c AS BIGINT) AS overcount
         |FROM top t JOIN est e ON e.user_id = t.user_id""".stripMargin,
 
+    // rebuilds the HLL registers bit for bit: 60-bit md5 hash, bucket
+    // = h mod 64, rho = 55 - bitlength(h div 64); same α=0.709
+    // harmonic estimate + linear-counting small-range correction
+    "q_approx_distinct_hll" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |br AS (SELECT g, h % 64 AS b,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h // 64)) END AS r0 FROM h),
+        |regs AS MATERIALIZED (SELECT g, b, MAX(r0) AS r FROM br GROUP BY g, b),
+        |allregs AS (SELECT * FROM regs
+        |  UNION ALL SELECT '__all__' AS g, b, MAX(r) AS r FROM regs GROUP BY b),
+        |est AS (SELECT g, COUNT(*) AS nreg, SUM(pow(0.5, r)) AS sp
+        |  FROM allregs GROUP BY g),
+        |e2 AS (SELECT g, 64 - nreg AS zeros,
+        |    0.709 * 64 * 64 / (sp + (64 - nreg)) AS raw FROM est),
+        |approx AS (SELECT g,
+        |    round(CASE WHEN raw <= 160.0 AND zeros > 0
+        |          THEN 64 * ln(64.0 / zeros) ELSE raw END, 4) AS approx_distinct
+        |  FROM e2),
+        |exact AS (SELECT event_type AS g, COUNT(DISTINCT user_id) AS exact_distinct
+        |    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+        |  UNION ALL SELECT '__all__', COUNT(DISTINCT user_id)
+        |    FROM events WHERE user_id IS NOT NULL)
+        |SELECT ex.g AS event_type, ex.exact_distinct, a.approx_distinct,
+        |  round(abs(a.approx_distinct - ex.exact_distinct) / ex.exact_distinct, 4)
+        |    AS rel_err
+        |FROM exact ex JOIN approx a ON a.g = ex.g""".stripMargin,
+
     "q_distinct_approx" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users, TRUE AS approx_within_5pct
@@ -3583,6 +3663,29 @@ object SparkEntry {
         |  COALESCE(a.n_tokens, 0) AS n_tokens, COALESCE(a.weight, 0.0) AS weight
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
+    // same md5 stand-in weights, same bucket hash, same decimal sum
+    "text_classifier_infer" ->
+      """WITH w AS (SELECT b,
+        |    round(CAST(CAST('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 13)
+        |        AS BIGINT) AS DOUBLE) / 4503599627370496e0 - 0.5e0, 6) AS w
+        |  FROM range(64) t(b)),
+        |toks AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x <> '')) AS tok FROM documents)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CAST(w.w AS DECIMAL(25,12))) AS sw
+        |  FROM toks JOIN w USING (b) GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+        |    COALESCE(CAST(a.sw AS DOUBLE), 0.0e0) AS sw
+        |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id),
+        |p AS (SELECT doc_id, n_tokens,
+        |    round(1.0e0 / (1.0e0 + exp(-(4.0e0 * sw / greatest(n_tokens, 1)))), 6)
+        |      AS p_keep
+        |  FROM j)
+        |SELECT doc_id, n_tokens, p_keep, p_keep >= 0.5e0 AS keep FROM p""".stripMargin,
+
     "corpus_sample_stratified" -> {
       val cases = mixRates.map { case (l, r) =>
         s"WHEN '$l' THEN '${Corpus.hexThreshold(r)}'"
@@ -3591,6 +3694,17 @@ object SparkEntry {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
          |  CASE lang $cases ELSE '${Corpus.hexThreshold(defaultMixRate)}' END""".stripMargin
     },
+
+    // replays the A-ES draw: same md5 uniform, same ln(u)/w key
+    "corpus_weighted_sample" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |    ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+        |          AS DOUBLE) + 1.0e0) / 4503599627370497e0) / n_chars AS key
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+        |  FROM k)
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 40""".stripMargin,
 
     "corpus_temperature_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
@@ -3902,6 +4016,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
     "dedup_incremental" -> OracleGen.dedupIncremental(),
     "dedup_clusters" -> OracleGen.dedupClusters,
+
+    "graph_pagerank" -> OracleGen.graphPageRank(iters = 5, damping = 0.85),
     "dedup_semantic" -> OracleGen.dedupSemantic(),
     "embed_pca" -> OracleGen.embedPca(),
     "embed_pca2" -> OracleGen.embedPca2(),

@@ -525,6 +525,47 @@ object Corpus {
         coalesce(col("weight"), lit(0.0)).as("weight"))
   }
 
+  /** Hashed bag-of-words linear classifier INFERENCE (the fastText
+    * shape: hash tokens into `nBuckets` features, dot a broadcast
+    * weight vector, sigmoid) — the quality-classifier scoring pass a
+    * pipeline runs with a PRE-TRAINED model over the whole crawl. The
+    * weights here are a deterministic md5-derived stand-in for a
+    * trained vector (the sandbox trains nothing), which is exactly
+    * what makes the inference replayable in the oracle; swapping in
+    * real weights changes one 64-row broadcast table, not the plan.
+    *
+    * Scale shape identical to [[importanceWeights]]: explode → bucket
+    * → broadcast join the ≤ nBuckets weight rows → ONE map-side-
+    * combined per-doc aggregate. The per-token weight is rounded to
+    * 6 dp and summed in exact decimal, so the score is independent of
+    * partial-aggregation order. `p = σ(scale · Σw / n_tokens)`.
+    */
+  def linearClassifierInfer(docs: DataFrame, nBuckets: Int = 64,
+                            scale: Double = 4.0, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1)
+    val spark = docs.sparkSession
+    val weights = spark.range(nBuckets).select(col("id").as("b"),
+      round(conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 13),
+        16, 10).cast("long").cast("double") / lit(4503599627370496.0) - lit(0.5), 6)
+        .as("w"))
+    val toks = docs.select(col(idCol),
+        explode(TextFunctions.nonEmptyTokens(lower(col(textCol)))).as("tok"))
+      .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+        lit(nBuckets.toLong)))
+    val agg = toks.join(broadcast(weights), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w").cast("decimal(25,12)")).as("sw"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sw").cast("double"), lit(0.0)).as("sw"))
+      .select(col(idCol), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(scale) * col("sw") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")))), 6).as("p_keep"))
+      .withColumn("keep", col("p_keep") >= 0.5)
+  }
+
   /** Contiguous token-budget shard packing — the sample-prep step that
     * cuts an id-ordered corpus into shards of ≈`budget` tokens each
     * (per stratum), preserving document order so a shard is a

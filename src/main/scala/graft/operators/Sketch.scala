@@ -76,4 +76,93 @@ object Sketch {
       .select(col(keyCol), col("exact_cnt"), col("est_cnt"),
         (col("est_cnt") - col("exact_cnt")).as("overcount"))
   }
+
+  // ------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. 2007) — approximate COUNT(DISTINCT)
+  // ------------------------------------------------------------------
+
+  /** α_m bias-correction constant from the HLL paper. */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** HLL register relation `(groupCol, b, r)` for `keyCol`: bucket
+    * `b = h mod m`, register `r = max over keys of rho(h div m)` where
+    * `rho` is the 1-based position of the leftmost set bit in the
+    * remaining 60−log2(m) hash bits (all-zero remainder → width+1).
+    *
+    * The hash is the first 15 hex chars (60 bits) of md5 — portable to
+    * any engine, which is what lets the DuckDB oracle rebuild the
+    * registers bit for bit. ≤ groups×m rows regardless of input size;
+    * the groupBy max is map-side combinable, so at 100 TB the shuffle
+    * moves ≤ groups×m×partitions partial rows, never the key set.
+    * Registers built on disjoint data (days, shards) merge by
+    * element-wise MAX — the property that makes the sketch reusable
+    * across ingestion batches.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String,
+                   m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    val wbits = 60 - log2m
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val b = h.bitwiseAND(lit(m - 1L)).cast("int")
+    val w = shiftright(h, log2m)
+    // bit length via base-2 string render (codegen'd, exact) — no
+    // float log2, whose ulp error flips floor() at exact powers of two
+    val rho = when(w === 0, lit(wbits + 1))
+      .otherwise(lit(wbits + 1) - length(conv(w.cast("string"), 10, 2)))
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), b.as("b"), rho.cast("int").as("r0"))
+      .groupBy(col(groupCol), col("b"))
+      .agg(max(col("r0")).as("r"))
+  }
+
+  /** Estimate per group from a register relation: harmonic-mean raw
+    * estimate with the paper's small-range linear-counting correction.
+    * Absent buckets are zero registers (they contribute 2⁰ = 1 each).
+    */
+  def hllEstimate(regs: DataFrame, groupCol: String, m: Int): DataFrame = {
+    val alpha = hllAlpha(m)
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nreg"),
+        sum(pow(lit(0.5), col("r"))).as("sp"))
+      .select(col(groupCol),
+        (lit(m.toLong) - col("nreg")).as("zeros"),
+        (lit(alpha * m * m) / (col("sp") + (lit(m.toLong) - col("nreg"))))
+          .as("raw"))
+      .select(col(groupCol),
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("approx"))
+  }
+
+  /** Per-group approximate-distinct report plus an `allLabel` row
+    * estimated from the MERGED registers (element-wise max across
+    * groups) — proving the merge property inside the query. The exact
+    * `COUNT(DISTINCT)` rides along as the verification anchor (at
+    * 100 TB you would drop it; it is the very cost HLL avoids).
+    */
+  def hllDistinctReport(df: DataFrame, groupCol: String, keyCol: String,
+                        m: Int = 64, allLabel: String = "__all__"): DataFrame = {
+    val regs = hllRegisters(df, groupCol, keyCol, m)
+    val merged = regs.groupBy(col("b")).agg(max(col("r")).as("r"))
+      .select(lit(allLabel).as(groupCol), col("b"), col("r"))
+    val approx = hllEstimate(regs.union(merged), groupCol, m)
+      .select(col(groupCol), round(col("approx"), 4).as("approx_distinct"))
+    val base = df.filter(col(keyCol).isNotNull)
+    val exact = base.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+      .union(base.select(lit(allLabel).as(groupCol), col(keyCol))
+        .groupBy(col(groupCol))
+        .agg(countDistinct(col(keyCol)).as("exact_distinct")))
+    exact.join(approx, Seq(groupCol))
+      .select(col(groupCol), col("exact_distinct"), col("approx_distinct"),
+        round(abs(col("approx_distinct") - col("exact_distinct")) /
+          col("exact_distinct"), 4).as("rel_err"))
+  }
 }

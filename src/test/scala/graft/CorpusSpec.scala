@@ -241,4 +241,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(tgt.sum / tgt.size > raw.sum / raw.size + 1.0,
       s"target mean ${tgt.sum / tgt.size} vs raw mean ${raw.sum / raw.size}")
   }
+
+  test("linearClassifierInfer: probabilities, empty-doc neutrality, determinism") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark shuffles partitions across the cluster executors"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.linearClassifierInfer(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 3)
+    out.values.foreach { case (_, p, keep) =>
+      assert(p > 0.0 && p < 1.0)
+      assert(keep == (p >= 0.5))
+    }
+    assert(out(3L)._1 == 0L && out(3L)._2 == 0.5) // no tokens → σ(0)
+    val again = Corpus.linearClassifierInfer(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out == again)
+  }
+
+  test("corpus_weighted_sample: min(k, |group|) winners per language, ranks contiguous") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val out = SparkEntry.queries("corpus_weighted_sample")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sizes = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet == sizes.keySet)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length.toLong == math.min(40L, sizes(lang)),
+        s"$lang: ${rows.length} winners for group of ${sizes(lang)}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong).toSeq)
+    }
+  }
 }

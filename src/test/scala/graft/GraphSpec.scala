@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank: symmetry, mass conservation, centrality ordering, and the
+  * purchase-graph construction invariants.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(pairs: (String, String)*) =
+    pairs.toDF("src", "dst")
+
+  test("ring: perfect symmetry gives every node rank_norm 1.0") {
+    val ring = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a",
+      "b" -> "a", "c" -> "b", "d" -> "c", "a" -> "d")
+    val out = Graph.pageRank(spark, ring, iters = 5).collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+  }
+
+  test("star: the hub out-ranks the leaves and total mass is conserved") {
+    val star = edges(Seq("b", "c", "d", "e").flatMap(l =>
+      Seq("hub" -> l, l -> "hub")): _*)
+    val out = Graph.pageRank(spark, star, iters = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("hub") > out("b") * 2, "hub should dominate leaves")
+    Seq("b", "c", "d", "e").foreach(l => assert(out(l) == out("b")))
+    // rank_norm = rank * n, so conservation means the norms sum to n
+    assert(math.abs(out.values.sum - out.size) < 1e-6)
+  }
+
+  test("pageRank is deterministic across runs") {
+    val g = edges((1 to 20).flatMap(i =>
+      Seq(s"n$i" -> s"n${i % 7}", s"n${i % 7}" -> s"n$i")): _*)
+    val a = Graph.pageRank(spark, g, iters = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    val b = Graph.pageRank(spark, g, iters = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("purchaseGraph symmetrizes and prefixes the two key spaces") {
+    val orders = Seq((1L, 10L), (2L, 20L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 10L), (1L, 10L), (2L, 30L)).toDF("l_orderkey", "l_suppkey")
+    val e = Graph.purchaseGraph(orders, li).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // distinct pairs: (c10,s10), (c20,s30) — each in both directions;
+    // the duplicate lineitem row must NOT double an edge
+    assert(e == Set("c10" -> "s10", "s10" -> "c10",
+      "c20" -> "s30", "s30" -> "c20"))
+  }
+}

@@ -58,4 +58,51 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(out.sorted.sameElements(again.sorted))
   }
+
+  // ---- HyperLogLog -------------------------------------------------
+
+  test("hllRegisters: bounded by m per group, rho within [1, wbits+1]") {
+    val df = (1L to 500L).map(i => ("g" + (i % 2), i)).toDF("g", "k")
+    val regs = Sketch.hllRegisters(df, "g", "k", m = 64).collect()
+    assert(regs.length <= 2 * 64)
+    regs.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 64) // bucket
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 55) // register
+    }
+  }
+
+  test("hll estimate lands within the expected error band of exact") {
+    // m=64 → standard error ~1.04/sqrt(64) = 13%; assert a generous 3σ
+    val df = (1L to 1000L).map(i => ("g", i * 7919)).toDF("g", "k")
+    val out = Sketch.hllDistinctReport(df, "g", "k", m = 64)
+      .filter(col("g") === "g").collect()
+    assert(out.length == 1)
+    val (exact, approx) = (out(0).getLong(1), out(0).getDouble(2))
+    assert(exact == 1000L)
+    assert(math.abs(approx - exact) / exact < 0.4,
+      s"HLL estimate $approx too far from $exact")
+  }
+
+  test("hll merge: union registers = element-wise max of part registers") {
+    val a = (1L to 300L).map(("x", _)).toDF("g", "k")
+    val b = (200L to 500L).map(("x", _)).toDF("g", "k")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hllRegisters(df, "g", "k", m = 32).collect()
+        .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val whole = toMap(a.union(b))
+    val merged = (toMap(a).toSeq ++ toMap(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(whole == merged)
+  }
+
+  test("hll '__all__' row merges the per-group registers, not re-reads") {
+    // two groups over the SAME key set: per-group estimates equal the
+    // merged one (registers identical), and exact __all__ = 100
+    val df = (1L to 100L).flatMap(i => Seq(("a", i), ("b", i))).toDF("g", "k")
+    val rows = Sketch.hllDistinctReport(df, "g", "k", m = 64).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set("a", "b", "__all__"))
+    assert(rows("__all__")._1 == 100L && rows("a")._1 == 100L)
+    assert(rows("__all__")._2 == rows("a")._2 && rows("a")._2 == rows("b")._2)
+  }
 }
