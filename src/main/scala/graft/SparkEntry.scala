@@ -2026,6 +2026,36 @@ object SparkEntry {
     // stateful streaming surface the reference handles in batch
     // (SURVEY §2.5 notes it has no watermarks/windows). Complete-mode
     // memory sink over AvailableNow ⇒ deterministic final counts.
+    // Stream enriched by a STATIC dimension (the canonical streaming
+    // lookup-join): the per-user tier table is computed batch-side,
+    // broadcast into every micro-batch's plan (no stream-side state,
+    // no shuffle of the stream by join key), and the enriched rows
+    // aggregate per (event_type, tier). At 100 TB/day the static side
+    // is the only thing that must fit in memory — the stream never
+    // repartitions for the join.
+    "stream_static_join" -> ((s, dir) => {
+      val dim = ld(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("u_events"))
+        .select(col("user_id"),
+          when(col("u_events") >= 80, "heavy").otherwise("light").as("tier"))
+      val agg = eventsStream(s, dir)
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("event_type"), col("tier"))
+        .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
+      val sinkName = s"graft_sjoin_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        s.table(sinkName).localCheckpoint(true)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     "stream_windowed_agg" -> ((s, dir) => {
       val agg = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
@@ -3431,6 +3461,16 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    // the streamed broadcast-enrichment must equal the batch join
+    "stream_static_join" ->
+      """WITH dim AS (SELECT user_id,
+        |    CASE WHEN COUNT(*) >= 80 THEN 'heavy' ELSE 'light' END AS tier
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_type, d.tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON d.user_id = e.user_id
+        |GROUP BY e.event_type, d.tier""".stripMargin,
 
     // same gap rule as q_session_window, plus the decimal-exact value
     // sum; the sink mechanics (streaming state) must not change the

@@ -128,6 +128,37 @@ class PlanSpec extends AnyFunSuite {
     assert(lambdaBodies.isEmpty, s"dot fold inlined into a lambda:\n$plan")
   }
 
+  test("hllRegisters aggregates through exactly one shuffle (map-side combined)") {
+    val plan = executed(Sketch.hllRegisters(
+      (0L until 1000L).map(i => ("g" + (i % 3), i)).toDF("g", "k"), "g", "k"))
+    assert(countOf(plan, "Exchange") == 1, s"expected 1 exchange:\n$plan")
+    assert(countOf(plan, "HashAggregate") == 2, // partial + final
+      s"expected partial+final aggregate:\n$plan")
+  }
+
+  test("purchaseGraph dedups edges with aggregates — no window, no cartesian") {
+    assume(haveTestdata)
+    val plan = executed(graft.operators.Graph.purchaseGraph(
+      spark.read.parquet(s"$sf/orders.parquet"),
+      spark.read.parquet(s"$sf/lineitem.parquet")))
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("corpus_weighted_sample cuts per group in the heap aggregate, not a corpus window") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("corpus_weighted_sample")(spark, sf))
+    assert(!plan.contains("Window"), s"corpus-wide rank window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"heap aggregate missing:\n$plan")
+  }
+
+  test("text_classifier_infer joins its weight vector by broadcast; no window") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("text_classifier_infer")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("brute-force ANN broadcasts the query side; the candidate scan never shuffles pairs") {
     val embs = (0L until 200L)
       .map(i => (i, Seq.fill(8)((i % 7).toDouble + 0.5)))
