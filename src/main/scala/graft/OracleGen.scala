@@ -550,6 +550,25 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell_id, sim AS cosine FROM (
   FROM sf) WHERE rn = 1"""
   }
 
+  /** Oracle for `embed_outliers` — the k-means assignment
+    * ([[embedKmeans]], nested as a CTE) with a per-cell mean-cosine
+    * threshold: keep ⟺ cosine ≥ round₆(cell mean) − margin. Exact
+    * decimal sums keep the mean order-independent; the margin is an
+    * `e0` double literal so both engines compare identically.
+    */
+  def embedOutliers(k: Int = 8, iters: Int = 2, dim: Int = 64,
+                    margin: Double = 0.05): String =
+    s"""WITH base AS (
+${embedKmeans(k, iters, dim)}
+),
+st AS (SELECT cell_id,
+    round(CAST(SUM(CAST(cosine AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
+      AS cell_avg
+  FROM base GROUP BY cell_id)
+SELECT b.vec_id, b.cell_id, b.cosine, st.cell_avg,
+  b.cosine >= st.cell_avg - ${margin}e0 AS keep
+FROM base b JOIN st USING (cell_id)"""
+
   /** Oracle for `text_winnow` — replays
     * [[graft.functions.ShingleKernels.winnowFingerprints]]: positional
     * shingle FNV hashes, per-window rightmost-minimum selection

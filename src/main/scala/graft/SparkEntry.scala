@@ -1306,6 +1306,20 @@ object SparkEntry {
         .groupBy(col("k_val"))
         .agg(count(lit(1)).as("n"))),
 
+    // Spark 4 VARIANT path: parse the JSON payload ONCE into the
+    // binary variant encoding, then typed-extract — at 100 TB the
+    // parse-once/extract-many shape beats get_json_object's re-parse
+    // per path, and the variant column pushes through shuffles as
+    // compact binary, not text.
+    "q_variant_extract" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          try_variant_get(col("v"), "$.k", "long").as("k_val"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k_val")).as("n"), sum(col("k_val")).as("sum_k"),
+          min(col("k_val")).as("min_k"), max(col("k_val")).as("max_k"))),
+
     // Fixed-width histogram of `value` — the profiling primitive.
     "q_histogram" -> ((s, dir) =>
       ld(s, dir, "events")
@@ -1776,6 +1790,22 @@ object SparkEntry {
     // the training pass behind a properly-fitted IVF index. Per
     // iteration: one argmax projection + one k-row decimal aggregate;
     // only the k×dim centroid matrix reaches the driver.
+    // Embedding outlier pruning (training-data curation): vectors far
+    // from their k-means centroid — noisy captions, mislabeled pairs —
+    // are flagged against a per-cell mean-cosine threshold. One k-row
+    // stats aggregate broadcast back over the assignment; the corpus
+    // never re-shuffles.
+    "embed_outliers" -> ((s, dir) => {
+      val a = graft.operators.KMeans.sphericalKMeans(
+        ld(s, dir, "embeddings"), "embedding", "vec_id", k = 8, iters = 2)
+      val stats = a.groupBy(col("cell_id")).agg(
+        round(sum(col("cosine").cast("decimal(25,12)")).cast("double") /
+          count(lit(1)), 6).as("cell_avg"))
+      a.join(broadcast(stats), Seq("cell_id"))
+        .select(col("vec_id"), col("cell_id"), col("cosine"), col("cell_avg"),
+          (col("cosine") >= col("cell_avg") - lit(0.05)).as("keep"))
+    }),
+
     "embed_kmeans" -> ((s, dir) =>
       graft.operators.KMeans.sphericalKMeans(
         ld(s, dir, "embeddings"), "embedding", "vec_id")),
@@ -3283,6 +3313,13 @@ object SparkEntry {
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k_val, COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q_variant_extract" ->
+      """WITH x AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k_val
+        |  FROM events)
+        |SELECT event_type, COUNT(k_val) AS n, CAST(SUM(k_val) AS BIGINT) AS sum_k,
+        |  MIN(k_val) AS min_k, MAX(k_val) AS max_k
+        |FROM x GROUP BY event_type""".stripMargin,
+
     "q_profile" -> {
       val numeric = Seq("event_id", "user_id", "value")
       val all = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -4052,6 +4089,8 @@ object SparkEntry {
     },
 
     "embed_kmeans" -> OracleGen.embedKmeans(),
+
+    "embed_outliers" -> OracleGen.embedOutliers(),
     "knn_pq" -> OracleGen.knnPq(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
     "dedup_incremental" -> OracleGen.dedupIncremental(),

@@ -159,6 +159,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
+  test("embed_outliers joins its k-row cell stats by broadcast — corpus never re-shuffles") {
+    assume(haveTestdata)
+    val plan = executed(SparkEntry.queries("embed_outliers")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"cell stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side sort-merge:\n$plan")
+  }
+
   test("brute-force ANN broadcasts the query side; the candidate scan never shuffles pairs") {
     val embs = (0L until 200L)
       .map(i => (i, Seq.fill(8)((i % 7).toDouble + 0.5)))
