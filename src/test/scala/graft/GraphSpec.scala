@@ -44,6 +44,20 @@ class GraphSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("dangling destinations are rejected, not silently drained") {
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(spark, edges("a" -> "b", "b" -> "a", "a" -> "sink"))
+    }
+    assert(ex.getMessage.contains("dangling"))
+  }
+
+  test("contribution-less sources are rejected (closure contract)") {
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(spark, edges("a" -> "b", "b" -> "a", "c" -> "a"))
+    }
+    assert(ex.getMessage.contains("contribution-less"))
+  }
+
   test("purchaseGraph symmetrizes and prefixes the two key spaces") {
     val orders = Seq((1L, 10L), (2L, 20L)).toDF("o_orderkey", "o_custkey")
     val li = Seq((1L, 10L), (1L, 10L), (2L, 30L)).toDF("l_orderkey", "l_suppkey")
