@@ -29,6 +29,39 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
   private def sumD(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Shared by `q_approx_distinct_hll` (batch registers) and
+    * `stream_approx_distinct` (streaming-state registers): rebuilds the
+    * HLL registers bit for bit — 60-bit md5 hash, bucket = h mod 64,
+    * rho = 55 − bitlength(h div 64) — then the α=0.709 harmonic
+    * estimate with the linear-counting small-range correction.
+    */
+  private val hllOracle: String =
+    """WITH h AS (SELECT event_type AS g,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |br AS (SELECT g, h % 64 AS b,
+      |    CASE WHEN h // 64 = 0 THEN 55
+      |         ELSE 55 - length(bin(h // 64)) END AS r0 FROM h),
+      |regs AS MATERIALIZED (SELECT g, b, MAX(r0) AS r FROM br GROUP BY g, b),
+      |allregs AS (SELECT * FROM regs
+      |  UNION ALL SELECT '__all__' AS g, b, MAX(r) AS r FROM regs GROUP BY b),
+      |est AS (SELECT g, COUNT(*) AS nreg, SUM(pow(0.5, r)) AS sp
+      |  FROM allregs GROUP BY g),
+      |e2 AS (SELECT g, 64 - nreg AS zeros,
+      |    0.709 * 64 * 64 / (sp + (64 - nreg)) AS raw FROM est),
+      |approx AS (SELECT g,
+      |    round(CASE WHEN raw <= 160.0 AND zeros > 0
+      |          THEN 64 * ln(64.0 / zeros) ELSE raw END, 4) AS approx_distinct
+      |  FROM e2),
+      |exact AS (SELECT event_type AS g, COUNT(DISTINCT user_id) AS exact_distinct
+      |    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+      |  UNION ALL SELECT '__all__', COUNT(DISTINCT user_id)
+      |    FROM events WHERE user_id IS NOT NULL)
+      |SELECT ex.g AS event_type, ex.exact_distinct, a.approx_distinct,
+      |  round(abs(a.approx_distinct - ex.exact_distinct) / ex.exact_distinct, 4)
+      |    AS rel_err
+      |FROM exact ex JOIN approx a ON a.g = ex.g""".stripMargin
+
   /** Staging cache for queries that must lay their input out as files
     * (multi-batch streaming proofs): build once per (kind, sfDir) per
     * JVM under the session scratch (tmpfs), reuse on later passes — the
@@ -1216,6 +1249,32 @@ object SparkEntry {
     "q_approx_distinct_hll" -> ((s, dir) =>
       Sketch.hllDistinctReport(ld(s, dir, "events"), "event_type",
         "user_id", m = 64)),
+
+    // The SAME HLL registers maintained as streaming state: a
+    // complete-mode max-aggregation over (group, bucket) — bounded at
+    // ≤ groups×64 rows no matter how long the stream runs — then the
+    // estimate folds over the sink batch-side. Same oracle as the
+    // batch path: the sketch doesn't care where its registers were
+    // built, which is exactly the merge property that lets a streaming
+    // job hand daily registers to a batch reporter.
+    "stream_approx_distinct" -> ((s, dir) => {
+      val regs = Sketch.hllRegisters(
+        eventsStream(s, dir).filter(col("user_id").isNotNull),
+        "event_type", "user_id", m = 64)
+      val sinkName = s"graft_shll_${System.nanoTime()}"
+      val q = regs.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        Sketch.hllReportFromRegisters(s.table(sinkName).localCheckpoint(true),
+          ld(s, dir, "events"), "event_type", "user_id", m = 64)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
 
     // Decile bucketing at scale: the nine interpolated thresholds come
     // from ONE corpus aggregate (broadcast back as a 1-row array), and
@@ -3219,32 +3278,11 @@ object SparkEntry {
     // rebuilds the HLL registers bit for bit: 60-bit md5 hash, bucket
     // = h mod 64, rho = 55 - bitlength(h div 64); same α=0.709
     // harmonic estimate + linear-counting small-range correction
-    "q_approx_distinct_hll" ->
-      """WITH h AS (SELECT event_type AS g,
-        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-        |  FROM events WHERE user_id IS NOT NULL),
-        |br AS (SELECT g, h % 64 AS b,
-        |    CASE WHEN h // 64 = 0 THEN 55
-        |         ELSE 55 - length(bin(h // 64)) END AS r0 FROM h),
-        |regs AS MATERIALIZED (SELECT g, b, MAX(r0) AS r FROM br GROUP BY g, b),
-        |allregs AS (SELECT * FROM regs
-        |  UNION ALL SELECT '__all__' AS g, b, MAX(r) AS r FROM regs GROUP BY b),
-        |est AS (SELECT g, COUNT(*) AS nreg, SUM(pow(0.5, r)) AS sp
-        |  FROM allregs GROUP BY g),
-        |e2 AS (SELECT g, 64 - nreg AS zeros,
-        |    0.709 * 64 * 64 / (sp + (64 - nreg)) AS raw FROM est),
-        |approx AS (SELECT g,
-        |    round(CASE WHEN raw <= 160.0 AND zeros > 0
-        |          THEN 64 * ln(64.0 / zeros) ELSE raw END, 4) AS approx_distinct
-        |  FROM e2),
-        |exact AS (SELECT event_type AS g, COUNT(DISTINCT user_id) AS exact_distinct
-        |    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
-        |  UNION ALL SELECT '__all__', COUNT(DISTINCT user_id)
-        |    FROM events WHERE user_id IS NOT NULL)
-        |SELECT ex.g AS event_type, ex.exact_distinct, a.approx_distinct,
-        |  round(abs(a.approx_distinct - ex.exact_distinct) / ex.exact_distinct, 4)
-        |    AS rel_err
-        |FROM exact ex JOIN approx a ON a.g = ex.g""".stripMargin,
+    "q_approx_distinct_hll" -> hllOracle,
+
+    // the streaming-state registers must equal the batch ones —
+    // deliberately the SAME oracle (sketch mergeability contract)
+    "stream_approx_distinct" -> hllOracle,
 
     "q_distinct_approx" ->
       """SELECT event_type, COUNT(*) AS n_events,

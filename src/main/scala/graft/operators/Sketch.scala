@@ -148,13 +148,26 @@ object Sketch {
     * 100 TB you would drop it; it is the very cost HLL avoids).
     */
   def hllDistinctReport(df: DataFrame, groupCol: String, keyCol: String,
-                        m: Int = 64, allLabel: String = "__all__"): DataFrame = {
-    val regs = hllRegisters(df, groupCol, keyCol, m)
+                        m: Int = 64, allLabel: String = "__all__"): DataFrame =
+    hllReportFromRegisters(hllRegisters(df, groupCol, keyCol, m),
+      df, groupCol, keyCol, m, allLabel)
+
+  /** The report tail on an ALREADY-BUILT register relation — shared by
+    * the batch path above and the streaming path (where the registers
+    * come out of a complete-mode streaming aggregation and `exactFrom`
+    * is the batch read of the same data). This split is the point of
+    * the sketch: registers can be maintained anywhere (batch, stream,
+    * per-day shards) and the estimate is a cheap fold over ≤ groups×m
+    * rows.
+    */
+  def hllReportFromRegisters(regs: DataFrame, exactFrom: DataFrame,
+                             groupCol: String, keyCol: String,
+                             m: Int = 64, allLabel: String = "__all__"): DataFrame = {
     val merged = regs.groupBy(col("b")).agg(max(col("r")).as("r"))
       .select(lit(allLabel).as(groupCol), col("b"), col("r"))
     val approx = hllEstimate(regs.union(merged), groupCol, m)
       .select(col(groupCol), round(col("approx"), 4).as("approx_distinct"))
-    val base = df.filter(col(keyCol).isNotNull)
+    val base = exactFrom.filter(col(keyCol).isNotNull)
     val exact = base.groupBy(col(groupCol))
       .agg(countDistinct(col(keyCol)).as("exact_distinct"))
       .union(base.select(lit(allLabel).as(groupCol), col(keyCol))
