@@ -1335,6 +1335,43 @@ object SparkEntry {
 
     // Full ranking-function surface over one window (deterministic:
     // the ordering key is unique per partition).
+    // Time-series forward fill (last-observation-carried-forward): the
+    // sensor-style repair for sparse readings. One keyed window whose
+    // state is a single value — partition by the entity, never a
+    // global sort.
+    "q_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ld(s, dir, "events")
+        .withColumn("v", when(col("event_type") =!= "error", col("value")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("v").isNotNull.as("observed"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+    }),
+
+    // Dense calendar gap fill: the hour×type frame is generated from a
+    // ONE-ROW bounds aggregate (calendar size is bounded by the time
+    // span, not the data volume), the 5-row type dim broadcasts, and
+    // observed counts left-join in — missing hours surface as explicit
+    // zeros, which is what downstream anomaly detection needs.
+    "q_gap_fill" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val hours = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     "q_rank_funcs" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -3329,6 +3366,25 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
         |GROUP BY metric""".stripMargin,
+
+    "q_forward_fill" ->
+      """SELECT event_id, user_id, ts, v IS NOT NULL AS observed,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type <> 'error' THEN value END AS v FROM events)""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |    date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |agg AS (SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hrs.h, ty.event_type, COALESCE(agg.n, 0) AS n
+        |FROM hrs CROSS JOIN ty
+        |LEFT JOIN agg ON agg.h = hrs.h AND agg.event_type = ty.event_type""".stripMargin,
 
     "q_rank_funcs" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
