@@ -62,6 +62,29 @@ object SparkEntry {
       |    AS rel_err
       |FROM exact ex JOIN approx a ON a.g = ex.g""".stripMargin
 
+  /** Shared by `text_bigram_lm` and (as a nested CTE)
+    * `corpus_ccnet_buckets` — the add-one-smoothed count-LM score.
+    */
+  private val bigramLmOracle: String =
+    """WITH toks AS MATERIALIZED (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |pairs AS MATERIALIZED (SELECT doc_id,
+      |    tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+      |  FROM toks, LATERAL unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
+      |lp AS (SELECT p.doc_id,
+      |    round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS lp
+      |  FROM pairs p JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+      |  JOIN c1 ON c1.w1 = p.w1 CROSS JOIN v),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    round(CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+      |  FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   /** Staging cache for queries that must lay their input out as files
     * (multi-batch streaming proofs): build once per (kind, sfDir) per
     * JVM under the session scratch (tmpfs), reuse on later passes — the
@@ -1602,6 +1625,25 @@ object SparkEntry {
     // decimal-sum per-doc agg — no windows, no driver model state.
     "text_bigram_lm" -> ((s, dir) =>
       Corpus.bigramLmScore(ld(s, dir, "documents"))),
+
+    // CCNet-style head/middle/tail quality bucketing: the corpus is
+    // split at the 33rd/67th percentile of the count-LM score (higher
+    // log-prob = more fluent = "head"), the split that decides what
+    // gets kept, down-weighted, or dropped in a CCNet-shaped pipeline.
+    // Thresholds come from ONE aggregate broadcast back (no global
+    // sort/ntile); scores are the already-6dp bigram-LM output, so the
+    // bucket boundaries are engine-portable.
+    "corpus_ccnet_buckets" -> ((s, dir) => {
+      val scored = Corpus.bigramLmScore(ld(s, dir, "documents"))
+        .filter(col("avg_logp").isNotNull)
+      val th = scored.agg(
+        expr("percentile(avg_logp, array(0.3333, 0.6667))").as("th"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("avg_logp"),
+          when(col("avg_logp") >= round(element_at(col("th"), 2), 6), "head")
+            .when(col("avg_logp") >= round(element_at(col("th"), 1), 6), "middle")
+            .otherwise("tail").as("bucket"))
+    }),
 
     // DSIR importance weights: hashed-unigram log-likelihood ratio of
     // target (en) vs raw distribution, summed per doc — the
@@ -3794,25 +3836,21 @@ object SparkEntry {
         |    ELSE CAST(0.0 AS DOUBLE) END AS contamination
         |FROM tr LEFT JOIN sh ON sh.doc_id = tr.doc_id""".stripMargin,
 
-    "text_bigram_lm" ->
-      """WITH toks AS MATERIALIZED (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
-        |  FROM documents),
-        |pairs AS MATERIALIZED (SELECT doc_id,
-        |    tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
-        |  FROM toks, LATERAL unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
-        |v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)),
-        |lp AS (SELECT p.doc_id,
-        |    round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS lp
-        |  FROM pairs p JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
-        |  JOIN c1 ON c1.w1 = p.w1 CROSS JOIN v),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-        |    round(CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
-        |  FROM lp GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
-        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    "text_bigram_lm" -> bigramLmOracle,
+
+    // head/middle/tail over the SAME count-LM score CTE (nested), cut
+    // at the interpolated terciles rounded to 6 dp on both engines
+    "corpus_ccnet_buckets" ->
+      s"""WITH lm AS (
+         |$bigramLmOracle
+         |),
+         |sc AS (SELECT doc_id, avg_logp FROM lm WHERE avg_logp IS NOT NULL),
+         |th AS (SELECT quantile_cont(avg_logp, [0.3333, 0.6667]) AS th FROM sc)
+         |SELECT doc_id, avg_logp,
+         |  CASE WHEN avg_logp >= round(th[2], 6) THEN 'head'
+         |       WHEN avg_logp >= round(th[1], 6) THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc CROSS JOIN th""".stripMargin,
 
     "corpus_importance" ->
       """WITH toks AS MATERIALIZED (SELECT doc_id, lang = 'en' AS t,
