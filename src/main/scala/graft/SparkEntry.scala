@@ -1632,7 +1632,11 @@ object SparkEntry {
     // gets kept, down-weighted, or dropped in a CCNet-shaped pipeline.
     // Thresholds come from ONE aggregate broadcast back (no global
     // sort/ntile); scores are the already-6dp bigram-LM output, so the
-    // bucket boundaries are engine-portable.
+    // bucket boundaries are engine-portable. Exact `percentile` here
+    // is the same oracle-portability trade q_length_deciles documents
+    // (one corpus-wide value buffer); at 100 TB swap the threshold
+    // aggregate for approx_percentile exactly as q_percentiles_approx
+    // demonstrates — the bucket projection is unchanged.
     "corpus_ccnet_buckets" -> ((s, dir) => {
       val scored = Corpus.bigramLmScore(ld(s, dir, "documents"))
         .filter(col("avg_logp").isNotNull)
