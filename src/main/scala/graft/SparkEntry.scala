@@ -1169,6 +1169,40 @@ object SparkEntry {
         .withColumn("running_sum", sum(dec(col("value"))).over(run).cast("double"))
     }),
 
+    // Trailing exponential moving average (alpha = 0.3) over the last
+    // 20 events per user: the recursive y = a·x + (1−a)·y fold can't be
+    // a plain window sum, so the bounded frame is collected in window
+    // order and folded with a codegen'd higher-order `aggregate`,
+    // seeded with the frame's OLDEST value — deterministic, and the
+    // fold order matches DuckDB's list_reduce exactly. Frame bound (not
+    // unbounded-preceding) keeps per-row state O(20) at any scale.
+    "q_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      ld(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("__vals", collect_list(col("value")).over(w))
+        .withColumn("ewma", round(aggregate(
+          slice(col("__vals"), lit(2), greatest(size(col("__vals")) - 1, lit(0))),
+          element_at(col("__vals"), 1),
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6))
+        .drop("__vals")
+    }),
+
+    // Per-key ordered event collection (the "secondary sort" pattern):
+    // one shuffle keyed by user, per-group memory bounded by that
+    // user's event count, the ordering done by an in-group array_sort
+    // on (ts, event_id) structs — no global sort, no window shuffle.
+    "q_collect_ordered" -> ((s, dir) =>
+      ld(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type")), ",").as("seq"))),
+
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
     "q_stats_moments" -> ((s, dir) =>
@@ -1805,6 +1839,14 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")),
 
+    // EXACT all-pairs similarity self-join via prefix filtering
+    // (Bayardo et al. WWW'07): every pair with 5-shingle Jaccard >= 0.5
+    // over the FULL corpus — exact recall where dedup_minhash_lsh is
+    // probabilistic and dedup_jaccard_pairs brute-forces a bounded
+    // slice. Candidates form on rare-first prefix shingles only.
+    "dedup_setsim_exact" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(ld(s, dir, "documents"), "text", "doc_id")),
+
     // Incremental admission: an incoming batch deduped against the
     // existing corpus — pairs probe only incoming buckets (cost ∝
     // batch, not corpus²); first-wins keep verdict per incoming doc.
@@ -1837,6 +1879,20 @@ object SparkEntry {
         graft.operators.Graph.purchaseGraph(
           ld(s, dir, "orders"), ld(s, dir, "lineitem")),
         iters = 5, damping = 0.85)),
+
+    // Degree histogram of the user co-activity graph (slot-keyed
+    // self-join, multiplicity >= 3) — two map-side-combined groupBys.
+    "graph_degrees" -> ((s, dir) =>
+      graft.operators.Graph.degreeHistogram(
+        graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3))
+        .select(col("degree"), col("n_nodes"))),
+
+    // Triangle count + global clustering coefficient via the
+    // degree-ordered compact-forward wedge join (out-degree O(sqrt m)
+    // per node even on power-law graphs). One summary row.
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3))),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashCandidates(ld(s, dir, "documents"), "text", "doc_id",
@@ -3311,6 +3367,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
 
+    // list() over the frame is in frame order; list_reduce seeds with
+    // the first (oldest) element — the identical fold as the Spark side
+    "q_ewma" ->
+      """SELECT event_id, user_id, ts, value,
+        |  round(list_reduce(list(value) OVER w,
+        |    (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_collect_ordered" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q_stats_moments" ->
       """SELECT event_type, COUNT(*) AS n,
         |  round(stddev_samp(value), 6) AS stddev_value,
@@ -4162,6 +4233,26 @@ object SparkEntry {
         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
 
+    // intersection sizes via an exploded token equi-join (linear CTE,
+    // ~1 s in DuckDB at sf0.01) rather than all-pairs list_intersect
+    // (~25 s measured) — gate-budget discipline; threshold applies to
+    // the raw ratio, rounding is output formatting (same as Spark side)
+    "dedup_setsim_exact" ->
+      """WITH d AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n
+        |           FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, GREATEST(length(n) - 4, 0) + 1),
+        |        i -> substr(n, CAST(i AS INT), 5))) AS s FROM d),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+        |ov AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS o
+        |       FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT ia, ib, CAST(o AS DOUBLE) / (sa.n + sb.n - o) AS j
+        |      FROM ov JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+        |SELECT ia AS id_a, ib AS id_b, round(j, 6) AS jaccard
+        |FROM p WHERE j >= 0.5""".stripMargin,
+
     "embed_norm" ->
       """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
         |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
@@ -4233,6 +4324,36 @@ object SparkEntry {
     "dedup_clusters" -> OracleGen.dedupClusters,
 
     "graph_pagerank" -> OracleGen.graphPageRank(iters = 5, damping = 0.85),
+
+    "graph_degrees" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |e AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |deg AS (SELECT node, count(*) AS degree FROM
+        |        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1)
+        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
+
+    // id-ordered triangle join: the count is orientation-independent,
+    // so the oracle needn't replay the degree-ordered Spark plan
+    "graph_triangles" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |e AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM e e1
+        |        JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |agg AS (SELECT count(*) AS n_nodes, CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges
+        |        FROM deg),
+        |ec AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, t AS n_triangles,
+        |  CASE WHEN wedges = 0 THEN 0.0 ELSE round(3.0 * t / wedges, 6) END AS clustering
+        |FROM agg, ec, tri""".stripMargin,
     "dedup_semantic" -> OracleGen.dedupSemantic(),
     "embed_pca" -> OracleGen.embedPca(),
     "embed_pca2" -> OracleGen.embedPca2(),

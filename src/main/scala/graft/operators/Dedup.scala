@@ -354,6 +354,57 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Exact set-similarity self-join via prefix filtering (Chaudhuri et
+    * al. ICDE'06; Bayardo et al. WWW'07 "Scaling Up All Pairs"): every
+    * pair with shingle-set Jaccard ≥ `threshold` — EXACT recall, no
+    * MinHash-style probabilistic gap — without ever forming the
+    * all-pairs product.
+    *
+    * Each doc's shingles are totally ordered by (corpus document
+    * frequency asc, shingle asc); if jaccard(a,b) ≥ t the two prefixes
+    * of length |s| − ⌈t·|s|⌉ + 1 must share at least one shingle, so
+    * candidate pairs form by an equi-join on PREFIX shingles only.
+    * Prefixes hold each doc's RAREST shingles, so join-key fan-out is
+    * naturally small (a shingle lands in prefixes only when few docs
+    * contain it); the verify stage re-checks exact Jaccard on the full
+    * sets for candidate pairs alone. Shuffles at 100 TB: one groupBy on
+    * shingle (doc frequency, map-side combinable), one regroup by doc,
+    * one equi-join keyed on rare prefix shingles, one bounded verify
+    * join — never O(n²). Docs with an empty shingle set (shorter than
+    * `shingleLen`) have no prefix and are excluded from pairing.
+    */
+  def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
+                        shingleLen: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sets = docs
+      .select(col(idCol).cast("long").as("id"), normalizeWs(col(textCol)).as("__norm"))
+      .select(col("id"), charShinglesOf(col("__norm"), shingleLen).as("sh"))
+    val tok = sets.select(col("id"), explode(col("sh")).as("t"))
+    // shingle sets are distinct per doc, so count(*) = document frequency
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("__df"))
+    val ordered = tok.join(dfreq, "t")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("t")))).as("__ord"))
+      .select(col("id"),
+        transform(col("__ord"), s => s.getField("t")).as("toks"))
+    val n = size(col("toks"))
+    val prefixLen = (n - ceil(n * threshold) + 1).cast("int")
+    val prefix = ordered.select(col("id"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("t"))
+    val cands = prefix.select(col("t"), col("id").as("id_a"))
+      .join(prefix.select(col("t"), col("id").as("id_b")), "t")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify on the full sets, candidates only; threshold applies
+    // to the RAW ratio (two exact ints divided — engine-portable), the
+    // 6-dp rounding is output formatting
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .filter(jaccard(col("sa"), col("sb")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embeddings, then WITHIN each cluster drop every vector that has a
     * lower-id neighbor above the cosine threshold — one representative

@@ -99,6 +99,90 @@ object Graph {
     out
   }
 
+  /** Distinct undirected co-activity edges between users active in the
+    * same (hour, event_type) slot, kept when the pair co-occurs in at
+    * least `minCo` distinct slots. Canonical orientation `a < b`.
+    *
+    * Scale shape: the self-join is keyed on the SLOT (hour ×
+    * event_type), so fan-out per key is bounded by concurrent users in
+    * one slot, never the corpus; the multiplicity filter is one
+    * map-side-combinable groupBy on the (a, b) pair.
+    */
+  def coActivityEdges(events: DataFrame, minCo: Int = 3): DataFrame = {
+    val slots = events
+      .select(date_trunc("hour", col("ts")).as("h"),
+        col("event_type").as("et"), col("user_id"))
+      .distinct()
+    slots.select(col("h"), col("et"), col("user_id").as("a"))
+      .join(slots.select(col("h"), col("et"), col("user_id").as("b")), Seq("h", "et"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+      .select(col("a"), col("b"))
+  }
+
+  /** Degree histogram of an undirected edge set (`a < b` canonical,
+    * distinct): (degree, n_nodes). Two map-side-combinable groupBys —
+    * the 100 TB shape for "what does the graph look like".
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Triangle count + global clustering coefficient of an undirected
+    * edge set (`a < b` canonical, distinct), via the compact-forward /
+    * degree-ordered wedge join (Suri & Vassilvitskii WWW'11): each edge
+    * is oriented from its lower (degree, id) endpoint to the higher, so
+    * every node's out-degree in the resulting DAG is O(√m) — the wedge
+    * self-join's per-key fan-out is bounded even on power-law graphs,
+    * where id-ordered wedging would square the hub degrees. Each
+    * triangle is counted exactly once (at its smallest-ordered vertex);
+    * the count is orientation-independent, so the oracle may verify
+    * with plain id ordering. Returns ONE row: (n_nodes, n_edges,
+    * n_triangles, clustering) with clustering = 3·triangles / wedges.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): least/greatest on the struct key gives
+    // the DAG edge; structs compare field-by-field, so ties on degree
+    // break deterministically by id
+    val keyed = e
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(struct(col("da").as("d"), col("a").as("id")).as("ka"),
+        struct(col("db").as("d"), col("b").as("id")).as("kb"))
+    val oriented = keyed
+      .select(least(col("ka"), col("kb")).as("src"),
+        greatest(col("ka"), col("kb")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
+      .filter(col("v") < col("w"))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // wedge total from the degree relation (k-choose-2 per node) — no
+    // second pass over the wedge join
+    val stats = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    val edgeCount = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    val out = stats.crossJoin(edgeCount).crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering"))
+    val cp = out.localCheckpoint()
+    e.unpersist(); oriented.unpersist()
+    cp
+  }
+
   /** The symmetric customer↔supplier co-purchase graph: an edge per
     * distinct (customer, supplier) pair observed in orders⋈lineitem,
     * materialized in both directions (so the bipartite walk mixes and

@@ -68,4 +68,54 @@ class GraphSpec extends AnyFunSuite {
     assert(e == Set("c10" -> "s10", "s10" -> "c10",
       "c20" -> "s30", "s30" -> "c20"))
   }
+
+  // ---- triangle counting -------------------------------------------
+
+  private def und(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+
+  test("triangleStats: K4 has 4 triangles and clustering 1.0") {
+    val k4 = und(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val r = Graph.triangleStats(k4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 6L, 4L)))
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("triangleStats: a path has wedges but zero triangles") {
+    val path = und(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val r = Graph.triangleStats(path).collect()(0)
+    assert(r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("triangleStats: triangle plus pendant edge") {
+    // wedges: deg(2)=3 -> 3, deg(1)=deg(3)=2 -> 1+1, deg(4)=1 -> 0; total 5
+    val g = und(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L)
+    val r = Graph.triangleStats(g).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 1L)))
+    assert(math.abs(r.getDouble(3) - 0.6) < 1e-9)
+  }
+
+  test("degreeHistogram counts both endpoints") {
+    val g = und(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L)
+    val h = Graph.degreeHistogram(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("coActivityEdges requires minCo distinct slots and a < b") {
+    import java.sql.Timestamp
+    val ts = (h: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    val ev = Seq(
+      (ts(1), "click", 10L), (ts(1), "click", 20L), // slot 1: co-occur
+      (ts(2), "click", 10L), (ts(2), "click", 20L), // slot 2: co-occur
+      (ts(3), "view", 10L), (ts(3), "view", 20L),   // slot 3: co-occur
+      (ts(4), "click", 20L), (ts(4), "click", 30L)  // 20-30 only once
+    ).toDF("ts", "event_type", "user_id")
+    val e2 = Graph.coActivityEdges(ev, minCo = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e2 == Set((10L, 20L)))
+    val e1 = Graph.coActivityEdges(ev, minCo = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e1 == Set((10L, 20L), (20L, 30L)))
+  }
 }
