@@ -1498,6 +1498,25 @@ object SparkEntry {
         TF.tokenCount(col("text")).cast("long").as("n_tokens"),
         TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
 
+    // First BPE-training iteration: corpus-wide adjacent-symbol-pair
+    // counts, top 50. Scale shape: the corpus collapses to the DISTINCT
+    // word relation first (map-side-combinable groupBy), pairs expand
+    // from distinct words weighted by word count — pair explosion runs
+    // over the vocabulary, not the 100 TB corpus — and the top-50 cut
+    // is a distributed TakeOrdered, never a vocab-wide sort.
+    "text_bpe_pairs" -> ((s, dir) => {
+      val words = ld(s, dir, "documents")
+        .select(explode(TF.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
+
     "text_quality" -> ((s, dir) => {
       val f = TF.qualityFeatures(col("text"))
       ld(s, dir, "documents").select(
@@ -1782,6 +1801,13 @@ object SparkEntry {
     "corpus_pack_shards" -> ((s, dir) =>
       Corpus.packShards(ld(s, dir, "documents"), budget = 2000,
         bucketWidth = 64)),
+
+    // Contiguous global ids without a global sort (scalable
+    // zipWithIndex): range partition + per-partition counts +
+    // broadcast prefix-sum offsets + within-partition rank.
+    "corpus_global_ids" -> ((s, dir) =>
+      Corpus.globalIds(ld(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("global_id"))),
 
     // Gopher-style repetition metrics (dup/top 2-gram fractions) — the
     // repetition filter that runs next to the quality score.
@@ -2624,6 +2650,37 @@ object SparkEntry {
     "q_profile" -> ((s, dir) =>
       graft.operators.Profile.profile(ld(s, dir, "events"))
         .filter(col("metric") =!= "approx_distinct")),
+
+    // Data-quality assertion suite: pk uniqueness, FK orphans, range
+    // and null-rate checks, and a cross-table ordering invariant
+    // (ship-before-order) — three scan/join passes total, every check
+    // a map-side-combinable conditional count; the orphan and ordering
+    // checks share ONE left join over lineitem⋈orders.
+    "q_dq_checks" -> ((s, dir) => {
+      val o = ld(s, dir, "orders")
+      val li = ld(s, dir, "lineitem")
+      val liAgg = li.agg(
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("disc"))
+      val oAgg = o.agg(
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("pkdup"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nullck"))
+      val joined = li.select(col("l_orderkey"), col("l_shipdate"))
+        .join(o.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orphan"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("shipb4"))
+      liAgg.crossJoin(oAgg).crossJoin(joined)
+        .select(expr(
+          """stack(6,
+            |'lineitem_qty_nonpositive', qty,
+            |'lineitem_discount_range', disc,
+            |'orders_pk_duplicates', pkdup,
+            |'orders_null_custkey', nullck,
+            |'lineitem_orphan_fk', orphan,
+            |'lineitem_ship_before_order', shipb4) AS (check, violations)""".stripMargin))
+    }),
 
     // Full multimodal batch path: blob → typed metadata → evenly-spaced
     // frame sampling → per-frame feature vectors, all via mapPartitions
@@ -3614,6 +3671,15 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |           FROM documents),
+        |wf AS (SELECT w, count(*) AS wc FROM w WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+        |      FROM wf, unnest(range(1, length(w))) AS t(i)),
+        |a AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY 1)
+        |SELECT pair, n FROM a ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
     "text_quality" ->
       """SELECT doc_id, n_chars, n_words,
         |  CAST(n_nonspace AS DOUBLE) / n_words AS mean_word_len,
@@ -4140,6 +4206,32 @@ object SparkEntry {
         |    AS cum_before FROM t)
         |SELECT doc_id, source, n_tokens,
         |  CAST(cum_before // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
+
+    "corpus_global_ids" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
+        |FROM documents""".stripMargin,
+
+    "q_dq_checks" ->
+      """WITH li AS (SELECT
+        |    count(*) FILTER (WHERE l_quantity <= 0) AS qty,
+        |    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS disc
+        |  FROM lineitem),
+        |o AS (SELECT count(*) - count(DISTINCT o_orderkey) AS pkdup,
+        |    count(*) FILTER (WHERE o_custkey IS NULL) AS nullck
+        |  FROM orders),
+        |j AS (SELECT
+        |    count(*) FILTER (WHERE o.o_orderkey IS NULL) AS orphan,
+        |    count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS shipb4
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT c."check" AS "check", c.violations FROM li, o, j,
+        |  LATERAL (VALUES
+        |    ('lineitem_qty_nonpositive', qty),
+        |    ('lineitem_discount_range', disc),
+        |    ('orders_pk_duplicates', pkdup),
+        |    ('orders_null_custkey', nullck),
+        |    ('lineitem_orphan_fk', orphan),
+        |    ('lineitem_ship_before_order', shipb4)) AS c("check", violations)""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id,

@@ -610,4 +610,39 @@ object Corpus {
       .select(col(idCol), col(strataCol), col("n_tokens"),
         ((col("__boff") + col("__woff")) / lit(budget)).cast("long").as("shard_id"))
   }
+
+  /** Contiguous global row ids (0..n−1 in `orderCol` order) WITHOUT a
+    * single-partition global sort — the scalable zipWithIndex, pure
+    * DataFrame: range-partition on the (unique) order column, count
+    * rows per partition (a tiny nParts-row relation), prefix-sum those
+    * counts into per-partition offsets, broadcast them back, and add
+    * each row's within-partition rank. Range partitioning guarantees
+    * partition i's keys all precede partition i+1's, so offset + local
+    * rank IS the global row number. The only whole-partition operation
+    * is the within-partition rank — the same memory shape as the sort
+    * any id assignment needs; nothing corpus-sized ever reaches fewer
+    * than nParts tasks, and driver state is one count per partition.
+    *
+    * The range exchange is persisted before fan-out: the offsets pass
+    * and the rank pass must see the SAME partitioning decision (range
+    * bounds come from sampling), so the exchange result is pinned
+    * rather than recomputed per downstream job.
+    */
+  def globalIds(df: DataFrame, orderCol: String, nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(nParts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overPids = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(overPids), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    parted
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("global_id", col("__off") + col("__rank") - 1)
+      .drop("__pid", "__rank", "__off")
+  }
 }

@@ -278,4 +278,25 @@ class CorpusSpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong).toSeq)
     }
   }
+
+  test("globalIds: contiguous 0..n-1 in key order across many partitions") {
+    import spark.implicits._
+    // skewed, non-contiguous keys in scrambled input order
+    val keys = ((1L to 400L) ++ Seq(100000L, 5000L, 99999L)).reverse
+    val df = keys.toDF("k").repartition(7)
+    val out = Corpus.globalIds(df, "k", nParts = 5)
+      .select("k", "global_id").as[(Long, Long)].collect().sortBy(_._1)
+    val expect = keys.sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    assert(out.toSeq == expect)
+  }
+
+  test("globalIds is deterministic across runs") {
+    import spark.implicits._
+    val df = (1L to 300L).toDF("k").repartition(5)
+    val a = Corpus.globalIds(df, "k", nParts = 4).select("k", "global_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Corpus.globalIds(df, "k", nParts = 4).select("k", "global_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
