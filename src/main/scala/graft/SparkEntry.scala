@@ -2529,6 +2529,45 @@ object SparkEntry {
       }
     }),
 
+    // Stream-stream LEFT SEMI interval join over the same staged
+    // two-batch input: a purchase emits (once, left columns only) as
+    // soon as a same-user click within its trailing 30-minute window
+    // is seen — cross-batch matches included, because the click side's
+    // state outlives the batch until the watermark clears it. Since
+    // unmatched rows never emit, watermark withholding is unobservable
+    // and the result equals the batch semi join exactly.
+    "stream_semi_join" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      val inDir = stagedInputDir("split2", dir) { in =>
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        stageOrderedFiles(in,
+          Seq(ev.filter(col("ts") < split), ev.filter(col("ts") >= split)))
+      }
+      def side(tpe: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        side("purchase"), side("click"), "user_id",
+        leftTs = "ts", rightTs = "ts",
+        before = "30 minutes", after = "0 seconds", watermark = "1 hour",
+        joinType = "left_semi")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val sinkName = s"graft_sjoin_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        s.table(sinkName).localCheckpoint(true)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     // FULL outer stream-stream interval join over the same staged
     // two-batch input: unmatched rows on EITHER side surface with
     // nulls, and the two sides close at different watermark points —
@@ -3894,6 +3933,19 @@ object SparkEntry {
         |  c.event_id AS click_id, c.ts AS click_ts
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""".stripMargin,
+
+    // unmatched rows never emit under a semi join, so watermark
+    // withholding is unobservable: the oracle is the plain batch
+    // semi join, batch split irrelevant
+    "stream_semi_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts
+        |FROM p WHERE EXISTS (SELECT 1 FROM c
+        |  WHERE c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)""".stripMargin,
 
     // inner matches always emit; null-padded rows only for batch-1
     // purchases (ts < the Jan 15 file split) that batch 1's closing

@@ -32,6 +32,13 @@ object StreamingOps {
     * Right columns are prefixed with `right_` (the join key keeps the
     * left name).
     *
+    * `joinType` may be `left_semi`: each left row emits AT MOST ONCE,
+    * as soon as some in-window right row is seen (no right columns in
+    * the output); unmatched left rows are silently dropped from state
+    * once the watermark proves no match can arrive — so the result is
+    * exactly the batch semi join, with state bounded the same way as
+    * the inner join.
+    *
     * `joinType` may be `left_outer`: unmatched left rows surface with
     * null right columns once the watermark proves no matching right
     * row can still arrive — Spark holds them in state until then, so
@@ -46,13 +53,16 @@ object StreamingOps {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"right_$c"))
       .withWatermark(s"right_$rightTs", watermark)
-    l.join(r,
+    val joined = l.join(r,
       col(key) === col(s"right_$key") &&
         col(s"right_$rightTs") >= col(leftTs) - expr(s"INTERVAL $before") &&
         col(s"right_$rightTs") <= col(leftTs) + expr(s"INTERVAL $after"),
       joinType)
-      // right-only rows of a full/right outer carry the key only on the
-      // right side; coalescing is a no-op for inner/left rows
+    // a semi join carries no right columns at all; for the others,
+    // right-only rows of a full/right outer carry the key only on the
+    // right side (coalescing is a no-op for inner/left rows)
+    if (joinType == "left_semi") joined
+    else joined
       .withColumn(key, coalesce(col(key), col(s"right_$key")))
       .drop(s"right_$key")
   }

@@ -57,6 +57,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("left-semi interval join emits each matched left row once, cross-batch, no right columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp, Long)]
+    val buys = MemoryStream[(String, Timestamp, Long)]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("user", "ts", "click_id"),
+      buys.toDF().toDF("user", "ts", "buy_id"),
+      key = "user", leftTs = "ts", rightTs = "ts",
+      before = "0 seconds", after = "1 hour", watermark = "2 hours",
+      joinType = "left_semi")
+    assert(joined.columns.toSeq == Seq("user", "ts", "click_id"),
+      "semi join must carry left columns only")
+    val query = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sj_out").start()
+    try {
+      clicks.addData(("u1", ts("2024-01-01 10:00:00"), 1L),
+        ("u2", ts("2024-01-01 10:00:00"), 2L))
+      buys.addData(("u1", ts("2024-01-01 10:30:00"), 100L))
+      query.processAllAvailable()
+      assert(spark.table("sj_out").select("click_id").as[Long].collect().toSeq
+        == Seq(1L), "batch 1: only the matched left row emits")
+      // batch 2: a SECOND in-window buy must not re-emit u1; a first
+      // match for u2 (still in state) emits it exactly once
+      buys.addData(("u1", ts("2024-01-01 10:40:00"), 101L),
+        ("u2", ts("2024-01-01 10:20:00"), 102L))
+      query.processAllAvailable()
+      val got = spark.table("sj_out").select("click_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L), s"each left row at most once, got $got")
+    } finally query.stop()
+  }
+
   test("left-outer interval join emits null rows after the watermark closes the state") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(String, Timestamp, Long)]
