@@ -1203,6 +1203,73 @@ object SparkEntry {
               col("event_type")))),
             e => e.getField("event_type")), ",").as("seq"))),
 
+    // Conversion funnel view → click → purchase: each stage is the
+    // user's FIRST qualifying event strictly after the previous stage.
+    // Three map-side-combined aggs chained by equi-joins on user —
+    // never a per-user window over full history.
+    "q_funnel_steps" -> ((s, dir) => {
+      val e = ld(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          col("t_purchase").isNotNull.as("converted"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-activity week,
+    // counted once per (cohort, week offset) they were active in.
+    "q_cohort_retention" -> ((s, dir) => {
+      val weeks = ld(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val cohort = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // First-order Markov transition matrix of per-user event-type
+    // sequences: the lag runs per user (bounded groups); the transition
+    // relation is |types|² rows, so its normalizing window is tiny.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ld(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      pairs.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+    }),
+
+    // RFM segmentation: recency/frequency/monetary quintiles over the
+    // aggregated customer relation — exact NTILE semantics computed by
+    // operators.Rank.ntileExact (range partition + broadcast offsets),
+    // never a single-partition global window; custkey tiebreaks make
+    // the buckets deterministic in both engines.
+    "q_rfm" -> ((s, dir) => {
+      val c = ld(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sumD(col("o_totalprice")).as("monetary"))
+        .localCheckpoint() // three ntile passes re-read this once
+      val r = graft.operators.Rank.ntileExact(c, Seq("last_order", "o_custkey"), 5, "r_score")
+      val f = graft.operators.Rank.ntileExact(r, Seq("freq", "o_custkey"), 5, "f_score")
+      graft.operators.Rank.ntileExact(f, Seq("monetary", "o_custkey"), 5, "m_score")
+        .select(col("o_custkey"), col("last_order"), col("freq"), col("monetary"),
+          col("r_score"), col("f_score"), col("m_score"))
+    }),
+
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
     "q_stats_moments" -> ((s, dir) =>
@@ -3462,6 +3529,51 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+        |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |  s3.user_id IS NOT NULL AS converted
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  date_diff('day', c.cohort_week, wk.week) // 7 AS week_offset,
+        |  count(*) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev, event_type AS "next", count(*) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, "next", n,
+        |  round(n / sum(n) OVER (PARTITION BY prev), 6) AS p FROM t""".stripMargin,
+
+    "q_rfm" ->
+      """WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, last_order, freq, monetary,
+        |  CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+        |FROM c""".stripMargin,
 
     // list() over the frame is in frame order; list_reduce seeds with
     // the first (oldest) element — the identical fold as the Spark side

@@ -628,9 +628,18 @@ object Corpus {
     * bounds come from sampling), so the exchange result is pinned
     * rather than recomputed per downstream job.
     */
-  def globalIds(df: DataFrame, orderCol: String, nParts: Int = 32): DataFrame = {
+  def globalIds(df: DataFrame, orderCol: String, nParts: Int = 32): DataFrame =
+    globalIds(df, Seq(orderCol), nParts)
+
+  /** Multi-column form: the order key is `orderCols` lexicographic,
+    * which must be UNIQUE across rows (append a tiebreaker id column
+    * if it isn't — a non-unique key would make ids nondeterministic).
+    */
+  def globalIds(df: DataFrame, orderCols: Seq[String], nParts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parted = df.repartitionByRange(nParts, col(orderCol))
+    require(orderCols.nonEmpty, "globalIds needs at least one order column")
+    val oc = orderCols.map(col)
+    val parted = df.repartitionByRange(nParts, oc: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val overPids = Window.orderBy(col("__pid"))
@@ -640,7 +649,7 @@ object Corpus {
       .select(col("__pid"), col("__off"))
     parted
       .withColumn("__rank", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
+        Window.partitionBy(col("__pid")).orderBy(oc: _*)))
       .join(broadcast(offsets), "__pid")
       .withColumn("global_id", col("__off") + col("__rank") - 1)
       .drop("__pid", "__rank", "__off")
