@@ -1987,6 +1987,19 @@ object SparkEntry {
       graft.operators.Graph.triangleStats(
         graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3))),
 
+    // Bounded-radius BFS: min-hop distance from the seed users
+    // (user_id ≡ 0 mod 50) over the co-activity graph, 3 frontier
+    // expansions — per-hop shuffle ∝ frontier × degree, visited set
+    // never leaves the executors. Oracle unrolls the identical
+    // expansion (one CTE per hop).
+    "graph_khop" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      graft.operators.Graph.kHopDistances(
+        graft.operators.Graph.coActivityEdges(ev, minCo = 3),
+        ev.select(col("user_id").as("node")).filter(col("node") % 50 === 0).distinct(),
+        maxHops = 3)
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashCandidates(ld(s, dir, "documents"), "text", "doc_id",
         bands = 4, maxHamming = 16)),
@@ -4590,6 +4603,28 @@ object SparkEntry {
         |deg AS (SELECT node, count(*) AS degree FROM
         |        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1)
         |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
+
+    "graph_khop" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |e AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |h0 AS (SELECT DISTINCT user_id AS node FROM events WHERE user_id % 50 = 0),
+        |h1 AS (SELECT DISTINCT s.dst AS node FROM h0 JOIN sym s ON h0.node = s.src
+        |       WHERE s.dst NOT IN (SELECT node FROM h0)),
+        |h2 AS (SELECT DISTINCT s.dst AS node FROM h1 JOIN sym s ON h1.node = s.src
+        |       WHERE s.dst NOT IN (SELECT node FROM h0)
+        |         AND s.dst NOT IN (SELECT node FROM h1)),
+        |h3 AS (SELECT DISTINCT s.dst AS node FROM h2 JOIN sym s ON h2.node = s.src
+        |       WHERE s.dst NOT IN (SELECT node FROM h0)
+        |         AND s.dst NOT IN (SELECT node FROM h1)
+        |         AND s.dst NOT IN (SELECT node FROM h2))
+        |SELECT node, CAST(0 AS BIGINT) AS hop FROM h0
+        |UNION ALL SELECT node, CAST(1 AS BIGINT) FROM h1
+        |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM h2
+        |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM h3""".stripMargin,
 
     // id-ordered triangle join: the count is orientation-independent,
     // so the oracle needn't replay the degree-ordered Spark plan

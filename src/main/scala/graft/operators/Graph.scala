@@ -183,6 +183,58 @@ object Graph {
     cp
   }
 
+  /** Minimum-hop BFS distances from a seed node set, bounded to
+    * `maxHops` frontier expansions — the bounded-radius reachability
+    * pass behind "documents within k links of a trusted site" crawl
+    * scoping (OPIC-style seeding) and blast-radius queries.
+    *
+    * Scale shape: classic frontier BFS. The symmetrized edge list is
+    * hash-partitioned by `src` once and persisted; each hop joins only
+    * the CURRENT frontier (newly discovered nodes, never the visited
+    * set) against it, so per-iteration shuffle is frontier × avg-degree
+    * rows of 1–2 columns. The visited set stays distributed — new
+    * frontiers are carved out with a left-anti join, each hop's result
+    * is `localCheckpoint`ed (lineage stays flat, the union of ≤
+    * `maxHops`+1 cached pieces), and nothing but the empty-frontier
+    * probe count reaches the driver. Hop count is FIXED so the oracle
+    * replays the identical unrolled expansion.
+    *
+    * `edges` is undirected canonical `(a, b)`; `seeds` is a one-column
+    * `node` relation. Returns `(node, hop)` for every node reachable
+    * within `maxHops` (seeds at hop 0); unreachable nodes are absent.
+    */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = frontier.select(col("node"))
+        .join(sym, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      // the emptiness probe doubles as the materializing action; an
+      // empty frontier ends the walk early (correct: no node beyond it)
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = visited.union(next)
+        frontier = next
+      }
+      h += 1
+    }
+    sym.unpersist()
+    visited
+  }
+
   /** The symmetric customer↔supplier co-purchase graph: an edge per
     * distinct (customer, supplier) pair observed in orders⋈lineitem,
     * materialized in both directions (so the bipartite walk mixes and

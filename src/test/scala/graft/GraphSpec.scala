@@ -118,4 +118,25 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(e1 == Set((10L, 20L), (20L, 30L)))
   }
+
+  private def khop(es: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) =
+    Graph.kHopDistances(es.toDF("a", "b"), seeds.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kHopDistances: min-hop labels on a path graph, radius capped") {
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(khop(path, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // undirected: a seed mid-path expands both ways
+    assert(khop(path, Seq(3L), 1) == Map(3L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("kHopDistances: early exhaustion and multi-seed min semantics") {
+    val path = Seq(1L -> 2L, 2L -> 3L)
+    // frontier empties at hop 2 < maxHops — walk must stop cleanly
+    assert(khop(path, Seq(1L), 10) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two seeds: every node takes the MINIMUM hop over seeds
+    assert(khop(path, Seq(1L, 3L), 10) == Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+    // a seed absent from the edge set stays at hop 0, expands nowhere
+    assert(khop(path, Seq(9L), 3) == Map(9L -> 0L))
+  }
 }
