@@ -1886,6 +1886,12 @@ object SparkEntry {
     "text_rarity" -> ((s, dir) =>
       Corpus.tokenRarity(ld(s, dir, "documents"))),
 
+    // N-gram novelty: what fraction of each doc's trigrams first enter
+    // the corpus AT this doc (id order = arrival order) — the "does
+    // this increment add anything" curation signal.
+    "text_novelty" -> ((s, dir) =>
+      Corpus.noveltyScore(ld(s, dir, "documents"), n = 3)),
+
     // The composite keep/drop decision of a training-data export:
     // dedup-canonical + token budget + quality + language allowlist,
     // with every reason surfaced.
@@ -4447,6 +4453,26 @@ object SparkEntry {
         |  CASE WHEN COALESCE(a.n_tokens_distinct, 0) > 0
         |    THEN round(CAST(a.n_rare AS DOUBLE) / a.n_tokens_distinct, 6)
         |    ELSE CAST(0.0 AS DOUBLE) END AS rare_frac
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, GREATEST(len(tk) - 2, 0)),
+        |      i -> tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]
+        |           || ' ' || tk[CAST(i + 3 AS INT)])) AS g
+        |    FROM toks)),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+        |agg AS (SELECT grams.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN f.first_doc = grams.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM grams JOIN f USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(a.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN a.n_grams > 0
+        |    THEN round(CAST(a.n_novel AS DOUBLE) / a.n_grams, 6) END AS novelty
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     "corpus_quality_filter" ->

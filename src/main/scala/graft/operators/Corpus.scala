@@ -294,6 +294,42 @@ object Corpus {
           .otherwise(lit(0.0)))
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * word n-grams whose corpus-FIRST occurrence (minimum `idCol` over
+    * all docs containing the gram) is this document. Curation pipelines
+    * use it to rank what a crawl increment actually adds — boilerplate
+    * and recombined spam score near 0, genuinely new text near 1. The
+    * id order stands in for arrival order (deterministic in both
+    * engines).
+    *
+    * Scale shape: mirrors [[tokenRarity]] — distinct (doc, gram)
+    * explode with the gram carried as its md5 fingerprint (32-byte
+    * shuffle keys, never gram text), ONE map-side-combined
+    * groupBy(fp) for the first-occurrence table, equi-join back, ONE
+    * groupBy(doc). Docs with fewer than `n` tokens surface with 0
+    * grams and a NULL score.
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(n >= 1, "shingle length must be >= 1")
+    val grams = docs.select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("fp"))
+    val firsts = grams.groupBy(col("fp")).agg(min(col(idCol)).as("first_doc"))
+    docs.select(col(idCol))
+      .join(
+        grams.join(firsts, "fp")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L)).as("n_novel")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          round(col("n_novel").cast("double") / col("n_grams"), 6)).as("novelty"))
+  }
+
   /** Composite corpus filter — the keep/drop decision a training-data
     * export actually runs, folding the individual signals
     * ([[graft.functions.TextFunctions.qualityScore]], language ID,

@@ -12,6 +12,9 @@ class CorpusSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("contamination: planted benchmark overlap is counted, clean docs score 0") {
     val bench = "alpha beta gamma delta epsilon zeta"
     val df = Seq(
@@ -78,6 +81,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L) == ((4L, 1L, 0.25)))
     assert(out(3L) == ((3L, 0L, 0.0)))
     assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("noveltyScore: first-occurrence grams credit the earliest doc") {
+    val df = Seq(
+      (1L, "a b c d"),     // grams "a b c", "b c d" — both first here
+      (2L, "a b c d e"),   // "a b c","b c d" seen in 1; "c d e" novel
+      (3L, "x y"),         // < 3 tokens: 0 grams, NULL score
+      (4L, "a b c d")      // exact re-crawl of 1: nothing novel
+    ).toDF("doc_id", "text")
+    val out = Corpus.noveltyScore(df, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) == ((2L, 2L, Some(1.0))))
+    assert(out(2L) == ((3L, 1L, Some(round6(1.0 / 3)))))
+    assert(out(3L) == ((0L, 0L, None)))
+    assert(out(4L) == ((2L, 0L, Some(0.0))))
   }
 
   test("qualityFilter: canonical/dup, token bounds, and language gate the keep bit") {
