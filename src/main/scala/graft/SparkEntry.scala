@@ -1270,6 +1270,15 @@ object SparkEntry {
           col("r_score"), col("f_score"), col("m_score"))
     }),
 
+    // Pareto frontier of parts minimizing (size, retailprice) —
+    // operators.Rank.skyline2d's range-partition + broadcast
+    // prefix-min plan; the oracle runs the quadratic NOT EXISTS
+    // definition (fine at oracle scale only).
+    "q_skyline" -> ((s, dir) =>
+      graft.operators.Rank.skyline2d(
+        ld(s, dir, "part").select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        "p_size", "p_retailprice")),
+
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
     "q_stats_moments" -> ((s, dir) =>
@@ -3582,6 +3591,12 @@ object SparkEntry {
         |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
         |SELECT prev, "next", n,
         |  round(n / sum(n) OVER (PARTITION BY prev), 6) AS p FROM t""".stripMargin,
+
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_size, p.p_retailprice FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))""".stripMargin,
 
     "q_rfm" ->
       """WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -38,4 +38,45 @@ object Rank {
         .otherwise(lit(m) + floor((col("global_id") - big) / q) + 1)
     ranked.withColumn(outCol, bucket.cast("long")).drop("global_id")
   }
+
+  /** Exact 2-D skyline (Pareto frontier), both dimensions MINIMIZED:
+    * rows whose `(c1, c2)` pair no other pair dominates (≤ in both
+    * dims, < in at least one). The multi-objective "best trade-off"
+    * query — cheapest-vs-smallest parts, freshest-vs-highest-quality
+    * docs.
+    *
+    * Scale shape: the naive formulation is an all-pairs NOT EXISTS
+    * (what the oracle runs — quadratic, fine only at oracle scale).
+    * Here the DISTINCT pair set is range-partitioned on `(c1, c2)`;
+    * a pair is dominated iff the minimum `c2` over pairs strictly
+    * before it in that order is ≤ its own `c2`, which decomposes into
+    * a partition-local running min plus a broadcast exclusive
+    * prefix-min over the ≤ `nParts` per-partition minima — the same
+    * slice-offset machinery as [[Corpus.globalIds]]. One range
+    * shuffle of the pair set, windows only within slices, and a
+    * final semi-join maps frontier pairs back to rows; nothing is
+    * ever pair × pair.
+    */
+  def skyline2d(points: DataFrame, c1: String, c2: String,
+                nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = points.select(col(c1), col(c2)).na.drop().distinct()
+    val parted = pairs.repartitionByRange(nParts, col(c1), col(c2))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ nParts rows: the single-partition window is the point
+    val prefix = parted.groupBy(col("__pid")).agg(min(col(c2)).as("__pmin"))
+      .withColumn("__premin", min(col("__pmin")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__premin"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col(c1), col(c2))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // least() skips nulls, so slice heads fall back to the prefix min
+    // alone (null for the very first slice = nothing precedes)
+    val frontier = parted.join(broadcast(prefix), "__pid")
+      .withColumn("__dmin", least(min(col(c2)).over(localW), col("__premin")))
+      .filter(col("__dmin").isNull || col("__dmin") > col(c2))
+      .select(col(c1), col(c2))
+    points.join(frontier, Seq(c1, c2), "left_semi")
+  }
 }
