@@ -201,19 +201,22 @@ object SparkEntry {
     CdcOps.routeOps(cdcEvents(s, dir), Seq("user_id"))
 
   /** Streaming read of the events table (file source — the scale path;
-    * NANOS parquet ts read as long, truncated to µs like Tables.load).
+    * `ts` normalized to a UTC timestamp exactly like Tables.load).
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    // relies on spark.sql.legacy.parquet.nanosAsLong=true, set once at
-    // session build (Sessions.common) — not mutated per-query here
+    // the stream schema must be declared up front, so the batch reader's
+    // footer-derived `ts` type (nanos-as-long on older testdata,
+    // TIMESTAMP_NTZ on newer) decides what we declare; normalization to
+    // a UTC timestamp then matches Tables.load exactly
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.sources.Tables.normalizedTs(tsType))
   }
 
   // ---------------------------------------------------------------

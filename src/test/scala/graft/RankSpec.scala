@@ -30,4 +30,47 @@ class RankSpec extends AnyFunSuite {
   test("matches built-in NTILE when rows < buckets") { check(3, 7) }
   test("matches built-in NTILE when rows = buckets") { check(6, 6) }
   test("matches built-in NTILE with one bucket") { check(17, 1) }
+
+  /** skyline2d must equal the quadratic NOT-EXISTS definition on data
+    * with ties in each dimension and duplicate points (the duplicate
+    * pair dominates neither copy, so both rows survive).
+    */
+  private def bruteSkyline(pts: Seq[(Long, Long, Long)]): Set[Long] = {
+    val pairs = pts.map(p => (p._2, p._3))
+    pts.filter { case (_, x, y) =>
+      !pairs.exists { case (qx, qy) =>
+        qx <= x && qy <= y && (qx < x || qy < y)
+      }
+    }.map(_._1).toSet
+  }
+
+  private def checkSkyline(pts: Seq[(Long, Long, Long)]): Unit = {
+    val df = pts.toDF("id", "x", "y")
+    val got = Rank.skyline2d(df, "x", "y", nParts = 4)
+      .select("id").as[Long].collect().toSet
+    assert(got == bruteSkyline(pts), s"pts=$pts")
+  }
+
+  test("skyline2d matches brute force on a random cloud") {
+    val rnd = new scala.util.Random(42)
+    checkSkyline((1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)))
+  }
+
+  test("skyline2d keeps duplicate frontier points and handles ties") {
+    checkSkyline(Seq(
+      (1L, 1L, 5L), (2L, 1L, 5L),          // duplicate frontier pair
+      (3L, 1L, 7L),                         // tied x, dominated on y
+      (4L, 3L, 3L), (5L, 5L, 1L),
+      (6L, 5L, 2L),                         // tied x with 5, dominated
+      (7L, 9L, 9L)))                        // interior
+  }
+
+  test("skyline2d on a strictly increasing chain keeps only the head") {
+    checkSkyline((1 to 50).map(i => (i.toLong, i.toLong, i.toLong)))
+  }
+
+  test("skyline2d on an anti-chain keeps everything") {
+    checkSkyline((1 to 50).map(i => (i.toLong, i.toLong, 51L - i)))
+  }
 }
