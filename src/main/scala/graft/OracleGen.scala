@@ -772,4 +772,35 @@ $ranks
 SELECT r.node, round(r.rank * n.n, 6) AS rank_norm
 FROM r$iters r CROSS JOIN n"""
   }
+
+  /** Oracle for `graph_hits` — [[graft.operators.Graph.hits]] over the
+    * DIRECTED customer→supplier purchase edges, the recurrence unrolled
+    * one CTE pair per iteration (same finite-prefix trick as
+    * [[graphPageRank]]). Per-node sums and the per-side normalizer
+    * accumulate the 6-dp scores as DECIMAL(25,12) — exact and
+    * order-independent, matching the Spark side's cast — so only the
+    * final double division is floating point in either engine.
+    */
+  def graphHits(iters: Int = 3): String = {
+    val steps = (1 to iters).map { t =>
+      s"""a${t}r AS (SELECT e.dst AS node, SUM(CAST(h.score AS DECIMAL(25,12))) AS r
+  FROM e JOIN h${t - 1} h ON h.node = e.src GROUP BY e.dst),
+a${t}t AS (SELECT SUM(r) AS tot FROM a${t}r),
+a$t AS (SELECT node, round(CAST(r AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS score
+  FROM a${t}r CROSS JOIN a${t}t),
+h${t}r AS (SELECT e.src AS node, SUM(CAST(a.score AS DECIMAL(25,12))) AS r
+  FROM e JOIN a$t a ON a.node = e.dst GROUP BY e.src),
+h${t}t AS (SELECT SUM(r) AS tot FROM h${t}r),
+h$t AS (SELECT node, round(CAST(r AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS score
+  FROM h${t}r CROSS JOIN h${t}t)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT
+    'c' || CAST(o_custkey AS VARCHAR) AS src,
+    's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS score FROM e),
+$steps
+SELECT node, 'hub' AS kind, score FROM h$iters
+UNION ALL SELECT node, 'auth' AS kind, score FROM a$iters"""
+  }
 }

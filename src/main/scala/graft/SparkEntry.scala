@@ -1284,6 +1284,22 @@ object SparkEntry {
 
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
+    // Tie-aware binary AUC of `value` predicting purchase events —
+    // operators.Eval.aucBinary: per-score collapse, range-partition
+    // prefix sums, doubled-rank integer arithmetic in DECIMAL(38,0),
+    // one double division at the end.
+    "q_auc" -> ((s, dir) =>
+      graft.operators.Eval.aucBinary(ld(s, dir, "events"),
+        col("value"), col("event_type") === "purchase")),
+
+    // Two-sample Kolmogorov-Smirnov drift statistic between the value
+    // distributions of purchase vs click events — operators.Eval
+    // .ksStatistic: exact integer cross-products |cumA·nB − cumB·nA|,
+    // smallest-value tie-break, single final division.
+    "q_ks_drift" -> ((s, dir) =>
+      graft.operators.Eval.ksStatistic(ld(s, dir, "events"), col("value"),
+        col("event_type") === "purchase", col("event_type") === "click")),
+
     "q_stats_moments" -> ((s, dir) =>
       ld(s, dir, "events")
         .groupBy(col("event_type"))
@@ -1990,6 +2006,16 @@ object SparkEntry {
         graft.operators.Graph.purchaseGraph(
           ld(s, dir, "orders"), ld(s, dir, "lineitem")),
         iters = 5, damping = 0.85)),
+
+    // HITS hubs/authorities on the DIRECTED customer→supplier purchase
+    // graph (operators.Graph.hits — per-iteration exact-decimal sum
+    // normalization; the oracle unrolls the identical recurrence).
+    "graph_hits" -> ((s, dir) =>
+      graft.operators.Graph.hits(s,
+        graft.operators.Graph.purchasePairs(
+            ld(s, dir, "orders"), ld(s, dir, "lineitem"))
+          .select(col("c").as("src"), col("s").as("dst")),
+        iters = 3)),
 
     // Degree histogram of the user co-activity graph (slot-keyed
     // self-join, multiplicity >= 3) — two map-side-combined groupBys.
@@ -3627,6 +3653,47 @@ object SparkEntry {
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
         |FROM events GROUP BY user_id""".stripMargin,
 
+    // Mann-Whitney U AUC over per-distinct-score counts; the doubled
+    // rank sum p·(2·cb+c+1) stays integral (HUGEINT here, decimal on
+    // the Spark side), one double division at the end.
+    "q_auc" ->
+      """WITH s AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT v, COUNT(*) AS c, SUM(y) AS p FROM s GROUP BY v),
+        |o AS (SELECT v, c, p, COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM g),
+        |t AS (SELECT SUM(CAST(p AS HUGEINT) * (2 * cb + c + 1)) AS sr2,
+        |    CAST(SUM(p) AS HUGEINT) AS np, CAST(SUM(c) AS HUGEINT) AS n FROM o)
+        |SELECT CASE WHEN np > 0 AND n - np > 0 THEN
+        |    round(CAST(sr2 - np * (np + 1) AS DOUBLE)
+        |      / (CAST(2.0 AS DOUBLE) * CAST(np * (n - np) AS DOUBLE)), 6) END AS auc,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
+        |FROM t""".stripMargin,
+
+    // KS: ECDFs at each distinct value (inclusive cumsums); the max is
+    // over exact integer cross-products, ties to the smallest value.
+    "q_ks_drift" ->
+      """WITH s AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'click')),
+        |g AS (SELECT v, SUM(a) AS a, SUM(b) AS b FROM s GROUP BY v),
+        |c AS (SELECT v, SUM(a) OVER w AS ca, SUM(b) OVER w AS cb FROM g
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT MAX(ca) AS na, MAX(cb) AS nb FROM c),
+        |d AS (SELECT v, na, nb,
+        |    abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) AS x
+        |  FROM c CROSS JOIN t),
+        |m AS (SELECT v, x, na, nb,
+        |    row_number() OVER (ORDER BY x DESC, v ASC) AS rn FROM d)
+        |SELECT CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(CAST(x AS DOUBLE) / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 6)
+        |  END AS ks_stat,
+        |  v AS at_value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM m WHERE rn = 1""".stripMargin,
+
     "q_stats_moments" ->
       """SELECT event_type, COUNT(*) AS n,
         |  round(stddev_samp(value), 6) AS stddev_value,
@@ -4637,6 +4704,8 @@ object SparkEntry {
     "dedup_clusters" -> OracleGen.dedupClusters,
 
     "graph_pagerank" -> OracleGen.graphPageRank(iters = 5, damping = 0.85),
+
+    "graph_hits" -> OracleGen.graphHits(iters = 3),
 
     "graph_degrees" ->
       """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id

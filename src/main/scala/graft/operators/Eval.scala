@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Model-evaluation / distribution-drift statistics over scored rows —
+  * the offline-eval pass a training pipeline runs on classifier or
+  * quality-scorer output before using the scores to filter a corpus.
+  *
+  * Scale shape shared by both statistics: rows are first collapsed to
+  * one row PER DISTINCT SCORE by a map-side-combinable aggregate (the
+  * only corpus-sized shuffle), then the cumulative "how many rows sit
+  * strictly below this score" counts come from a range partition on the
+  * score with partition-local running sums plus a broadcast exclusive
+  * prefix over the ≤ nParts per-partition totals — the same
+  * slice-offset machinery as [[Corpus.globalIds]], never a
+  * single-partition global window. All rank arithmetic is integer
+  * (counts, not probabilities), so the result is exact and
+  * order-independent; one double division happens at the very end.
+  */
+object Eval {
+
+  /** Cumulative-below counts per distinct key: for each row of `g`
+    * (already one row per distinct `orderCol`), appends, for every
+    * column in `sumCols`, `cum_<c>` = the sum of that column over rows
+    * with a strictly smaller `orderCol`. Long-typed inputs; exact.
+    */
+  private def withCumBelow(g: DataFrame, orderCol: String,
+                           sumCols: Seq[String], nParts: Int): DataFrame = {
+    val parted = g.repartitionByRange(nParts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val overPids = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ nParts rows: the single-partition window is the point
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sumCols.map(c => sum(col(c)).as(s"__t_$c")).head,
+        sumCols.map(c => sum(col(c)).as(s"__t_$c")).tail: _*)
+    val withOff = sumCols.foldLeft(offsets)((d, c) =>
+      d.withColumn(s"__off_$c",
+        coalesce(sum(col(s"__t_$c")).over(overPids), lit(0L))))
+      .select(col("__pid") +: sumCols.map(c => col(s"__off_$c")): _*)
+    val localW = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sumCols.foldLeft(parted)((d, c) =>
+      d.withColumn(s"__loc_$c",
+        coalesce(sum(col(c)).over(localW), lit(0L))))
+    sumCols.foldLeft(local.join(broadcast(withOff), "__pid"))((d, c) =>
+        d.withColumn(s"cum_$c", col(s"__loc_$c") + col(s"__off_$c")))
+      .drop("__pid" +: sumCols.flatMap(c => Seq(s"__loc_$c", s"__off_$c")): _*)
+  }
+
+  /** Tie-aware binary AUC (area under the ROC curve) of `score`
+    * predicting `label`, the Mann-Whitney U form: with ascending ranks
+    * and ties resolved to the tie-group's AVERAGE rank,
+    * `AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)`.
+    *
+    * All rank bookkeeping is doubled so it stays integral (a tie
+    * group's average rank is a half-integer): for a tie group with
+    * `cb` rows strictly below, `c` members and `p` positives,
+    * `2·Σ ranks⁺ = p·(2·cb + c + 1)`. Sums are DECIMAL(38,0) so a
+    * 100 TB corpus (~2⁴⁰ rows → products ~2¹²⁰... bounded by n²≈2⁸⁰)
+    * cannot overflow; the one double division is the last step.
+    *
+    * Returns a single row `(auc, n_pos, n_neg)`; `auc` is NULL when
+    * either class is empty (undefined rather than a fake 0.5).
+    */
+  def aucBinary(df: DataFrame, score: Column, label: Column,
+                nParts: Int = 32): DataFrame = {
+    val g = df.select(score.as("s"), label.cast("long").as("y"))
+      .na.drop(Seq("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val cum = withCumBelow(g, "s", Seq("c"), nParts)
+    val dec = "decimal(38,0)"
+    cum.agg(
+        // cast BEFORE the product: p·(2·cb+c+1) can reach ~n² ≈ 2⁸⁰,
+        // past long range, so the multiply itself must be decimal
+        sum(col("p").cast(dec) *
+            (lit(2) * col("cum_c") + col("c") + lit(1)).cast(dec))
+          .as("sr2"),
+        sum(col("p").cast(dec)).as("np"),
+        sum(col("c").cast(dec)).as("n"))
+      .select(
+        when(col("np") > 0 && (col("n") - col("np")) > 0,
+          round((col("sr2") - col("np") * (col("np") + lit(1)))
+              .cast("double") /
+            (lit(2.0) * (col("np") * (col("n") - col("np"))).cast("double")),
+            6))
+          .as("auc"),
+        col("np").cast("long").as("n_pos"),
+        (col("n") - col("np")).cast("long").as("n_neg"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between the `valueCol`
+    * distributions of rows where `isA` and rows where `isB` (rows
+    * matching neither are ignored): `D = max_x |F_A(x) − F_B(x)|`,
+    * with the ECDFs evaluated AT each distinct observed value
+    * (cumulative counts INCLUDE the value's own tie group — between
+    * observed values the ECDF difference is constant, so distinct
+    * observed values are the only candidates for the max).
+    *
+    * The max is taken over the exact integer cross-product
+    * `|cumA·nB − cumB·nA|` (DECIMAL(38,0), order-independent) and
+    * divided by `nA·nB` once at the end. Ties in the max resolve to
+    * the SMALLEST value attaining it, so `at_value` is deterministic.
+    *
+    * Returns a single row `(ks_stat, at_value, n_a, n_b)`; NULL stat
+    * when either sample is empty.
+    */
+  def ksStatistic(df: DataFrame, valueCol: Column,
+                  isA: Column, isB: Column, nParts: Int = 32): DataFrame = {
+    val g = df.select(valueCol.as("v"),
+        when(isA, 1L).otherwise(0L).as("a"),
+        when(isB, 1L).otherwise(0L).as("b"))
+      .na.drop(Seq("v"))
+      .filter(col("a") + col("b") > 0)
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+    val cum = withCumBelow(g, "v", Seq("a", "b"), nParts)
+      .select(col("v"),
+        (col("cum_a") + col("a")).as("ca"), // ECDF includes own tie group
+        (col("cum_b") + col("b")).as("cb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dec = "decimal(38,0)"
+    val tot = cum.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    val d = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("na"), col("nb"),
+        abs(col("ca").cast(dec) * col("nb") - col("cb").cast(dec) * col("na"))
+          .as("x"))
+    // one-pass argmax: max over (x, −v) structs ⇒ largest x, and among
+    // its attainers the smallest (numeric) v — deterministic tie-break
+    d.agg(max_by(struct(col("x"), col("v"), col("na"), col("nb")),
+        struct(col("x"), (lit(-1) * col("v")).as("nv"))).as("m"))
+      .select(
+        when(col("m.na") > 0 && col("m.nb") > 0,
+          round(col("m.x").cast("double") /
+            (col("m.na").cast(dec) * col("m.nb").cast(dec)).cast("double"), 6))
+          .as("ks_stat"),
+        col("m.v").as("at_value"),
+        col("m.na").cast("long").as("n_a"),
+        col("m.nb").cast("long").as("n_b"))
+  }
+}

@@ -242,13 +242,70 @@ object Graph {
     * key spaces overlap numerically.
     */
   def purchaseGraph(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = purchasePairs(orders, lineitem)
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** The DIRECTED customer→supplier purchase edges (one per distinct
+    * observed pair, 'c'/'s'-prefixed node ids) — the bipartite half
+    * [[purchaseGraph]] symmetrizes, and the natural input for
+    * [[hits]]: customers point at the suppliers they buy from.
+    */
+  def purchasePairs(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
       .distinct()
-    pairs.select(col("c").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+
+  /** Fixed-iteration HITS (Kleinberg 1999) over directed
+    * `edges(src, dst)`: sources are scored as HUBS (they point at good
+    * authorities), destinations as AUTHORITIES (good hubs point at
+    * them). Returns `(node, kind, score)` with kind ∈ {hub, auth};
+    * scores are sum-normalized per iteration (Σ = 1 within each side)
+    * and rounded to 6 dp.
+    *
+    * Scale shape: mirrors [[pageRank]] — the edge list is persisted
+    * once; each half-iteration shuffles only the 2-column score
+    * relation (one row per node on one side), aggregates with map-side
+    * combine, and broadcasts the single-row normalizer. Lineage is cut
+    * per iteration with `localCheckpoint`. Exactness discipline: the
+    * per-node sums and the global normalizer accumulate 6-dp scores as
+    * DECIMAL(25,12) (exact, order-independent — a 6-dp double cannot
+    * hit a scale-12 rounding tie), and only the final double division
+    * is floating point, so the oracle's unrolled replay is
+    * bit-identical.
+    */
+  def hits(spark: SparkSession, edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dec = "decimal(25,12)"
+    // one normalized half-step: score mass flows across `join` edges
+    // (keyed `from` → grouped `to`), Σ_to = 1 after normalization
+    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val raw = e.join(scores.withColumnRenamed("node", from), from)
+        .groupBy(col(to).as("node"))
+        .agg(sum(col("score").cast(dec)).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(col("raw").cast("double") / col("tot").cast("double"), 6)
+            .as("score"))
+        .localCheckpoint()
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(1.0)).localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = halfStep(h, "src", "dst")
+      h = halfStep(a, "dst", "src")
+    }
+    val out = h.select(col("node"), lit("hub").as("kind"), col("score"))
+      .unionByName(a.select(col("node"), lit("auth").as("kind"), col("score")))
+    e.unpersist()
+    out
   }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eval
+
+/** Eval.aucBinary / Eval.ksStatistic against brute-force definitions on
+  * small randomized inputs with heavy ties — the distributed
+  * prefix-sum machinery must reproduce the textbook statistics exactly.
+  */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Textbook tie-aware AUC: average over all (pos, neg) pairs of
+    * [1 if s⁺ > s⁻, ½ if tie, 0 otherwise].
+    */
+  private def bruteAuc(rows: Seq[(Double, Int)]): Option[Double] = {
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    if (pos.isEmpty || neg.isEmpty) None
+    else {
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      Some(BigDecimal(wins / (pos.size.toDouble * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  private def runAuc(rows: Seq[(Double, Int)]): (Option[Double], Long, Long) = {
+    val r = Eval.aucBinary(rows.toDF("s", "y"), col("s"), col("y") === 1)
+      .collect()(0)
+    (Option(r.get(0)).map(_.asInstanceOf[Double]),
+      r.getLong(1), r.getLong(2))
+  }
+
+  test("aucBinary matches the pairwise definition on random ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(20).toDouble / 4.0, if (rnd.nextBoolean()) 1 else 0))
+    val (auc, np, nn) = runAuc(rows)
+    assert(np == rows.count(_._2 == 1).toLong)
+    assert(nn == rows.count(_._2 == 0).toLong)
+    assert(auc == bruteAuc(rows))
+  }
+
+  test("aucBinary is 1.0 on perfectly separated scores") {
+    val rows = (1 to 50).map(i => (i.toDouble, if (i > 25) 1 else 0))
+    assert(runAuc(rows)._1.contains(1.0))
+  }
+
+  test("aucBinary is 0.5 when every score ties") {
+    val rows = (1 to 40).map(i => (3.14, i % 2))
+    assert(runAuc(rows)._1.contains(0.5))
+  }
+
+  test("aucBinary is NULL when a class is empty") {
+    val rows = (1 to 10).map(i => (i.toDouble, 1))
+    val (auc, np, nn) = runAuc(rows)
+    assert(auc.isEmpty && np == 10L && nn == 0L)
+  }
+
+  /** Brute-force two-sample KS with smallest-value argmax tie-break. */
+  private def bruteKs(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
+    val xs = (a ++ b).distinct.sorted
+    val cand = xs.map { x =>
+      val fa = a.count(_ <= x).toLong * b.size
+      val fb = b.count(_ <= x).toLong * a.size
+      (math.abs(fa - fb), x)
+    }
+    val mx = cand.map(_._1).max
+    val at = cand.filter(_._1 == mx).map(_._2).min
+    (BigDecimal(mx.toDouble / (a.size.toDouble * b.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, at)
+  }
+
+  test("ksStatistic matches brute force on random discrete samples") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { _ =>
+      val g = if (rnd.nextBoolean()) "a" else "b"
+      val v = if (g == "a") rnd.nextInt(15).toDouble
+              else rnd.nextInt(15).toDouble + (rnd.nextInt(3) - 1)
+      (v, g)
+    }
+    val df = rows.toDF("v", "g")
+    val r = Eval.ksStatistic(df, col("v"), col("g") === "a", col("g") === "b")
+      .collect()(0)
+    val a = rows.filter(_._2 == "a").map(_._1)
+    val b = rows.filter(_._2 == "b").map(_._1)
+    val (want, wantAt) = bruteKs(a, b)
+    assert(r.getDouble(0) == want)
+    assert(r.getDouble(1) == wantAt)
+    assert(r.getLong(2) == a.size.toLong && r.getLong(3) == b.size.toLong)
+  }
+
+  test("ksStatistic is 1.0 on disjoint supports and 0.0 on identical ones") {
+    val disjoint = ((1 to 20).map(i => (i.toDouble, "a")) ++
+      (1 to 20).map(i => (100.0 + i, "b"))).toDF("v", "g")
+    val r1 = Eval.ksStatistic(disjoint, col("v"), col("g") === "a", col("g") === "b")
+      .collect()(0)
+    assert(r1.getDouble(0) == 1.0 && r1.getDouble(1) == 20.0)
+    val same = ((1 to 20) ++ (1 to 20)).zipWithIndex
+      .map { case (v, i) => (v.toDouble, if (i < 20) "a" else "b") }.toDF("v", "g")
+    val r2 = Eval.ksStatistic(same, col("v"), col("g") === "a", col("g") === "b")
+      .collect()(0)
+    assert(r2.getDouble(0) == 0.0)
+  }
+}

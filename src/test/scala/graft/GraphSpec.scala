@@ -139,4 +139,45 @@ class GraphSpec extends AnyFunSuite {
     // a seed absent from the edge set stays at hop 0, expands nowhere
     assert(khop(path, Seq(9L), 3) == Map(9L -> 0L))
   }
+
+  /** In-memory replay of the hits() recurrence: 6-dp scores, exact
+    * rational sums (BigDecimal), sum-normalize each half-step.
+    */
+  private def refHits(edges: Seq[(String, String)], iters: Int)
+      : (Map[String, Double], Map[String, Double]) = {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def half(sc: Map[String, Double], key: ((String, String)) => String,
+             grp: ((String, String)) => String): Map[String, Double] = {
+      val raw = edges.filter(e => sc.contains(key(e)))
+        .groupBy(grp).view.mapValues(
+          _.map(e => BigDecimal(sc(key(e))).setScale(12)).sum).toMap
+      val tot = raw.values.sum
+      raw.view.mapValues(v => r6(v.toDouble / tot.toDouble)).toMap
+    }
+    var h = edges.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to iters) {
+      a = half(h, _._1, _._2)
+      h = half(a, _._2, _._1)
+    }
+    (h, a)
+  }
+
+  test("hits: hubs/authorities match the exact-decimal reference replay") {
+    // two hubs share one strong authority; one fringe hub/authority pair
+    val edges = Seq("c1" -> "s1", "c1" -> "s2", "c2" -> "s1",
+      "c2" -> "s3", "c3" -> "s3")
+    val got = Graph.hits(spark, edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val (h, a) = refHits(edges, 3)
+    val want = h.map { case (n, s) => (n, "hub") -> s } ++
+      a.map { case (n, s) => (n, "auth") -> s }
+    assert(got == want)
+    // normalization: each side sums to ~1 (6-dp rounding slack)
+    assert(math.abs(got.filter(_._1._2 == "hub").values.sum - 1.0) < 1e-4)
+    // s1 (pointed at by both strong hubs) must outrank the fringe s3
+    assert(got(("s1", "auth")) > got(("s3", "auth")))
+  }
 }

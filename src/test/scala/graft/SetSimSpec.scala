@@ -56,6 +56,13 @@ class SetSimSpec extends AnyFunSuite {
     assert(!rows.exists(r => r._1 == 6L || r._2 == 6L))
   }
 
+  test("classic single-witness bound (c=1) is still exact") {
+    val got = Dedup.prefixFilterPairs(docs, "text", "doc_id", 5, 0.5,
+        witnesses = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute(0.5))
+  }
+
   test("no cartesian product in the physical plan") {
     val plan = Dedup.prefixFilterPairs(docs, "text", "doc_id", 5, 0.5)
       .queryExecution.executedPlan.toString
