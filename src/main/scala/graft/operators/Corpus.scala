@@ -310,11 +310,18 @@ object Corpus {
     * grams and a NULL score.
     */
   def noveltyScore(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text", nParts: Int = 32): DataFrame = {
     require(n >= 1, "shingle length must be >= 1")
-    val grams = docs.select(col(idCol),
+    // spread the shingle+md5 work across tasks BEFORE the explode (a
+    // small parquet arrives as one input split, which would serialize
+    // the per-row n-gram/byte work on a single core), and persist the
+    // exploded relation — it feeds both the first-occurrence aggregate
+    // and the join back
+    val grams = docs.repartition(nParts, col(idCol))
+      .select(col(idCol),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = grams.groupBy(col("fp")).agg(min(col(idCol)).as("first_doc"))
     docs.select(col(idCol))
       .join(

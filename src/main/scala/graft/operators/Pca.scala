@@ -71,7 +71,12 @@ object Pca {
     // job; without the persist every job re-reads and re-projects the
     // source). MEMORY_AND_DISK: rows are dim doubles, and a 100 TB
     // corpus spills rather than OOMs.
-    val e = deflate.foldLeft(base)((df, dir) => deflatedFrame(df, dir, "v"))
+    // repartition before the per-row work: a small parquet arrives as
+    // one input split, which would run every deflation product and all
+    // `dim` decimal aggregate columns on a single core; the decimal
+    // sums are order-independent, so the exchange cannot move the result
+    val e = deflate.foldLeft(base.repartition(32))(
+        (df, dir) => deflatedFrame(df, dir, "v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
