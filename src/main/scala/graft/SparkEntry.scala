@@ -129,6 +129,29 @@ object SparkEntry {
     }
   }
 
+  /** Run a streaming-query builder with `spark.sql.shuffle.partitions`
+    * temporarily lowered to `parts`: every stateful-operator partition
+    * carries its own state store (open/commit/maintenance per
+    * microbatch — a stream-stream join keeps FOUR stores per
+    * partition), so state partitioning should track expected state
+    * volume, not the batch default. At these fixture scales 8
+    * partitions cuts the fixed per-batch store overhead ~3× (measured
+    * 7.9 s → 2.8 s on the staged semi join); a production deployment
+    * sizes it to executors × cores like any other stream. The conf is
+    * set/restored around the body — every streaming builder runs its
+    * query to completion inside, so the scope is exact — and
+    * synchronized because the conf is session-global; results cannot
+    * move (state partitioning is a physical choice, and the oracle
+    * compare is partitioning-blind).
+    */
+  private def withStateParts[A](s: SparkSession, parts: Int = 8)(body: => A): A =
+    this.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, parts.toString)
+      try body finally s.conf.set(key, prev)
+    }
+
   /** Per-JVM memoized bucketed tables for `q_bucketed_join`: bucketBy(8)
     * + sortBy both sides on the join key, once per sfDir (dir-keyed
     * table names), so a repeated invocation times the exchange-free join
@@ -1409,7 +1432,7 @@ object SparkEntry {
     // batch path: the sketch doesn't care where its registers were
     // built, which is exactly the merge property that lets a streaming
     // job hand daily registers to a batch reporter.
-    "stream_approx_distinct" -> ((s, dir) => {
+    "stream_approx_distinct" -> ((s, dir) => withStateParts(s) {
       val regs = Sketch.hllRegisters(
         eventsStream(s, dir).filter(col("user_id").isNotNull),
         "event_type", "user_id", m = 64)
@@ -2231,7 +2254,7 @@ object SparkEntry {
     // independent file sources (at-least-once Kafka redelivery); the
     // stream emits each event_id exactly once. Oracle = the events
     // table itself.
-    "stream_dedup" -> ((s, dir) => {
+    "stream_dedup" -> ((s, dir) => withStateParts(s) {
       def src() = eventsStream(s, dir)
       val redelivered = src().unionByName(src())
       val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
@@ -2252,7 +2275,7 @@ object SparkEntry {
 
     // Streaming LWW upsert over flatMapGroupsWithState, file-source
     // fed; state sharded by key, only live (non-tombstoned) rows out.
-    "stream_upsert" -> ((s, dir) => {
+    "stream_upsert" -> ((s, dir) => withStateParts(s) {
       import s.implicits._
       import graft.streaming.StreamingUpsert
       val keyed = eventsStream(s, dir).select(
@@ -2289,7 +2312,7 @@ object SparkEntry {
     // state handles created in init, RocksDB-backed store, native TTL
     // support) — pinned to the SAME oracle as stream_upsert: two state
     // APIs, one truth.
-    "stream_upsert_tws" -> ((s, dir) => {
+    "stream_upsert_tws" -> ((s, dir) => withStateParts(s) {
       import s.implicits._
       import graft.streaming.StreamingUpsert
       val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -2336,7 +2359,7 @@ object SparkEntry {
     // Result must equal single-batch stream_upsert — latestPerKey
     // collapses the sink regardless of batch split. A runtime guard
     // asserts more than one data batch actually ran.
-    "stream_upsert_multibatch" -> ((s, dir) => {
+    "stream_upsert_multibatch" -> ((s, dir) => withStateParts(s) {
       import s.implicits._
       import graft.streaming.StreamingUpsert
       val inDir = stagedInputDir("musb", dir) { in =>
@@ -2380,7 +2403,7 @@ object SparkEntry {
     // current table is read back from files — write path, maintenance
     // pass, and read path all exercised in one query. Same oracle as
     // stream_upsert: the sink mechanics must not change the semantics.
-    "stream_upsert_filesink" -> ((s, dir) => {
+    "stream_upsert_filesink" -> ((s, dir) => withStateParts(s) {
       import s.implicits._
       import graft.streaming.StreamingUpsert
       val keyed = eventsStream(s, dir).select(
@@ -2411,7 +2434,7 @@ object SparkEntry {
     // aggregate per (event_type, tier). At 100 TB/day the static side
     // is the only thing that must fit in memory — the stream never
     // repartitions for the join.
-    "stream_static_join" -> ((s, dir) => {
+    "stream_static_join" -> ((s, dir) => withStateParts(s) {
       val dim = ld(s, dir, "events").groupBy(col("user_id"))
         .agg(count(lit(1)).as("u_events"))
         .select(col("user_id"),
@@ -2434,7 +2457,7 @@ object SparkEntry {
       }
     }),
 
-    "stream_windowed_agg" -> ((s, dir) => {
+    "stream_windowed_agg" -> ((s, dir) => withStateParts(s) {
       val agg = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -2461,7 +2484,7 @@ object SparkEntry {
     // fixed windows can't show. Same boundary rule as the batch
     // q_session_window (gap of exactly 30 min still merges); complete
     // mode emits the final merged sessions.
-    "stream_session_window" -> ((s, dir) => {
+    "stream_session_window" -> ((s, dir) => withStateParts(s) {
       val agg = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -2496,7 +2519,7 @@ object SparkEntry {
     // on input — finalized windows are never re-emitted or duplicated.
     // Sink (append mode) = exactly the windows whose end precedes the
     // final watermark, counted from real events only.
-    "stream_late_data" -> ((s, dir) => {
+    "stream_late_data" -> ((s, dir) => withStateParts(s) {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("late", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -2538,7 +2561,7 @@ object SparkEntry {
     // session emits from handleExpiredTimer once the watermark passes
     // last + gap; sessions the final watermark never clears are
     // withheld — the oracle models that boundary explicitly.
-    "stream_session_tws" -> ((s, dir) => {
+    "stream_session_tws" -> ((s, dir) => withStateParts(s) {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -2586,7 +2609,7 @@ object SparkEntry {
     // form of a stream join (unbounded buffering is what breaks at
     // scale). Inner-join matches emit in the batch they occur, so an
     // AvailableNow pass over the file source is deterministic.
-    "stream_interval_join" -> ((s, dir) => {
+    "stream_interval_join" -> ((s, dir) => withStateParts(s) {
       def side(tpe: String) = eventsStream(s, dir)
         .filter(col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -2620,7 +2643,7 @@ object SparkEntry {
     // closing watermark. Purchases that watermark never clears are
     // withheld — correct unbounded-stream semantics, and the oracle
     // models the boundary explicitly (as stream_late_data does).
-    "stream_outer_join" -> ((s, dir) => {
+    "stream_outer_join" -> ((s, dir) => withStateParts(s) {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -2660,7 +2683,7 @@ object SparkEntry {
     // state outlives the batch until the watermark clears it. Since
     // unmatched rows never emit, watermark withholding is unobservable
     // and the result equals the batch semi join exactly.
-    "stream_semi_join" -> ((s, dir) => {
+    "stream_semi_join" -> ((s, dir) => withStateParts(s) {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -2698,7 +2721,7 @@ object SparkEntry {
     // a purchase is provably unmatched at ts < wm, a click only at
     // ts + 30min < wm (a future purchase could still reach back). The
     // oracle models both eviction boundaries.
-    "stream_full_outer_join" -> ((s, dir) => {
+    "stream_full_outer_join" -> ((s, dir) => withStateParts(s) {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")

@@ -13,28 +13,15 @@ object ScratchTime {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    def ld(n: String) = graft.sources.Tables.load(spark, dir, n)
-    for (pass <- 1 to 2) {
-      println(s"[scratch] pass $pass")
-      val docs = ld("documents")
-      val grams = docs.select(col("doc_id"),
-          explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("g"))
-        .select(col("doc_id"), md5(col("g")).as("fp"))
-      t("explode+md5 count") { grams.count() }
-      val firsts = grams.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
-      t("firsts groupBy") { firsts.count() }
-      t("join+agg") {
-        grams.join(firsts, "fp")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-          .count()
-      }
-      t("full novelty noop") {
-        graft.operators.Corpus.noveltyScore(docs, n = 3)
+    // replicate stream_semi_join's core with varying shuffle partitions
+    for (pass <- 1 to 2; parts <- Seq(32, 8, 4)) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      t(s"pass$pass semi-join parts=$parts") {
+        graft.SparkEntry.queries("stream_semi_join")(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
     }
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
     spark.stop()
   }
 }
