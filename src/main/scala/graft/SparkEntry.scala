@@ -1323,6 +1323,29 @@ object SparkEntry {
       graft.operators.Eval.ksStatistic(ld(s, dir, "events"), col("value"),
         col("event_type") === "purchase", col("event_type") === "click")),
 
+    // Decile lift/gain table of `value` ranking purchases —
+    // operators.Eval.liftTable over Rank.ntileExact (range-partition
+    // NTILE, no single-partition corpus window).
+    "q_lift_table" -> ((s, dir) =>
+      graft.operators.Eval.liftTable(ld(s, dir, "events"),
+        col("value"), col("event_type") === "purchase", col("event_id"))),
+
+    // Population Stability Index between the pre-/post-Jan-15 value
+    // distributions (add-one smoothing over the clamped integer bins)
+    // — the train-vs-serve drift gate; operators.Eval.psiDrift.
+    "q_psi_drift" -> ((s, dir) => {
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      graft.operators.Eval.psiDrift(ld(s, dir, "events"), col("value"),
+        col("ts") < split, col("ts") >= split)
+    }),
+
+    // Mutual information between event_type and the binned value —
+    // feature-relevance screen; operators.Eval.mutualInformation (one
+    // joint groupBy, broadcast marginals, exact-decimal term sum).
+    "q_mutual_info" -> ((s, dir) =>
+      graft.operators.Eval.mutualInformation(ld(s, dir, "events"),
+        col("event_type"), col("value"))),
+
     "q_stats_moments" -> ((s, dir) =>
       ld(s, dir, "events")
         .groupBy(col("event_type"))
@@ -3693,6 +3716,76 @@ object SparkEntry {
         |      / (CAST(2.0 AS DOUBLE) * CAST(np * (n - np) AS DOUBLE)), 6) END AS auc,
         |  CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t""".stripMargin,
+
+    // NTILE over (value DESC, event_id) mirrors ntileExact's unique
+    // total order; every ratio is exact ints divided once, 6-dp.
+    "q_lift_table" ->
+      """WITH s AS (SELECT event_id, value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY v DESC, event_id) AS BIGINT)
+        |    AS bucket FROM s),
+        |g AS (SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM t GROUP BY bucket),
+        |tt AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tn,
+        |    CAST(SUM(n_pos) AS BIGINT) AS tp FROM g),
+        |c AS (SELECT g.bucket, g.n_rows, g.n_pos,
+        |    CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+        |    CAST(SUM(n_rows) OVER w AS BIGINT) AS cum_rows, tn, tp
+        |  FROM g CROSS JOIN tt
+        |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n_rows, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / n_rows, 6) AS pos_rate,
+        |  cum_pos,
+        |  round(CAST(cum_pos AS DOUBLE) / cum_rows, 6) AS cum_pos_rate,
+        |  CASE WHEN tp > 0 THEN
+        |    round((CAST(n_pos AS DOUBLE) / n_rows) / (CAST(tp AS DOUBLE) / tn), 6)
+        |  END AS lift,
+        |  CASE WHEN tp > 0 THEN round(CAST(cum_pos AS DOUBLE) / tp, 6) END AS capture
+        |FROM c""".stripMargin,
+
+    // PSI: add-one smoothing over the dense clamped bin axis; each term
+    // exact-int ratios -> one double division -> ln -> 6-dp round; the
+    // total an exact decimal sum of the rounded terms.
+    "q_psi_drift" ->
+      """WITH s AS (SELECT value AS v,
+        |    CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT CAST(least(greatest(floor(v), -5), 5) AS BIGINT) AS bin,
+        |    SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY 1),
+        |axis AS (SELECT CAST(u.i AS BIGINT) AS bin FROM unnest(range(-5, 6)) u(i)),
+        |f AS (SELECT axis.bin, CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+        |    CAST(COALESCE(cb, 0) AS BIGINT) AS cb FROM axis LEFT JOIN g USING (bin)),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nbt FROM f),
+        |terms AS (SELECT bin, ca, cb,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(na + 11 AS DOUBLE) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(nbt + 11 AS DOUBLE) AS pb
+        |  FROM f CROSS JOIN t),
+        |t2 AS (SELECT bin, ca, cb, pa, pb,
+        |    round((pa - pb) * ln(pa / pb), 6) AS term FROM terms),
+        |p AS (SELECT round(CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6)
+        |    AS psi FROM t2)
+        |SELECT bin, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b, term, psi
+        |FROM t2 CROSS JOIN p""".stripMargin,
+
+    // MI over observed (event_type, bin) cells; same term discipline.
+    "q_mutual_info" ->
+      """WITH s AS (SELECT event_type AS x,
+        |    CAST(least(greatest(floor(value), -5), 5) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT x, y, COUNT(*) AS nxy FROM s GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM c GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM c),
+        |terms AS (SELECT c.x, c.y, c.nxy, mx.nx, my.ny,
+        |    round((CAST(c.nxy AS DOUBLE) / n) *
+        |      ln((CAST(c.nxy AS DOUBLE) * n) /
+        |         (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 6) AS term
+        |  FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t),
+        |m AS (SELECT round(CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6)
+        |    AS mi FROM terms)
+        |SELECT x, y, nxy, nx, ny, term, mi FROM terms CROSS JOIN m""".stripMargin,
 
     // KS: ECDFs at each distinct value (inclusive cumsums); the max is
     // over exact integer cross-products, ties to the smallest value.

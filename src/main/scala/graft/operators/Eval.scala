@@ -143,4 +143,129 @@ object Eval {
         col("m.na").cast("long").as("n_a"),
         col("m.nb").cast("long").as("n_b"))
   }
+
+  /** Decile (or n-tile) lift table of `score` predicting `label` — the
+    * ranking-model gain chart: rows are score buckets 1..n (bucket 1 =
+    * highest scores), each with its size, positive count/rate,
+    * cumulative positives, and lift vs the base rate.
+    *
+    * Bucketing is EXACT SQL NTILE over (score DESC, tiebreak ASC) via
+    * [[Rank.ntileExact]]'s range-partition machinery (never a
+    * single-partition window over the corpus); everything after is one
+    * map-side-combinable groupBy on the bucket plus windows over ≤ n
+    * rows. All rates are exact-integer ratios divided once, 6-dp.
+    */
+  def liftTable(df: DataFrame, score: Column, label: Column,
+                tiebreak: Column, n: Int = 10, nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(score.as("s"), label.cast("long").as("y"),
+        tiebreak.as("tb"))
+      .na.drop(Seq("s"))
+      // ntileExact orders ascending; negate for highest-scores-first
+      .withColumn("negs", -col("s"))
+    val tiled = Rank.ntileExact(base, Seq("negs", "tb"), n, "bucket", nParts)
+    val g = tiled.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"))
+    val tot = g.agg(sum(col("n_rows")).as("tn"), sum(col("n_pos")).as("tp"))
+    // ≤ n rows past this point: the single-partition window is the point
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_rows"), 6).as("pos_rate"),
+        col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("cum_rows"), 6)
+          .as("cum_pos_rate"),
+        when(col("tp") > 0,
+          round((col("n_pos").cast("double") / col("n_rows")) /
+            (col("tp").cast("double") / col("tn")), 6)).as("lift"),
+        when(col("tp") > 0,
+          round(col("cum_pos").cast("double") / col("tp"), 6)).as("capture"))
+  }
+
+  /** Population Stability Index between the `valueCol` distributions of
+    * rows where `isA` (baseline) and `isB` (current), over integer
+    * bins `floor(value)` clamped to [loBin, hiBin]:
+    * `PSI = Σ_bins (p_A − p_B) · ln(p_A / p_B)` with add-one (Laplace)
+    * smoothing so empty bins stay finite. The drift gate a scoring
+    * pipeline runs between training and serving windows; > 0.2 is the
+    * conventional "significant shift".
+    *
+    * Returns one row per bin (counts, smoothed shares, 6-dp term) plus
+    * the PSI total repeated on each row — term arithmetic is mirrored
+    * by the oracle step for step (exact-int ratios → one double
+    * division each → ln → 6-dp round), and the total is an exact
+    * decimal sum of the rounded terms, so it is order-independent.
+    */
+  def psiDrift(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+               loBin: Int = -5, hiBin: Int = 5): DataFrame = {
+    val nb = hiBin - loBin + 1
+    val bins = df.select(valueCol.as("v"),
+        when(isA, 1L).otherwise(0L).as("a"),
+        when(isB, 1L).otherwise(0L).as("b"))
+      .na.drop(Seq("v"))
+      .filter(col("a") + col("b") > 0)
+      .select(least(greatest(floor(col("v")), lit(loBin.toLong)),
+        lit(hiBin.toLong)).cast("long").as("bin"), col("a"), col("b"))
+      .groupBy(col("bin")).agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    // dense bin axis: empty bins must participate via their smoothed mass
+    val axis = df.sparkSession.range(loBin, hiBin + 1).toDF("bin")
+    val filled = axis.join(bins, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = filled.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val terms = filled.crossJoin(broadcast(tot))
+      .withColumn("pa",
+        (col("ca") + lit(1)).cast("double") / (col("na") + lit(nb)).cast("double"))
+      .withColumn("pb",
+        (col("cb") + lit(1)).cast("double") / (col("nb") + lit(nb)).cast("double"))
+      .withColumn("term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val psi = terms.agg(
+      round(sum(col("term").cast("decimal(25,12)")).cast("double"), 6).as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("ca"), col("cb"),
+        round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+        col("term"), col("psi"))
+  }
+
+  /** Mutual information (in nats) between a categorical column and the
+    * integer-binned `valueCol` — the feature-relevance screen:
+    * `MI = Σ_{x,y} (n_xy/N) · ln(N·n_xy / (n_x·n_y))`, summed over
+    * OBSERVED cells (empty cells contribute 0 in the limit).
+    *
+    * Returns one row per observed (x, y) cell with its counts and 6-dp
+    * term plus the MI total repeated — the joint groupBy is the only
+    * corpus shuffle; marginals reduce from the joint table and join
+    * back broadcast. Term arithmetic exact-int-ratio → double → ln →
+    * round, total = exact decimal sum of rounded terms.
+    */
+  def mutualInformation(df: DataFrame, catCol: Column, valueCol: Column,
+                        loBin: Int = -5, hiBin: Int = 5): DataFrame = {
+    val cells = df.select(catCol.as("x"), valueCol.as("v"))
+      .na.drop(Seq("x", "v"))
+      .select(col("x"), least(greatest(floor(col("v")), lit(loBin.toLong)),
+        lit(hiBin.toLong)).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"))
+    val terms = cells
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", round(
+        (col("nxy").cast("double") / col("n")) *
+          log((col("nxy").cast("double") * col("n")) /
+            (col("nx").cast("double") * col("ny"))), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mi = terms.agg(
+      round(sum(col("term").cast("decimal(25,12)")).cast("double"), 6).as("mi"))
+    terms.crossJoin(broadcast(mi))
+      .select(col("x"), col("y"), col("nxy"), col("nx"), col("ny"),
+        col("term"), col("mi"))
+  }
 }

@@ -94,6 +94,74 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getLong(2) == a.size.toLong && r.getLong(3) == b.size.toLong)
   }
 
+  test("liftTable matches a brute-force gain chart with ties") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(12).toDouble, if (rnd.nextInt(3) == 0) 1 else 0))
+    val df = rows.toDF("id", "s", "y")
+    val got = Eval.liftTable(df, col("s"), col("y") === 1, col("id"), n = 10)
+      .orderBy("bucket")
+      .select("bucket", "n_rows", "n_pos", "pos_rate", "lift")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // brute: sort by (score desc, id), SQL NTILE bucket algebra
+    val sorted = rows.sortBy(r => (-r._2, r._1))
+    val t = sorted.size; val q = t / 10; val m = t % 10
+    def bucketOf(r0: Int): Long =
+      (if (r0 < m * (q + 1)) r0 / (q + 1) else m + (r0 - m * (q + 1)) / q) + 1L
+    val byB = sorted.zipWithIndex.groupBy { case (_, i) => bucketOf(i) }
+    val totPos = rows.map(_._3).sum.toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (b, nr, np, pr, lift) =>
+      val g = byB(b).map(_._1)
+      assert(nr == g.size.toLong && np == g.map(_._3).sum.toLong, s"bucket $b")
+      assert(pr == r6(np.toDouble / nr))
+      assert(lift == r6((np.toDouble / nr) / (totPos / t)))
+    }
+  }
+
+  test("psiDrift is 0 on identical distributions and totals correctly") {
+    // literally identical sides: every value appears 10x in A and 10x in B
+    val same = for (v <- -3 to 3; _ <- 1 to 10; side <- Seq(true, false))
+      yield (v.toDouble, side)
+    val df = same.toDF("v", "inA")
+    val r = Eval.psiDrift(df, col("v"), col("inA"), !col("inA"))
+      .collect()
+    assert(r.length == 11) // dense bin axis -5..5
+    assert(r.forall(_.getDouble(6) == 0.0)) // identical halves: psi = 0
+    // shares sum to 1 on each side (within 6-dp rounding slack)
+    assert(math.abs(r.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(r.map(_.getLong(1)).sum == 70L) // ca total = side-A rows
+  }
+
+  test("psiDrift detects a shifted distribution with a positive score") {
+    val rows = (1 to 200).map(i =>
+      if (i <= 100) (0.0 + i % 2, true) else (3.0 + i % 2, false))
+    val r = Eval.psiDrift(rows.toDF("v", "inA"), col("v"),
+      col("inA"), !col("inA")).collect()
+    assert(r.head.getDouble(6) > 1.0) // gross shift => large PSI
+  }
+
+  test("mutualInformation: zero for independence, ln|X| for identity") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent: every (x, y) cell equally likely
+    val ind = (for (x <- Seq("a", "b"); y <- 0 until 4; _ <- 1 to 5)
+      yield (x, y.toDouble)).toDF("x", "v")
+    val ri = Eval.mutualInformation(ind, col("x"), col("v"))
+    assert(ri.collect().forall(_.getDouble(6) == 0.0))
+    // deterministic: y = f(x), two equiprobable symbols => MI = ln 2
+    // (up to the documented per-term 6-dp rounding BEFORE the sum:
+    // each cell contributes round6(0.5·ln 2))
+    val det = (for (x <- Seq("a", "b"); _ <- 1 to 10)
+      yield (x, if (x == "a") 1.0 else 2.0)).toDF("x", "v")
+    val rd = Eval.mutualInformation(det, col("x"), col("v")).collect()
+    val want = r6(2 * r6(0.5 * math.log(2.0)))
+    assert(rd.forall(r => r.getDouble(6) == want))
+    assert(math.abs(want - math.log(2.0)) < 2e-6)
+  }
+
   test("ksStatistic is 1.0 on disjoint supports and 0.0 on identical ones") {
     val disjoint = ((1 to 20).map(i => (i.toDouble, "a")) ++
       (1 to 20).map(i => (100.0 + i, "b"))).toDF("v", "g")
