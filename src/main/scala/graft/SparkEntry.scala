@@ -1455,6 +1455,32 @@ object SparkEntry {
     // batch path: the sketch doesn't care where its registers were
     // built, which is exactly the merge property that lets a streaming
     // job hand daily registers to a batch reporter.
+    // PSI drift monitor as a stream: the per-bin (baseline, current)
+    // counts are a complete-mode streaming aggregate (11 rows of
+    // state), and the PSI tail recomputes from the materialized final
+    // state with the IDENTICAL arithmetic as the batch operator — the
+    // batch oracle checks the streaming path (same contract as
+    // stream_approx_distinct's HLL registers).
+    "stream_psi_drift" -> ((s, dir) => withStateParts(s) {
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val counts = graft.operators.Eval.psiBinCounts(
+        eventsStream(s, dir), col("value"),
+        col("ts") < split, col("ts") >= split)
+      val sinkName = s"graft_spsi_${System.nanoTime()}"
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        graft.operators.Eval.psiFromBinCounts(
+          s.table(sinkName).localCheckpoint(true), -5, 5)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     "stream_approx_distinct" -> ((s, dir) => withStateParts(s) {
       val regs = Sketch.hllRegisters(
         eventsStream(s, dir).filter(col("user_id").isNotNull),
@@ -2052,6 +2078,27 @@ object SparkEntry {
         graft.operators.Graph.purchaseGraph(
           ld(s, dir, "orders"), ld(s, dir, "lineitem")),
         iters = 5, damping = 0.85)),
+
+    // Fixed-2-round synchronous min-label propagation over the user
+    // co-activity graph — non-converged on purpose (labels travel two
+    // hops, so big components stay split into communities), which keeps
+    // the oracle a finite unrolled recurrence. operators.Graph
+    // .labelPropagation.
+    "graph_label_prop" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3),
+        iters = 2)),
+
+    // Newman modularity of that 2-round partition — one exact rational
+    // (4m·Σe_c − Σd_c²)/(4m²), integer numerator/denominator, a single
+    // rounded double division. operators.Graph.modularityOfLabels.
+    "graph_modularity" -> ((s, dir) => {
+      val edges = graft.operators.Graph
+        .coActivityEdges(ld(s, dir, "events"), minCo = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Graph.modularityOfLabels(edges,
+        graft.operators.Graph.labelPropagation(edges, iters = 2))
+    }),
 
     // HITS hubs/authorities on the DIRECTED customer→supplier purchase
     // graph (operators.Graph.hits — per-iteration exact-decimal sum
@@ -3769,6 +3816,30 @@ object SparkEntry {
         |SELECT bin, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b, term, psi
         |FROM t2 CROSS JOIN p""".stripMargin,
 
+    // the streaming PSI monitor must agree with the batch definition —
+    // identical oracle text by construction
+    "stream_psi_drift" ->
+      """WITH s AS (SELECT value AS v,
+        |    CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT CAST(least(greatest(floor(v), -5), 5) AS BIGINT) AS bin,
+        |    SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY 1),
+        |axis AS (SELECT CAST(u.i AS BIGINT) AS bin FROM unnest(range(-5, 6)) u(i)),
+        |f AS (SELECT axis.bin, CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+        |    CAST(COALESCE(cb, 0) AS BIGINT) AS cb FROM axis LEFT JOIN g USING (bin)),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nbt FROM f),
+        |terms AS (SELECT bin, ca, cb,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(na + 11 AS DOUBLE) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(nbt + 11 AS DOUBLE) AS pb
+        |  FROM f CROSS JOIN t),
+        |t2 AS (SELECT bin, ca, cb, pa, pb,
+        |    round((pa - pb) * ln(pa / pb), 6) AS term FROM terms),
+        |p AS (SELECT round(CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6)
+        |    AS psi FROM t2)
+        |SELECT bin, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b, term, psi
+        |FROM t2 CROSS JOIN p""".stripMargin,
+
     // MI over observed (event_type, bin) cells; same term discipline.
     "q_mutual_info" ->
       """WITH s AS (SELECT event_type AS x,
@@ -4822,6 +4893,55 @@ object SparkEntry {
     "graph_pagerank" -> OracleGen.graphPageRank(iters = 5, damping = 0.85),
 
     "graph_hits" -> OracleGen.graphHits(iters = 3),
+
+    // two unrolled sync min-label rounds over the co-activity graph
+    "graph_label_prop" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |ed AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+        |n1 AS (SELECT e.src AS id, MIN(l.lbl) AS nm FROM e JOIN l0 l ON l.id = e.dst GROUP BY e.src),
+        |l1 AS (SELECT l0.id, least(l0.lbl, COALESCE(n1.nm, l0.lbl)) AS lbl
+        |       FROM l0 LEFT JOIN n1 USING (id)),
+        |n2 AS (SELECT e.src AS id, MIN(l.lbl) AS nm FROM e JOIN l1 l ON l.id = e.dst GROUP BY e.src),
+        |l2 AS (SELECT l1.id, least(l1.lbl, COALESCE(n2.nm, l1.lbl)) AS lbl
+        |       FROM l1 LEFT JOIN n2 USING (id))
+        |SELECT id AS node, lbl AS label FROM l2""".stripMargin,
+
+    // modularity of the same partition: exact integer numerator and
+    // denominator, one rounded double division
+    "graph_modularity" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |ed AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+        |n1 AS (SELECT e.src AS id, MIN(l.lbl) AS nm FROM e JOIN l0 l ON l.id = e.dst GROUP BY e.src),
+        |l1 AS (SELECT l0.id, least(l0.lbl, COALESCE(n1.nm, l0.lbl)) AS lbl
+        |       FROM l0 LEFT JOIN n1 USING (id)),
+        |n2 AS (SELECT e.src AS id, MIN(l.lbl) AS nm FROM e JOIN l1 l ON l.id = e.dst GROUP BY e.src),
+        |l2 AS (SELECT l1.id, least(l1.lbl, COALESCE(n2.nm, l1.lbl)) AS lbl
+        |       FROM l1 LEFT JOIN n2 USING (id)),
+        |lab AS (SELECT ed.a, ed.b, la.lbl AS ca, lbb.lbl AS cb
+        |        FROM ed JOIN l2 la ON la.id = ed.a JOIN l2 lbb ON lbb.id = ed.b),
+        |base AS (SELECT COUNT(*) AS m,
+        |    SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS intra FROM lab),
+        |deg AS (SELECT node, COUNT(*) AS d FROM
+        |        (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+        |dc AS (SELECT l2.lbl, SUM(d) AS dcv FROM deg JOIN l2 ON l2.id = deg.node GROUP BY 1),
+        |sq AS (SELECT SUM(CAST(dcv AS HUGEINT) * CAST(dcv AS HUGEINT)) AS sumd2,
+        |    COUNT(*) AS ncomm FROM dc),
+        |nn AS (SELECT COUNT(*) AS n_nodes FROM l2)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(m AS BIGINT) AS n_edges,
+        |  CAST(ncomm AS BIGINT) AS n_communities, CAST(intra AS BIGINT) AS n_intra,
+        |  round(CAST(CAST(4 AS HUGEINT) * m * intra - sumd2 AS DOUBLE)
+        |    / CAST(CAST(4 AS HUGEINT) * m * m AS DOUBLE), 6) AS modularity
+        |FROM base CROSS JOIN sq CROSS JOIN nn""".stripMargin,
 
     "graph_degrees" ->
       """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id

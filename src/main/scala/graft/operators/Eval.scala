@@ -200,9 +200,19 @@ object Eval {
     * decimal sum of the rounded terms, so it is order-independent.
     */
   def psiDrift(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
-               loBin: Int = -5, hiBin: Int = 5): DataFrame = {
-    val nb = hiBin - loBin + 1
-    val bins = df.select(valueCol.as("v"),
+               loBin: Int = -5, hiBin: Int = 5): DataFrame =
+    psiFromBinCounts(psiBinCounts(df, valueCol, isA, isB, loBin, hiBin),
+      loBin, hiBin)
+
+  /** The streaming-compatible head of [[psiDrift]]: per-bin (ca, cb)
+    * counts over the clamped integer bins — a plain groupBy-sum, so it
+    * runs identically as a batch aggregate or a complete-mode
+    * streaming aggregate (the drift monitor shape: keep 11 rows of
+    * state, recompute PSI from them each trigger).
+    */
+  def psiBinCounts(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+                   loBin: Int = -5, hiBin: Int = 5): DataFrame =
+    df.select(valueCol.as("v"),
         when(isA, 1L).otherwise(0L).as("a"),
         when(isB, 1L).otherwise(0L).as("b"))
       .na.drop(Seq("v"))
@@ -210,8 +220,14 @@ object Eval {
       .select(least(greatest(floor(col("v")), lit(loBin.toLong)),
         lit(hiBin.toLong)).cast("long").as("bin"), col("a"), col("b"))
       .groupBy(col("bin")).agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+
+  /** The PSI tail over a `(bin, ca, cb)` relation (batch or the
+    * materialized final state of the streaming aggregate).
+    */
+  def psiFromBinCounts(bins: DataFrame, loBin: Int, hiBin: Int): DataFrame = {
+    val nb = hiBin - loBin + 1
     // dense bin axis: empty bins must participate via their smoothed mass
-    val axis = df.sparkSession.range(loBin, hiBin + 1).toDF("bin")
+    val axis = bins.sparkSession.range(loBin, hiBin + 1).toDF("bin")
     val filled = axis.join(bins, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))

