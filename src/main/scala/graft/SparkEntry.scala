@@ -1307,6 +1307,18 @@ object SparkEntry {
 
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
+    // Exact per-group percentiles with NO per-group single-partition
+    // window — operators.Rank.exactPercentiles closes q_percentiles'
+    // documented memory cliff: range partition by (group, value),
+    // slice-local running counts + broadcast prefix offsets, discrete
+    // (lower) percentile = smallest value with cum ≥ ⌈p·n⌉.
+    "q_percentiles_dist" -> ((s, dir) =>
+      graft.operators.Rank.exactPercentiles(ld(s, dir, "events"),
+          col("event_type"), col("value"),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p95" -> 0.95, "p99" -> 0.99))
+        .select(col("g").as("event_type"), col("n"),
+          col("p50"), col("p90"), col("p95"), col("p99"))),
+
     // Tie-aware binary AUC of `value` predicting purchase events —
     // operators.Eval.aucBinary: per-score collapse, range-partition
     // prefix sums, doubled-rank integer arithmetic in DECIMAL(38,0),
@@ -3763,6 +3775,23 @@ object SparkEntry {
         |      / (CAST(2.0 AS DOUBLE) * CAST(np * (n - np) AS DOUBLE)), 6) END AS auc,
         |  CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t""".stripMargin,
+
+    // discrete (lower) percentile: smallest value whose inclusive
+    // cumulative count reaches ceil(p*n) — identical target-rank
+    // arithmetic on both engines
+    "q_percentiles_dist" ->
+      """WITH s AS (SELECT event_type AS g, value AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |c AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT w.g AS event_type, n.n,
+        |  MIN(CASE WHEN cum >= ceil(0.5 * n.n) THEN v END) AS p50,
+        |  MIN(CASE WHEN cum >= ceil(0.9 * n.n) THEN v END) AS p90,
+        |  MIN(CASE WHEN cum >= ceil(0.95 * n.n) THEN v END) AS p95,
+        |  MIN(CASE WHEN cum >= ceil(0.99 * n.n) THEN v END) AS p99
+        |FROM w JOIN n USING (g) GROUP BY 1, 2""".stripMargin,
 
     // NTILE over (value DESC, event_id) mirrors ntileExact's unique
     // total order; every ratio is exact ints divided once, 6-dp.

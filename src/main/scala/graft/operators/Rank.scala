@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed exact ranking primitives. The built-in `ntile`/"global
@@ -37,6 +37,56 @@ object Rank {
         floor(col("global_id") / (q + 1)) + 1)
         .otherwise(lit(m) + floor((col("global_id") - big) / q) + 1)
     ranked.withColumn(outCol, bucket.cast("long")).drop("global_id")
+  }
+
+  /** Exact per-group percentiles WITHOUT a per-group single-partition
+    * window — the scale-safe exact counterpart to the interpolated
+    * `percentile()` (whose per-group buffer is the documented cliff in
+    * `q_percentiles`) and the GK-sketch `q_percentiles_approx`.
+    * Definition: discrete (lower) percentile — the smallest value whose
+    * inclusive cumulative count reaches `⌈p·n_group⌉`.
+    *
+    * Scale shape: collapse to (group, value, count) map-side, range
+    * partition by (group, value), per-slice running counts plus a
+    * broadcast exclusive prefix over the ≤ nParts×groups per-(slice,
+    * group) totals — a single group LARGER THAN A PARTITION still
+    * computes through slice-local sums, nothing ever buffers a whole
+    * group. One `min(when(cum ≥ target, v))` aggregate per requested
+    * percentile finishes it.
+    */
+  def exactPercentiles(df: DataFrame, group: Column, value: Column,
+                       ps: Seq[(String, Double)],
+                       nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty, "need at least one percentile")
+    val g = df.select(group.as("g"), value.as("v")).na.drop(Seq("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val parted = g.repartitionByRange(nParts, col("g"), col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ nParts × groups rows: small relation, windows here are the point
+    val pidTotals = parted.groupBy(col("__pid"), col("g"))
+      .agg(sum(col("c")).as("__t"))
+    val offs = pidTotals
+      .withColumn("__off", coalesce(sum(col("__t")).over(
+        Window.partitionBy(col("g")).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("g"), col("__off"))
+    val totals = pidTotals.groupBy(col("g")).agg(sum(col("__t")).as("n"))
+    val localW = Window.partitionBy(col("__pid"), col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = parted
+      .withColumn("__loc", sum(col("c")).over(localW))
+      .join(broadcast(offs), Seq("__pid", "g"))
+      .withColumn("cum", col("__loc") + col("__off"))
+      .join(broadcast(totals), "g")
+    val aggs = ps.map { case (name, p) =>
+      // ceil(p·n) in plain double arithmetic — the oracle runs the
+      // textually identical expression, so the target rank agrees
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("v"))).as(name)
+    }
+    cum.groupBy(col("g"), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact 2-D skyline (Pareto frontier), both dimensions MINIMIZED:

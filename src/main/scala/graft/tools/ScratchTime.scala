@@ -13,15 +13,32 @@ object ScratchTime {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    // replicate stream_semi_join's core with varying shuffle partitions
-    for (pass <- 1 to 2; parts <- Seq(32, 8, 4)) {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-      t(s"pass$pass semi-join parts=$parts") {
-        graft.SparkEntry.queries("stream_semi_join")(spark, dir)
+    def ld(n: String) = graft.sources.Tables.load(spark, dir, n)
+    for (pass <- 1 to 2) {
+      println(s"[scratch] pass $pass")
+      val g = t("purchaseGraph build+count") {
+        val g = graft.operators.Graph.purchaseGraph(ld("orders"), ld("lineitem"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        g.count(); g
+      }
+      t("pageRank on prebuilt edges") {
+        graft.operators.Graph.pageRank(spark, g, iters = 5, damping = 0.85)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("full graph_pagerank query") {
+        graft.SparkEntry.queries("graph_pagerank")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      g.unpersist()
+      t("graph_triangles query") {
+        graft.SparkEntry.queries("graph_triangles")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("dedup_clusters query") {
+        graft.SparkEntry.queries("dedup_clusters")(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
     }
-    spark.conf.set("spark.sql.shuffle.partitions", 32)
     spark.stop()
   }
 }

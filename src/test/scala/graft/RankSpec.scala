@@ -73,4 +73,30 @@ class RankSpec extends AnyFunSuite {
   test("skyline2d on an anti-chain keeps everything") {
     checkSkyline((1 to 50).map(i => (i.toLong, i.toLong, 51L - i)))
   }
+
+  test("exactPercentiles matches the brute-force discrete definition") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map(_ =>
+      (Seq("x", "y", "z")(rnd.nextInt(3)), rnd.nextInt(40).toDouble))
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val got = Rank.exactPercentiles(rows.toDF("g", "v"), col("g"), col("v"),
+        ps, nParts = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      def pct(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+      val (n, p50, p90, p99) = got(g)
+      assert(n == grp.size.toLong)
+      assert((p50, p90, p99) == (pct(0.5), pct(0.9), pct(0.99)), s"group $g")
+    }
+  }
+
+  test("exactPercentiles: a single-value group reports that value everywhere") {
+    val df = ((1 to 20).map(_ => ("a", 7.0)) :+ (("b", 1.0))).toDF("g", "v")
+    val got = Rank.exactPercentiles(df, col("g"), col("v"),
+        Seq("p50" -> 0.5, "p99" -> 0.99), nParts = 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") == ((7.0, 7.0)) && got("b") == ((1.0, 1.0)))
+  }
 }
