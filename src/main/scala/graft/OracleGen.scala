@@ -222,6 +222,32 @@ SELECT id_a, id_b, jaccard FROM (
     CASE WHEN u = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END AS jaccard
   FROM jac) WHERE jaccard >= CAST(0.5 AS DOUBLE)"""
 
+  /** Oracle for `dedup_containment`: MinHash-LSH candidates (same
+    * parameters as `dedup_minhash_lsh`), then exact overlap coefficient
+    * `|A∩B| / min(|A|,|B|)` over candidate pairs only (threshold 0.8;
+    * empty-vs-empty scores 1.0, mirroring
+    * [[graft.functions.TextFunctions.overlapCoefficient]]).
+    */
+  def dedupContainment(threshold: Double = 0.8): String =
+    s"""${minhashCtes(16, 4, 4, 1000, 5)},
+pids AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+psh AS (SELECT dh.doc_id, dh.h FROM dh JOIN pids ON dh.doc_id = pids.id),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM psh GROUP BY doc_id),
+ints AS (SELECT p.id_a, p.id_b, COUNT(*) AS i
+         FROM pairs p JOIN psh sa ON sa.doc_id = p.id_a
+                      JOIN psh sb ON sb.doc_id = p.id_b AND sb.h = sa.h
+         GROUP BY p.id_a, p.id_b),
+cont AS (SELECT p.id_a, p.id_b, COALESCE(i.i, 0) AS i,
+    least(COALESCE(za.n, 0), COALESCE(zb.n, 0)) AS m
+  FROM pairs p
+  LEFT JOIN ints i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  LEFT JOIN sz za ON za.doc_id = p.id_a
+  LEFT JOIN sz zb ON zb.doc_id = p.id_b)
+SELECT id_a, id_b, containment FROM (
+  SELECT id_a, id_b,
+    CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(i AS DOUBLE) / CAST(m AS DOUBLE) END AS containment
+  FROM cont) WHERE containment >= CAST($threshold AS DOUBLE)"""
+
   /** Oracle for `dedup_simhash` (bands=4, maxHamming=16): whitespace
     * tokens (duplicates kept) → FNV-1a per lowercased token → 64
     * per-bit ±1 vote sums → signature → 16-bit band chunks → in-chunk

@@ -2195,6 +2195,18 @@ object SparkEntry {
       Dedup.jaccardVerify(cands, docs, "text", "doc_id", shingleLen = 5, threshold = 0.5)
     }),
 
+    // Asymmetric (containment) dedup: exact overlap coefficient
+    // |A∩B|/min(|A|,|B|) over the LSH candidate pairs — catches a short
+    // doc embedded verbatim in a long one, which Jaccard's union
+    // denominator hides. operators.Dedup.containmentVerify.
+    "dedup_containment" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val cands = Dedup.minHashCandidates(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      Dedup.containmentVerify(cands, docs, "text", "doc_id",
+        shingleLen = 5, threshold = 0.8)
+    }),
+
     // Corpus curation pipeline: quality-filter → exact-dedup (keep the
     // lowest doc_id per fingerprint) → language tag + token budget.
     "corpus_pipeline" -> ((s, dir) => {
@@ -5031,6 +5043,8 @@ object SparkEntry {
     "dedup_simhash" -> OracleGen.dedupSimhash,
     "dedup_embedding" -> OracleGen.dedupEmbedding,
     "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,
+
+    "dedup_containment" -> OracleGen.dedupContainment(threshold = 0.8),
     "knn_lsh" -> OracleGen.knnLsh(),
     "knn_ivf" -> OracleGen.knnIvf(),
     "knn_ivfpq" -> OracleGen.knnIvfPq(),

@@ -90,6 +90,17 @@ object TextFunctions {
     when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** Overlap coefficient `|A∩B| / min(|A|,|B|)` of two distinct-element
+    * arrays — the asymmetric containment measure (≈1.0 when the smaller
+    * set sits inside the larger). Empty-vs-empty scores 1.0, mirroring
+    * [[jaccard]]'s convention.
+    */
+  def overlapCoefficient(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val m = least(size(a), size(b))
+    when(m === 0, lit(1.0)).otherwise(inter.cast("double") / m.cast("double"))
+  }
+
   // -------------------------------------------------------------------
   // Quality scoring
   // -------------------------------------------------------------------

@@ -354,6 +354,36 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Containment verify over candidate pairs: exact OVERLAP COEFFICIENT
+    * `|A∩B| / min(|A|,|B|)` on the full distinct-shingle sets —
+    * the asymmetric-dup detector Jaccard misses (a short document
+    * embedded verbatim in a much longer one scores ~1.0 here but low
+    * on Jaccard, because the union is dominated by the long side).
+    * Empty-vs-empty scores 1.0, mirroring
+    * [[graft.functions.TextFunctions.jaccard]]'s union convention.
+    *
+    * Same scale shape as [[jaccardVerify]]: candidates persisted once,
+    * the shingle kernel gated by a left-semi join to documents that
+    * appear in some pair.
+    */
+  def containmentVerify(candidates: DataFrame, docs: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleLen: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val cands = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inPairs = cands.select(col("id_a").as("__jid"))
+      .union(cands.select(col("id_b"))).distinct()
+    val sh = docs.select(col(idCol).as("__jid"), col(textCol))
+      .join(inPairs, Seq("__jid"), "left_semi")
+      .select(col("__jid"),
+        graft.functions.native.char_shingle_hashes(col(textCol), shingleLen).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        overlapCoefficient(col("sh_a"), col("sh_b")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact set-similarity self-join via MULTI-WITNESS prefix filtering
     * (prefix filter: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07;
     * the k-witness extension: Wang et al. SIGMOD'12 "Can we beat the

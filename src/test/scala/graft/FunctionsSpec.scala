@@ -24,6 +24,19 @@ class FunctionsSpec extends AnyFunSuite {
       .filter($"x.id" === "a" && $"y.id" === "c")
       .select(TF.jaccard($"x.s", $"y.s")).collect()(0).getDouble(0)
     assert(j > 0.4 && j < 1.0) // "one two" shingles ⊂ "one two three"
+
+    // containment sees the subset relation jaccard dilutes: every
+    // shingle of "one two" is inside "one two three"
+    val c = sh.as("x").crossJoin(sh.as("y"))
+      .filter($"x.id" === "a" && $"y.id" === "c")
+      .select(TF.overlapCoefficient($"x.s", $"y.s")).collect()(0).getDouble(0)
+    assert(c == 1.0)
+    // empty-vs-empty convention
+    val e = Seq(("e1", ""), ("e2", "")).toDF("id", "text")
+      .select($"id", TF.charShinglesOf(TF.normalizeWs($"text"), 3).as("s"))
+    val ec = e.as("x").crossJoin(e.as("y")).filter($"x.id" === "e1" && $"y.id" === "e2")
+      .select(TF.overlapCoefficient($"x.s", $"y.s")).collect()(0).getDouble(0)
+    assert(ec == 1.0)
   }
 
   test("langId picks the language with most marker hits; ties go to list order") {
