@@ -178,4 +178,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"scored pairs shuffle:\n$plan")
   }
+
+  test("aucBinary joins its per-slice offsets by broadcast; no global window") {
+    val rows = (0 until 500).map(i => (i % 37 / 36.0, i % 3 == 0))
+      .toDF("s", "y")
+    val plan = executed(graft.operators.Eval.aucBinary(rows, col("s"), col("y")))
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    // the only windows allowed are per-slice (partitioned by __pid) —
+    // an unpartitioned global sort-window would be the scale cliff
+    assert(!plan.contains("Window [") ||
+      plan.linesIterator.filter(_.contains("Window"))
+        .forall(l => !l.contains("windowspecdefinition()")),
+      s"global window present:\n$plan")
+  }
+
+  test("exactPercentiles: range partition + broadcast offsets, windows only per slice") {
+    val rows = (0 until 500).map(i => (s"g${i % 3}", (i % 41).toDouble))
+      .toDF("g", "v")
+    val plan = executed(graft.operators.Rank.exactPercentiles(rows,
+      col("g"), col("v"), Seq("p50" -> 0.5, "p95" -> 0.95), nParts = 8))
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"no range partition:\n$plan")
+    // every window must be keyed by the slice id, never a bare ORDER BY
+    // over the whole relation
+    plan.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(l.contains("__pid"), s"window not slice-local: $l")
+    }
+  }
+
+  test("setsim witness stage is count-only: no arrays reach the candidate aggregate") {
+    val dd = (0L until 60L)
+      .map(i => (i, if (i % 7 == 0) "the quick brown fox jumps over the lazy dog"
+                    else s"totally unrelated text number $i with padding words"))
+      .toDF("doc_id", "text")
+    val df = Dedup.prefixFilterPairs(dd, "text", "doc_id", 5, 0.5)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the witness count is a real aggregate (partial+final), and the
+    // verify join attaches arrays only after it
+    assert(plan.contains("HashAggregate"), s"no counting aggregate:\n$plan")
+  }
+
+  test("hits: edges joined per half-step without cartesian or corpus-side sort-merge explosion") {
+    val edges = (0L until 300L)
+      .map(i => (s"c${i % 40}", s"s${i % 17}")).toDF("src", "dst")
+    val plan = executed(graft.operators.Graph.hits(spark, edges, iters = 2))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in HITS:\n$plan")
+  }
 }
