@@ -248,6 +248,41 @@ SELECT id_a, id_b, containment FROM (
     CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(i AS DOUBLE) / CAST(m AS DOUBLE) END AS containment
   FROM cont) WHERE containment >= CAST($threshold AS DOUBLE)"""
 
+  /** Oracle for `dedup_lsh_eval` — the MinHash-LSH candidate set
+    * ([[minhashCtes]], same parameters as `dedup_minhash_lsh`) scored
+    * against the EXACT Jaccard-≥0.5 ground truth (the same
+    * string-shingle inverted-index definition as the
+    * `dedup_setsim_exact` oracle, rebuilt over the shared `norm` CTE):
+    * precision = hits/candidates, recall = hits/truth, as exact-int
+    * ratios divided once and rounded. The "measure, don't guess"
+    * readout for the probabilistic dedup path.
+    */
+  def dedupLshEval(threshold: Double = 0.5): String =
+    s"""${minhashCtes(16, 4, 4, 1000, 5)},
+tsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+        FROM norm, LATERAL unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS u2(i)),
+tsz AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
+tov AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS o
+        FROM tsh a JOIN tsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+truth AS (SELECT ia, ib FROM (
+    SELECT ia, ib, CAST(o AS DOUBLE) / (sa.n + sb.n - o) AS j
+    FROM tov JOIN tsz sa ON sa.doc_id = ia JOIN tsz sb ON sb.doc_id = ib)
+  WHERE j >= CAST($threshold AS DOUBLE)),
+fo AS (SELECT p.id_a AS ca, t.ia AS ta
+       FROM pairs p FULL OUTER JOIN truth t ON p.id_a = t.ia AND p.id_b = t.ib),
+agg AS (SELECT
+    CAST(SUM(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+    CAST(SUM(CASE WHEN ca IS NOT NULL AND ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM fo)
+SELECT n_candidates, n_true, n_hit,
+  CASE WHEN n_candidates > 0 THEN
+    round(CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) END AS "precision",
+  CASE WHEN n_true > 0 THEN
+    round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall
+FROM agg"""
+
   /** Oracle for `dedup_simhash` (bands=4, maxHamming=16): whitespace
     * tokens (duplicates kept) → FNV-1a per lowercased token → 64
     * per-bit ±1 vote sums → signature → 16-bit band chunks → in-chunk

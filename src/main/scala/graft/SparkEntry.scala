@@ -1358,6 +1358,16 @@ object SparkEntry {
       graft.operators.Eval.mutualInformation(ld(s, dir, "events"),
         col("event_type"), col("value"))),
 
+    // Two-proportion z-test: did the purchase rate move between the
+    // pre-/post-Jan-15 cohorts — operators.Eval.twoProportionZ (one
+    // combined aggregate; √ and divisions mirrored by the oracle).
+    "q_ab_test" -> ((s, dir) => {
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      graft.operators.Eval.twoProportionZ(ld(s, dir, "events"),
+        col("ts") < split, col("ts") >= split,
+        col("event_type") === "purchase")
+    }),
+
     "q_stats_moments" -> ((s, dir) =>
       ld(s, dir, "events")
         .groupBy(col("event_type"))
@@ -2193,6 +2203,31 @@ object SparkEntry {
       val docs = ld(s, dir, "documents")
       val cands = Dedup.minHashCandidates(docs, "text", "doc_id")
       Dedup.jaccardVerify(cands, docs, "text", "doc_id", shingleLen = 5, threshold = 0.5)
+    }),
+
+    // Measure, don't guess: the MinHash-LSH candidate set scored
+    // against the EXACT Jaccard ground truth (prefixFilterPairs) —
+    // precision/recall of the probabilistic dedup path, as a green
+    // gate row rather than a claim. Full-outer on the pair key; three
+    // counts; two exact-int ratios.
+    "dedup_lsh_eval" -> ((s, dir) => {
+      val docs = ld(s, dir, "documents")
+      val cand = Dedup.minHashCandidates(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b")).withColumn("__c", lit(1L))
+      val truth = Dedup.prefixFilterPairs(docs, "text", "doc_id", 5, 0.5)
+        .select(col("id_a"), col("id_b")).withColumn("__t", lit(1L))
+      cand.join(truth, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
+          sum(coalesce(col("__t"), lit(0L))).as("n_true"),
+          sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("n_hit"))
+        .select(col("n_candidates"), col("n_true"), col("n_hit"),
+          when(col("n_candidates") > 0,
+            round(col("n_hit").cast("double") /
+              col("n_candidates").cast("double"), 6)).as("precision"),
+          when(col("n_true") > 0,
+            round(col("n_hit").cast("double") /
+              col("n_true").cast("double"), 6)).as("recall"))
     }),
 
     // Asymmetric (containment) dedup: exact overlap coefficient
@@ -3899,6 +3934,28 @@ object SparkEntry {
         |    AS mi FROM terms)
         |SELECT x, y, nxy, nx, ny, term, mi FROM terms CROSS JOIN m""".stripMargin,
 
+    // pooled two-proportion z: every ratio/√ textually mirrors the
+    // Spark expression tree, one 6-dp round at the end
+    "q_ab_test" ->
+      """WITH s AS (SELECT
+        |    CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS b,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(a * y) AS BIGINT) AS xa,
+        |    CAST(SUM(b) AS BIGINT) AS nb, CAST(SUM(b * y) AS BIGINT) AS xb FROM s)
+        |SELECT na AS n_a, xa AS x_a, nb AS n_b, xb AS x_b,
+        |  round(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS p_a,
+        |  round(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS p_b,
+        |  CASE WHEN na > 0 AND nb > 0 AND xa + xb > 0 AND xa + xb < na + nb THEN
+        |    round((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+        |           - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / sqrt(CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+        |          * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |          * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)
+        |  END AS z
+        |FROM g""".stripMargin,
+
     // KS: ECDFs at each distinct value (inclusive cumsums); the max is
     // over exact integer cross-products, ties to the smallest value.
     "q_ks_drift" ->
@@ -5045,6 +5102,8 @@ object SparkEntry {
     "dedup_verify_pipeline" -> OracleGen.dedupVerifyPipeline,
 
     "dedup_containment" -> OracleGen.dedupContainment(threshold = 0.8),
+
+    "dedup_lsh_eval" -> OracleGen.dedupLshEval(threshold = 0.5),
     "knn_lsh" -> OracleGen.knnLsh(),
     "knn_ivf" -> OracleGen.knnIvf(),
     "knn_ivfpq" -> OracleGen.knnIvfPq(),

@@ -248,6 +248,39 @@ object Eval {
         col("term"), col("psi"))
   }
 
+  /** Two-proportion z-test between group A's and group B's success
+    * rates — the A/B readout: `z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A+1/n_B))`
+    * with p̂ the pooled rate. One map-side-combinable aggregate; every
+    * division/√ mirrored step-for-step by the oracle (integer counts →
+    * double ratios → one √ → one division → 6-dp round). z is NULL
+    * when either group is empty or the pooled rate is degenerate
+    * (p̂ ∈ {0,1} makes the denominator 0).
+    */
+  def twoProportionZ(df: DataFrame, isA: Column, isB: Column,
+                     success: Column): DataFrame = {
+    val g = df.select(
+        when(isA, 1L).otherwise(0L).as("a"),
+        when(isB, 1L).otherwise(0L).as("b"),
+        success.cast("long").as("y"))
+      .filter(col("a") + col("b") > 0)
+      .agg(sum(col("a")).as("na"), sum(col("a") * col("y")).as("xa"),
+        sum(col("b")).as("nb"), sum(col("b") * col("y")).as("xb"))
+    val pa = col("xa").cast("double") / col("na").cast("double")
+    val pb = col("xb").cast("double") / col("nb").cast("double")
+    val pp = (col("xa") + col("xb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    g.select(col("na").as("n_a"), col("xa").as("x_a"),
+      col("nb").as("n_b"), col("xb").as("x_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      when(col("na") > 0 && col("nb") > 0 &&
+          (col("xa") + col("xb")) > 0 &&
+          (col("xa") + col("xb")) < (col("na") + col("nb")),
+        round((pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("na").cast("double") +
+             lit(1.0) / col("nb").cast("double"))), 6)).as("z"))
+  }
+
   /** Mutual information (in nats) between a categorical column and the
     * integer-binned `valueCol` — the feature-relevance screen:
     * `MI = Σ_{x,y} (n_xy/N) · ln(N·n_xy / (n_x·n_y))`, summed over

@@ -162,6 +162,26 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(want - math.log(2.0)) < 2e-6)
   }
 
+  test("twoProportionZ matches the textbook pooled z on known counts") {
+    // A: 30/100 successes, B: 20/100
+    val rows = (1 to 100).map(i => ("a", i <= 30)) ++
+      (1 to 100).map(i => ("b", i <= 20))
+    val r = graft.operators.Eval.twoProportionZ(rows.toDF("g", "y"),
+      col("g") === "a", col("g") === "b", col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 30L, 100L, 20L)))
+    val pp = 50.0 / 200.0
+    val want = BigDecimal((0.3 - 0.2) /
+        math.sqrt(pp * (1 - pp) * (1.0 / 100 + 1.0 / 100)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) == want)
+    // degenerate pooled rate (all failures): z must be NULL, not NaN
+    val zero = (1 to 50).map(i => (if (i <= 25) "a" else "b", false))
+    val r0 = graft.operators.Eval.twoProportionZ(zero.toDF("g", "y"),
+      col("g") === "a", col("g") === "b", col("y")).collect()(0)
+    assert(r0.isNullAt(6))
+  }
+
   test("ksStatistic is 1.0 on disjoint supports and 0.0 on identical ones") {
     val disjoint = ((1 to 20).map(i => (i.toDouble, "a")) ++
       (1 to 20).map(i => (100.0 + i, "b"))).toDF("v", "g")
