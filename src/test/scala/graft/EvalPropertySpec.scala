@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eval
+
+/** Algebraic invariants of the eval statistics — properties a correct
+  * implementation cannot dodge:
+  *  - AUC is rank-based: any strictly increasing transform of the
+  *    scores leaves it unchanged;
+  *  - complementing the AUC label reflects it around 0.5;
+  *  - swapping the two KS samples leaves the statistic unchanged.
+  */
+class EvalPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // heavy ties on purpose (15 distinct scores), both labels present
+  private val rowsGen: Gen[List[(Double, Boolean)]] = for {
+    n <- Gen.choose(20, 120)
+    rows <- Gen.listOfN(n, for {
+      s <- Gen.choose(0, 15)
+      y <- Gen.oneOf(true, false)
+    } yield (s.toDouble, y))
+  } yield ((1.0, true) :: (2.0, false) :: rows)
+
+  private def auc(rows: Seq[(Double, Boolean)],
+                  f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                  flip: Boolean = false): Double = {
+    val df = rows.toDF("s", "y")
+    val lbl = if (flip) !col("y") else col("y")
+    Eval.aucBinary(df, f(col("s")), lbl).collect()(0).getDouble(0)
+  }
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("AUC is invariant under strictly increasing score transforms") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val base = auc(rows, identity)
+      // exp and positive-affine are strictly increasing: ranks frozen
+      auc(rows, s => exp(s)) == base &&
+        auc(rows, s => s * lit(3.0) + lit(41.0)) == base
+    })
+  }
+
+  test("complementing the label reflects AUC around 0.5") {
+    check(Prop.forAll(rowsGen) { rows =>
+      math.abs(auc(rows, identity) + auc(rows, identity, flip = true) - 1.0) < 2e-6
+    })
+  }
+
+  test("KS statistic is symmetric in its two samples") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("v", "g")
+      val ab = Eval.ksStatistic(df, col("v"), col("g"), !col("g")).collect()(0)
+      val ba = Eval.ksStatistic(df, col("v"), !col("g"), col("g")).collect()(0)
+      ab.getDouble(0) == ba.getDouble(0) &&
+        ab.getLong(2) == ba.getLong(3) && ab.getLong(3) == ba.getLong(2)
+    })
+  }
+}
