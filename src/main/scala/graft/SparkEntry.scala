@@ -1307,6 +1307,29 @@ object SparkEntry {
 
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
+    // Robust anomaly detection: per-type median + MAD (both via the
+    // scale-safe Rank.exactPercentiles — no per-group window buffer),
+    // flag rows with |v − med| > 3.5·MAD. Medians broadcast back; the
+    // corpus is touched by two percentile passes and pure projections.
+    "q_anomaly_mad" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .na.drop(Seq("value"))
+      val med = graft.operators.Rank.exactPercentiles(ev,
+          col("event_type"), col("value"), Seq("med" -> 0.5))
+        .select(col("g").as("event_type"), col("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("value") - col("med")))
+      val mad = graft.operators.Rank.exactPercentiles(dev,
+          col("event_type"), col("absdev"), Seq("mad" -> 0.5))
+        .select(col("g").as("event_type"), col("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0 && col("absdev") > lit(3.5) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"),
+          round(col("absdev") / col("mad"), 6).as("score"))
+    }),
+
     // Exact per-group percentiles with NO per-group single-partition
     // window — operators.Rank.exactPercentiles closes q_percentiles'
     // documented memory cliff: range partition by (group, value),
@@ -3822,6 +3845,30 @@ object SparkEntry {
         |      / (CAST(2.0 AS DOUBLE) * CAST(np * (n - np) AS DOUBLE)), 6) END AS auc,
         |  CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t""".stripMargin,
+
+    // median and MAD replayed with the same discrete-percentile
+    // cumsum pattern, twice; |v−med| and 3.5·mad in plain IEEE doubles
+    "q_anomaly_mad" ->
+      """WITH s AS (SELECT event_id, event_type AS g, value AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |c AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |n AS (SELECT g, SUM(c) AS n FROM c GROUP BY 1),
+        |med AS (SELECT w.g, MIN(CASE WHEN cum >= ceil(0.5 * n.n) THEN v END) AS med
+        |        FROM w JOIN n USING (g) GROUP BY 1),
+        |d AS (SELECT s.event_id, s.g, s.v, med.med, abs(s.v - med.med) AS absdev
+        |      FROM s JOIN med USING (g)),
+        |dc AS (SELECT g, absdev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |dw AS (SELECT g, absdev, SUM(c) OVER (PARTITION BY g ORDER BY absdev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dc),
+        |dn AS (SELECT g, SUM(c) AS n FROM dc GROUP BY 1),
+        |mad AS (SELECT dw.g, MIN(CASE WHEN cum >= ceil(0.5 * dn.n) THEN absdev END) AS mad
+        |        FROM dw JOIN dn USING (g) GROUP BY 1)
+        |SELECT d.event_id, d.g AS event_type, d.v AS value, d.med, mad.mad,
+        |  round(d.absdev / mad.mad, 6) AS score
+        |FROM d JOIN mad USING (g)
+        |WHERE mad.mad > 0 AND d.absdev > 3.5 * mad.mad""".stripMargin,
 
     // discrete (lower) percentile: smallest value whose inclusive
     // cumulative count reaches ceil(p*n) — identical target-rank
