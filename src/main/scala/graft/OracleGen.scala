@@ -660,6 +660,34 @@ sel AS (SELECT doc_id, i0, h FROM (
 fp AS (SELECT DISTINCT doc_id, $signed AS sh FROM sel)"""
   }
 
+  /** Oracle for `text_cdc_chunks` — replays
+    * [[graft.functions.ShingleKernels.cdcChunkSpans]]: positional FNV
+    * window hashes over the normalized text, a cut before every
+    * interior position with `h % modulus == 0`, spans from consecutive
+    * cuts via LEAD (head and no-cut docs from a grouped left join),
+    * chunk content fingerprinted with md5 over the same normalized
+    * substring.
+    */
+  def textCdcChunks(n: Int = 8, modulus: Int = 64): String =
+    s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+lens AS (SELECT doc_id, t, length(t) AS L FROM norm WHERE length(t) > 0),
+ph AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ${fnvShingle("t", "i", n)} AS h
+       FROM norm, LATERAL unnest(range(1, greatest(length(t) - ${n - 1}, 0) + 1)) AS u(i)),
+cuts AS (SELECT doc_id, i FROM ph WHERE h % $modulus = 0 AND i > 1),
+spans AS (
+  SELECT c.doc_id, c.i AS strt,
+    COALESCE(LEAD(c.i) OVER (PARTITION BY c.doc_id ORDER BY c.i), l.L + 1) - c.i AS len
+  FROM cuts c JOIN lens l USING (doc_id)
+  UNION ALL
+  SELECT l.doc_id, 1 AS strt, COALESCE(MIN(c.i), l.L + 1) - 1 AS len
+  FROM lens l LEFT JOIN cuts c ON c.doc_id = l.doc_id GROUP BY l.doc_id, l.L)
+SELECT s.doc_id,
+  CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.strt) AS BIGINT) AS chunk_idx,
+  CAST(s.strt AS BIGINT) AS start, CAST(s.len AS BIGINT) AS length,
+  md5(substr(l.t, CAST(s.strt AS INT), CAST(s.len AS INT))) AS chunk_md5
+FROM spans s JOIN lens l USING (doc_id) WHERE s.len > 0"""
+
   def textWinnow(n: Int = 5, w: Int = 4): String =
     s"""${winnowCtes(n, w)},
 agg AS (SELECT doc_id, list_sort(list(sh)) AS fingerprints FROM fp GROUP BY doc_id)

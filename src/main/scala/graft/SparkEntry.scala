@@ -1768,6 +1768,28 @@ object SparkEntry {
           .as("fingerprints"))
         .withColumn("n_fp", size(col("fingerprints")).cast("long"))),
 
+    // Content-defined chunking (LBFS/rsync CDC): rolling-hash cuts
+    // where the 8-char window hash ≡ 0 (mod 64) carve each doc into
+    // ~64-char content-addressed blocks — the block-level dedup/delta
+    // primitive. One codegen'd kernel pass emits packed spans; the
+    // only window is per-doc over its own chunks.
+    "text_cdc_chunks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      ld(s, dir, "documents")
+        .repartition(32, col("doc_id"))
+        .select(col("doc_id"),
+          TF.normalizeWs(col("text")).as("__norm"),
+          explode(graft.functions.native.cdc_chunk_spans(col("text"), 8, 64))
+            .as("p"))
+        .select(col("doc_id"), col("__norm"),
+          shiftright(col("p"), 32).as("start"),
+          col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("length"))
+        .withColumn("chunk_idx", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("chunk_idx"), col("start"), col("length"),
+          md5(expr("substring(__norm, CAST(start AS INT), CAST(length AS INT))"))
+            .as("chunk_md5"))
+    }),
+
     // PII scrubbing as a pure projection: per-pattern match counts on
     // the original text plus a fingerprint of the redacted text (the
     // scrub itself is a codegen'd regexp_replace chain — zero shuffle
@@ -5143,6 +5165,8 @@ object SparkEntry {
     "embed_pca" -> OracleGen.embedPca(),
     "embed_pca2" -> OracleGen.embedPca2(),
     "text_winnow" -> OracleGen.textWinnow(),
+
+    "text_cdc_chunks" -> OracleGen.textCdcChunks(n = 8, modulus = 64),
     "dedup_winnow" -> OracleGen.dedupWinnow(n = 15, w = 10, minShared = 2),
     "dedup_simhash" -> OracleGen.dedupSimhash,
     "dedup_embedding" -> OracleGen.dedupEmbedding,

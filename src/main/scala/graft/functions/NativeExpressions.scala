@@ -188,6 +188,42 @@ object ShingleKernels {
     UnsafeArrayData.fromPrimitiveArray(dedupSorted(sel, nSel))
   }
 
+  /** Content-defined chunk spans (LBFS/rsync-style CDC): a cut falls
+    * BEFORE every 1-based position i > 1 of the normalized text whose
+    * n-char window hash satisfies `h mod modulus == 0` (unsigned FNV-1a
+    * — with a power-of-two modulus this is a bit mask, expected chunk
+    * length ≈ modulus chars). Chunks are the segments between
+    * consecutive cuts; the head runs from 1 to the first cut, the tail
+    * through the last character (so positions past the last full
+    * window fold into the final chunk). Cut decisions are PER-POSITION
+    * (no post-cut window skip), so the oracle replays them with a
+    * plain predicate + window instead of a sequential recursion.
+    * Returns packed `(start << 32) | length` spans over the normalized
+    * text; empty normalized text → empty array.
+    */
+  def cdcChunkSpans(text: UTF8String, n: Int, modulus: Int): ArrayData = {
+    val chars = normalize(text.toString)
+    val len = chars.length
+    if (len == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val count = len - n + 1
+    val spans = new Array[Long](math.max(count, 0) + 1)
+    var m = 0
+    var start = 1
+    var i = 2 // cuts only strictly inside the text
+    while (i <= count) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = (h ^ chars(i - 1 + j)) * FnvPrime; j += 1 }
+      if (java.lang.Long.remainderUnsigned(h, modulus.toLong) == 0L) {
+        spans(m) = (start.toLong << 32) | (i - start).toLong; m += 1
+        start = i
+      }
+      i += 1
+    }
+    spans(m) = (start.toLong << 32) | (len - start + 1).toLong; m += 1
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(spans, m))
+  }
+
   /** splitmix64 of the index — deterministic per-salt constant. */
   def salt(i: Int): Long = {
     var z = i.toLong + 0x9E3779B97F4A7C15L
@@ -232,6 +268,22 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends UnaryEx
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
 }
 
+/** array<bigint> of packed (start<<32 | len) content-defined chunk
+  * spans of a string column.
+  */
+case class CdcChunkSpans(child: Expression, n: Int, modulus: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.cdcChunkSpans(input.asInstanceOf[UTF8String], n, modulus)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleKernels.cdcChunkSpans($c, $n, $modulus)")
+  override protected def withNewChildInternal(c: Expression): CdcChunkSpans =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of an array<bigint> hash column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -265,6 +317,8 @@ object native {
     Bridge.column(SimHash64(Bridge.expression(hashes)))
   def winnow_fingerprints(c: Column, n: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(c), n, w))
+  def cdc_chunk_spans(c: Column, n: Int, modulus: Int): Column =
+    Bridge.column(CdcChunkSpans(Bridge.expression(c), n, modulus))
   def minhashes(hashes: Column, k: Int): Column =
     Bridge.column(MinHashes(Bridge.expression(hashes), k))
 }

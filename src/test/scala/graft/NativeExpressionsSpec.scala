@@ -160,6 +160,43 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(out(103L))
   }
 
+  test("cdcChunkSpans: spans tile the normalized text exactly") {
+    import graft.functions.{native, TextFunctions}
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog again and again and again",
+      "short",
+      "  Weird   spacing\tand MIXED case  ",
+      "x" * 500,
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"), TextFunctions.normalizeWs(col("text")).as("norm"),
+        native.cdc_chunk_spans(col("text"), 8, 64).as("spans"))
+      .collect()
+    rows.foreach { r =>
+      val norm = r.getString(1)
+      val spans = r.getSeq[Long](2).map(p => ((p >> 32).toInt, (p & 0xFFFFFFFFL).toInt))
+      if (norm.isEmpty) assert(spans.isEmpty)
+      else {
+        // spans are contiguous from 1, lengths positive, and their
+        // substrings reassemble the exact normalized text
+        assert(spans.head._1 == 1 && spans.forall(_._2 >= 1))
+        spans.sliding(2).foreach {
+          case Seq((s1, l1), (s2, _)) => assert(s1 + l1 == s2)
+          case _ =>
+        }
+        val glued = spans.map { case (s, l) => norm.substring(s - 1, s - 1 + l) }.mkString
+        assert(glued == norm, s"id=${r.getLong(0)}")
+      }
+    }
+    // modulus=1 cuts at every interior window position
+    val tiny = Seq((1L, "abcdefghijkl")).toDF("id", "text")
+    val s1 = tiny.select(native.cdc_chunk_spans(col("text"), 8, 1))
+      .collect()(0).getSeq[Long](0)
+      .map(p => ((p >> 32).toInt, (p & 0xFFFFFFFFL).toInt))
+    // 12 chars, 5 window positions, cuts at 2..5 → 4 unit chunks + tail
+    assert(s1 == Seq((1, 1), (2, 1), (3, 1), (4, 1), (5, 8)))
+  }
+
   test("simHashCandidates catches Hamming-near signatures") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val docs = (Seq(
