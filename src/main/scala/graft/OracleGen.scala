@@ -688,6 +688,25 @@ SELECT s.doc_id,
   md5(substr(l.t, CAST(s.strt AS INT), CAST(s.len AS INT))) AS chunk_md5
 FROM spans s JOIN lens l USING (doc_id) WHERE s.len > 0"""
 
+  /** Oracle for `text_chunk_dedup` — the [[textCdcChunks]] relation
+    * reduced to the block-store savings report (copies per distinct
+    * chunk id, duplicated/total chars, ratio).
+    */
+  def textChunkDedup(n: Int = 8, modulus: Int = 64): String =
+    s"""WITH chunks AS (
+${textCdcChunks(n, modulus)}
+),
+g AS (SELECT chunk_md5, length, COUNT(*) AS copies FROM chunks GROUP BY 1, 2),
+a AS (SELECT CAST(SUM(copies) AS BIGINT) AS n_chunks,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    CAST(SUM(length * (copies - 1)) AS BIGINT) AS dup_chars,
+    CAST(SUM(length * copies) AS BIGINT) AS total_chars FROM g)
+SELECT n_chunks, n_distinct, dup_chars, total_chars,
+  CASE WHEN total_chars > 0 THEN
+    round(CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+  END AS dedup_ratio
+FROM a"""
+
   def textWinnow(n: Int = 5, w: Int = 4): String =
     s"""${winnowCtes(n, w)},
 agg AS (SELECT doc_id, list_sort(list(sh)) AS fingerprints FROM fp GROUP BY doc_id)

@@ -1790,6 +1790,24 @@ object SparkEntry {
             .as("chunk_md5"))
     }),
 
+    // The point of CDC chunking — cross-document block dedup: group
+    // the content-addressed chunks, count copies, report the chars a
+    // block store would save. One map-side-combinable groupBy on the
+    // 32-char md5 keys plus a one-row reduce.
+    "text_chunk_dedup" -> ((s, dir) =>
+      queries("text_cdc_chunks")(s, dir)
+        .groupBy(col("chunk_md5"), col("length"))
+        .agg(count(lit(1)).as("copies"))
+        .agg(sum(col("copies")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("length") * (col("copies") - 1)).as("dup_chars"),
+          sum(col("length") * col("copies")).as("total_chars"))
+        .select(col("n_chunks"), col("n_distinct"), col("dup_chars"),
+          col("total_chars"),
+          when(col("total_chars") > 0,
+            round(col("dup_chars").cast("double") /
+              col("total_chars").cast("double"), 6)).as("dedup_ratio"))),
+
     // PII scrubbing as a pure projection: per-pattern match counts on
     // the original text plus a fingerprint of the redacted text (the
     // scrub itself is a codegen'd regexp_replace chain — zero shuffle
@@ -5167,6 +5185,8 @@ object SparkEntry {
     "text_winnow" -> OracleGen.textWinnow(),
 
     "text_cdc_chunks" -> OracleGen.textCdcChunks(n = 8, modulus = 64),
+
+    "text_chunk_dedup" -> OracleGen.textChunkDedup(n = 8, modulus = 64),
     "dedup_winnow" -> OracleGen.dedupWinnow(n = 15, w = 10, minShared = 2),
     "dedup_simhash" -> OracleGen.dedupSimhash,
     "dedup_embedding" -> OracleGen.dedupEmbedding,
