@@ -35,6 +35,24 @@ object SparkEntry {
     * rho = 55 − bitlength(h div 64) — then the α=0.709 harmonic
     * estimate with the linear-counting small-range correction.
     */
+  // shared by q_heavy_hitters and stream_heavy_hitters: the streamed
+  // sketch cells are additive, so the final state equals the batch build
+  private val heavyHittersOracle: String =
+    """WITH cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      |buck AS (SELECT js.j, user_id, c,
+      |    CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+      |      CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b
+      |  FROM cnt CROSS JOIN range(4) js(j)),
+      |sketch AS (SELECT j, b, SUM(c) AS cnt FROM buck GROUP BY j, b),
+      |top AS (SELECT user_id, c FROM cnt ORDER BY c DESC, user_id LIMIT 20),
+      |est AS (SELECT bk.user_id, MIN(s.cnt) AS est
+      |  FROM buck bk JOIN top t ON t.user_id = bk.user_id
+      |  JOIN sketch s ON s.j = bk.j AND s.b = bk.b
+      |  GROUP BY bk.user_id)
+      |SELECT t.user_id, t.c AS exact_cnt, CAST(e.est AS BIGINT) AS est_cnt,
+      |  CAST(e.est - t.c AS BIGINT) AS overcount
+      |FROM top t JOIN est e ON e.user_id = t.user_id""".stripMargin
+
   private val hllOracle: String =
     """WITH h AS (SELECT event_type AS g,
       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
@@ -1520,6 +1538,31 @@ object SparkEntry {
         q.awaitTermination()
         graft.operators.Eval.psiFromBinCounts(
           s.table(sinkName).localCheckpoint(true), -5, 5)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
+    // Count-min cells as streaming state: the additive sketch rides a
+    // complete-mode aggregate (≤ depth×width rows of state); the
+    // heavy-hitter probe tail runs against the materialized final
+    // cells. Same oracle as the batch q_heavy_hitters — the
+    // mergeability contract made executable, like
+    // stream_approx_distinct's HLL registers.
+    "stream_heavy_hitters" -> ((s, dir) => withStateParts(s) {
+      val cells = Sketch.cmsBuild(eventsStream(s, dir), "user_id",
+        depth = 4, width = 64)
+      val sinkName = s"graft_scms_${System.nanoTime()}"
+      val q = cells.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        Sketch.heavyHittersFromSketch(
+          s.table(sinkName).localCheckpoint(true),
+          ld(s, dir, "events"), "user_id", depth = 4, width = 64, topN = 20)
       } finally {
         if (q.isActive) q.stop()
         s.catalog.dropTempView(sinkName)
@@ -4097,21 +4140,11 @@ object SparkEntry {
 
     // rebuilds the exact same CMS bucket for bucket: same md5 "j:key"
     // hashes, same depth/width, est = min over rows of bucket totals
-    "q_heavy_hitters" ->
-      """WITH cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
-        |buck AS (SELECT js.j, user_id, c,
-        |    CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
-        |      CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b
-        |  FROM cnt CROSS JOIN range(4) js(j)),
-        |sketch AS (SELECT j, b, SUM(c) AS cnt FROM buck GROUP BY j, b),
-        |top AS (SELECT user_id, c FROM cnt ORDER BY c DESC, user_id LIMIT 20),
-        |est AS (SELECT bk.user_id, MIN(s.cnt) AS est
-        |  FROM buck bk JOIN top t ON t.user_id = bk.user_id
-        |  JOIN sketch s ON s.j = bk.j AND s.b = bk.b
-        |  GROUP BY bk.user_id)
-        |SELECT t.user_id, t.c AS exact_cnt, CAST(e.est AS BIGINT) AS est_cnt,
-        |  CAST(e.est - t.c AS BIGINT) AS overcount
-        |FROM top t JOIN est e ON e.user_id = t.user_id""".stripMargin,
+    "q_heavy_hitters" -> heavyHittersOracle,
+
+    // the streaming CMS must agree with the batch definition —
+    // identical oracle by construction
+    "stream_heavy_hitters" -> heavyHittersOracle,
 
     // rebuilds the HLL registers bit for bit: 60-bit md5 hash, bucket
     // = h mod 64, rho = 55 - bitlength(h div 64); same α=0.709

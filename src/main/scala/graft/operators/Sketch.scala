@@ -61,8 +61,18 @@ object Sketch {
     */
   def cmsHeavyHitters(df: DataFrame, keyCol: String,
                       depth: Int = 4, width: Int = 64,
-                      topN: Int = 20): DataFrame = {
-    val sketch = cmsBuild(df, keyCol, depth, width)
+                      topN: Int = 20): DataFrame =
+    heavyHittersFromSketch(cmsBuild(df, keyCol, depth, width), df, keyCol,
+      depth, width, topN)
+
+  /** The probing tail of [[cmsHeavyHitters]] over an ALREADY-BUILT
+    * sketch cell relation `(j, bucket, cnt)` — batch-built or the
+    * materialized final state of a complete-mode streaming
+    * [[cmsBuild]] aggregate (the additive-merge property that makes
+    * CMS cells legal streaming state).
+    */
+  def heavyHittersFromSketch(sketch: DataFrame, df: DataFrame, keyCol: String,
+                             depth: Int, width: Int, topN: Int): DataFrame = {
     val top = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col(keyCol))

@@ -27,11 +27,12 @@ object Sessions {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.parquet.compression.codec" -> "snappy",
-    // The driver testdata writes events.ts as a parquet NANOS timestamp,
-    // which Spark's vectorized reader rejects; read it as long and
-    // truncate downstream (Tables.load / SparkEntry.eventsStream). Set
-    // once here so no query builder mutates session state as a side
-    // effect.
+    // Older driver-testdata generations wrote events.ts as a parquet
+    // NANOS timestamp, which Spark's vectorized reader rejects; this
+    // reads it as a long that Tables.load / SparkEntry.eventsStream
+    // truncate to µs. Newer generations write MICROS (unaffected by
+    // this flag). Set once here so no query builder mutates session
+    // state as a side effect.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // Benchmarks/tests run many short-lived stateful streaming queries;
     // the background state-store maintenance task races session shutdown
