@@ -1325,6 +1325,19 @@ object SparkEntry {
 
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
+    // k-anonymity audit over the (event_type, day, value-bucket)
+    // quasi-identifier: groups smaller than k are re-identification
+    // risks a privacy review flags before export. One
+    // map-side-combinable groupBy.
+    "q_kanonymity" -> ((s, dir) =>
+      ld(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          floor(col("value")).as("value_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 5)
+        .select(col("event_type"), col("day"), col("value_bucket"), col("n"))),
+
     // Robust anomaly detection: per-type median + MAD (both via the
     // scale-safe Rank.exactPercentiles — no per-group window buffer),
     // flag rows with |v − med| > 3.5·MAD. Medians broadcast back; the
@@ -3928,6 +3941,12 @@ object SparkEntry {
         |      / (CAST(2.0 AS DOUBLE) * CAST(np * (n - np) AS DOUBLE)), 6) END AS auc,
         |  CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t""".stripMargin,
+
+    "q_kanonymity" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(floor(value) AS BIGINT) AS value_bucket, COUNT(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5""".stripMargin,
 
     // median and MAD replayed with the same discrete-percentile
     // cumsum pattern, twice; |v−med| and 3.5·mad in plain IEEE doubles
