@@ -1511,6 +1511,30 @@ object SparkEntry {
       Sketch.cmsHeavyHitters(ld(s, dir, "events"), "user_id",
         depth = 4, width = 64, topN = 20)),
 
+    // Join-size estimation from two count-min sketches (the AMS/CMS
+    // inner-product estimator): |A⋈B| ≤ min_j Σ_b cntA(j,b)·cntB(j,b),
+    // computed from two ≤ depth×width cell relations — the optimizer
+    // statistic you can afford at 100 TB without touching the join.
+    // The exact join count rides along as the oracle anchor proving
+    // est ≥ exact.
+    "q_join_size_est" -> ((s, dir) => {
+      val o = ld(s, dir, "orders").select(col("o_custkey").as("k"))
+      val c = ld(s, dir, "customer").select(col("c_custkey").as("k"))
+      val dec = "decimal(38,0)"
+      val est = Sketch.cmsBuild(o, "k", depth = 4, width = 64)
+        .join(Sketch.cmsBuild(c, "k", depth = 4, width = 64)
+          .withColumnRenamed("cnt", "cntb"), Seq("j", "bucket"))
+        .groupBy(col("j"))
+        .agg(sum(col("cnt").cast(dec) * col("cntb").cast(dec)).as("e"))
+        .agg(min(col("e")).cast("long").as("est_join_size"))
+      val exact = o.join(c, "k").agg(count(lit(1)).as("exact_join_size"))
+      exact.crossJoin(est)
+        .select(col("exact_join_size"), col("est_join_size"),
+          when(col("exact_join_size") > 0,
+            round((col("est_join_size") - col("exact_join_size")).cast("double") /
+              col("exact_join_size").cast("double"), 6)).as("rel_overcount"))
+    }),
+
     // HyperLogLog approximate distinct (Flajolet 2007) with md5-derived
     // 60-bit hashes so the registers are bit-for-bit reproducible in
     // the oracle (unlike q_distinct_approx, which only bounds Spark's
@@ -4160,6 +4184,30 @@ object SparkEntry {
     // rebuilds the exact same CMS bucket for bucket: same md5 "j:key"
     // hashes, same depth/width, est = min over rows of bucket totals
     "q_heavy_hitters" -> heavyHittersOracle,
+
+    // CMS inner-product join-size estimate: identical md5 bucket
+    // derivation as the heavy-hitters sketch, exact products, min over
+    // the depth rows
+    "q_join_size_est" ->
+      """WITH ok AS (SELECT o_custkey AS k FROM orders),
+        |ck AS (SELECT c_custkey AS k FROM customer),
+        |oa AS (SELECT js.j,
+        |    CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+        |      CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b, COUNT(*) AS cnt
+        |  FROM ok CROSS JOIN range(4) js(j) GROUP BY 1, 2),
+        |ca AS (SELECT js.j,
+        |    CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+        |      CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b, COUNT(*) AS cnt
+        |  FROM ck CROSS JOIN range(4) js(j) GROUP BY 1, 2),
+        |est AS (SELECT oa.j, SUM(CAST(oa.cnt AS HUGEINT) * ca.cnt) AS e
+        |  FROM oa JOIN ca ON ca.j = oa.j AND ca.b = oa.b GROUP BY oa.j),
+        |m AS (SELECT CAST(MIN(e) AS BIGINT) AS est_join_size FROM est),
+        |x AS (SELECT COUNT(*) AS exact_join_size FROM ok JOIN ck USING (k))
+        |SELECT CAST(exact_join_size AS BIGINT) AS exact_join_size, est_join_size,
+        |  CASE WHEN exact_join_size > 0 THEN
+        |    round(CAST(est_join_size - exact_join_size AS DOUBLE)
+        |      / CAST(exact_join_size AS DOUBLE), 6) END AS rel_overcount
+        |FROM x CROSS JOIN m""".stripMargin,
 
     // the streaming CMS must agree with the batch definition —
     // identical oracle by construction
