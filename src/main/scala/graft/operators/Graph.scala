@@ -370,6 +370,8 @@ object Graph {
         .agg(sum(col("score").cast(dec)).as("raw"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val tot = raw.agg(sum(col("raw"))).collect()(0).getDecimal(0)
+      require(tot != null && tot.signum > 0,
+        "hits requires a non-empty edge relation (score mass vanished)")
       raw.select(col("node"),
         round(col("raw").cast("double") / lit(tot.doubleValue()), 6).as("score"))
     }
