@@ -1325,6 +1325,41 @@ object SparkEntry {
 
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
+    // Calibration / reliability bins: per clamped value-bin size,
+    // positive rate and mean score — read next to q_auc/q_lift_table
+    // to see WHERE the ranking is miscalibrated. Scores rounded to 6dp
+    // before the exact-decimal mean so the sum is order-independent.
+    "q_calibration" -> ((s, dir) =>
+      ld(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(least(greatest(floor(col("value")), lit(-5L)), lit(5L))
+          .cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_pos"),
+          round(sum(round(col("value"), 6).cast("decimal(25,12)"))
+            .cast("double") / count(lit(1)), 6).as("mean_value"))
+        .select(col("bin"), col("n"), col("n_pos"), col("mean_value"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))),
+
+    // Recency-weighted per-user value Σ v·exp(−age/30d) — the decay
+    // weighting a sampling pipeline applies before drawing training
+    // rows. Anchor = max ts (one broadcast row); each term rounded to
+    // 6 dp, totals exact decimal sums.
+    "q_time_decay" -> ((s, dir) => {
+      val ev = ld(s, dir, "events").filter(col("value").isNotNull)
+      val anchor = ev.agg(max(col("ts")).as("t0"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("age_days",
+          (unix_micros(col("t0")) - unix_micros(col("ts"))).cast("double") /
+            lit(86400e6))
+        .withColumn("w",
+          round(col("value") * exp(col("age_days") * lit(-1.0 / 30.0)), 6))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("w").cast("decimal(25,12)")).cast("double"), 6)
+            .as("decayed_value"))
+    }),
+
     // k-anonymity audit over the (event_type, day, value-bucket)
     // quasi-identifier: groups smaller than k are re-identification
     // risks a privacy review flags before export. One
@@ -3971,6 +4006,29 @@ object SparkEntry {
         |  CAST(floor(value) AS BIGINT) AS value_bucket, COUNT(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5""".stripMargin,
+
+    "q_calibration" ->
+      """SELECT CAST(least(greatest(floor(value), -5), 5) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(25,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_value,
+        |  round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS pos_rate
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // exp argument assembled with the identical factor order as the
+    // Spark column tree; terms rounded before the exact decimal sum
+    "q_time_decay" ->
+      """WITH t0 AS (SELECT MAX(ts) AS t0 FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT user_id,
+        |    round(value * exp((CAST(epoch_us(t0.t0) - epoch_us(ts) AS DOUBLE)
+        |      / 86400000000.0) * (-1.0 / 30.0)), 6) AS w
+        |  FROM events CROSS JOIN t0 WHERE value IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(w AS DECIMAL(25,12))) AS DOUBLE), 6) AS decayed_value
+        |FROM w GROUP BY 1""".stripMargin,
 
     // median and MAD replayed with the same discrete-percentile
     // cumsum pattern, twice; |v−med| and 3.5·mad in plain IEEE doubles
