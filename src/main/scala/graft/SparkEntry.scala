@@ -1325,6 +1325,61 @@ object SparkEntry {
 
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
+    // Degree assortativity of the co-activity graph: Pearson r of
+    // (deg u, deg v) over the symmetrized edge list — do high-degree
+    // users co-occur with high-degree users? Integer co-moment sums
+    // (exact in DECIMAL), one closed-form division, same discipline
+    // as q_corr.
+    "graph_assortativity" -> ((s, dir) => {
+      val e = graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3)
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val dec = "decimal(38,0)"
+      val g = sym
+        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("du").cast(dec)).cast("double").as("sx"),
+          sum(col("dv").cast(dec)).cast("double").as("sy"),
+          sum((col("du") * col("dv")).cast(dec)).cast("double").as("sxy"),
+          sum((col("du") * col("du")).cast(dec)).cast("double").as("sxx"),
+          sum((col("dv") * col("dv")).cast(dec)).cast("double").as("syy"))
+      g.select(col("n").cast("long").as("n_directed_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("assortativity"))
+    }),
+
+    // Benford first-digit audit over order totals (decimal → stable
+    // leading digit): observed share vs ln(1+1/d)/ln 10 — the
+    // fabricated-data forensic. One groupBy + a broadcast total.
+    "q_benford" -> ((s, dir) => {
+      val d = ld(s, dir, "orders")
+        .select(substring(col("o_totalprice").cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum(col("n")).as("t"))
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("t").cast("double"), 6)
+            .as("observed"),
+          round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0)), 6).as("expected"))
+    }),
+
+    // Language-ID confusion matrix: labeled lang vs langId prediction,
+    // with per-label shares — the classifier-eval readout for the
+    // language router. groupBy + a ≤ langs² window.
+    "corpus_lang_confusion" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+      ld(s, dir, "documents")
+        .groupBy(col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
+    }),
+
     // Calibration / reliability bins: per clamped value-bin size,
     // positive rate and mean score — read next to q_auc/q_lift_table
     // to see WHERE the ranking is miscalibrated. Scores rounded to 6dp
@@ -4006,6 +4061,48 @@ object SparkEntry {
         |  CAST(floor(value) AS BIGINT) AS value_bucket, COUNT(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |ed AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT a AS un, b AS vn FROM ed UNION ALL SELECT b, a FROM ed),
+        |deg AS (SELECT un AS node, COUNT(*) AS d FROM sym GROUP BY 1),
+        |j AS (SELECT du.d AS du, dv.d AS dv FROM sym
+        |  JOIN deg du ON du.node = sym.un JOIN deg dv ON dv.node = sym.vn),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(du AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(dv AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(du AS HUGEINT) * dv) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(du AS HUGEINT) * du) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(dv AS HUGEINT) * dv) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS assortativity
+        |FROM g""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (SELECT substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS digit,
+        |    COUNT(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM d)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS observed,
+        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS expected
+        |FROM d CROSS JOIN t""".stripMargin,
+
+    "corpus_lang_confusion" ->
+      s"""WITH p AS (SELECT doc_id, $langPredSql AS lang_pred
+         |  FROM (SELECT doc_id, ${langScoreSqls.map { case (l, e) => s"$e AS score_$l" }.mkString(", ")}
+         |        FROM documents)),
+         |c AS (SELECT d.lang, p.lang_pred, COUNT(*) AS n
+         |      FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  round(CAST(n AS DOUBLE) /
+         |    CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+         |FROM c""".stripMargin,
 
     "q_calibration" ->
       """SELECT CAST(least(greatest(floor(value), -5), 5) AS BIGINT) AS bin,
