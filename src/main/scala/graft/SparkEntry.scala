@@ -1325,6 +1325,29 @@ object SparkEntry {
 
     // Statistical moments + correlation per group (sample formulas —
     // identical definitions in both engines; scale-free values rounded).
+    // Funnel time-to-convert: per user, first click → first purchase
+    // at-or-after it; latency distribution summarized by the
+    // scale-safe exact percentiles (single constant group — the range
+    // partition still spreads by value). Minutes as exact-µs ratios.
+    "q_funnel_latency" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ta"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, "user_id")
+        .filter(col("ts") >= col("ta"))
+        .groupBy(col("user_id"), col("ta")).agg(min(col("ts")).as("tb"))
+        .select(col("user_id"),
+          ((unix_micros(col("tb")) - unix_micros(col("ta"))).cast("double") /
+            lit(60e6)).as("lat_minutes"))
+      graft.operators.Rank.exactPercentiles(conv, lit("all"), col("lat_minutes"),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .select(col("n").as("n_converted"),
+          round(col("p50"), 6).as("p50_minutes"),
+          round(col("p90"), 6).as("p90_minutes"),
+          round(col("p99"), 6).as("p99_minutes"))
+    }),
+
     // Degree assortativity of the co-activity graph: Pearson r of
     // (deg u, deg v) over the symmetrized edge list — do high-degree
     // users co-occur with high-degree users? Integer co-moment sums
@@ -4061,6 +4084,25 @@ object SparkEntry {
         |  CAST(floor(value) AS BIGINT) AS value_bucket, COUNT(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH fc AS (SELECT user_id, MIN(ts) AS ta FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |cv AS (SELECT e.user_id,
+        |    CAST(epoch_us(MIN(e.ts)) - epoch_us(fc.ta) AS DOUBLE) / 60000000.0
+        |      AS lat
+        |  FROM events e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fc.ta
+        |  GROUP BY e.user_id, fc.ta),
+        |c AS (SELECT lat, COUNT(*) AS c FROM cv GROUP BY 1),
+        |w AS (SELECT lat, SUM(c) OVER (ORDER BY lat
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+        |SELECT n.n AS n_converted,
+        |  round(MIN(CASE WHEN cum >= ceil(0.5 * n.n) THEN lat END), 6) AS p50_minutes,
+        |  round(MIN(CASE WHEN cum >= ceil(0.9 * n.n) THEN lat END), 6) AS p90_minutes,
+        |  round(MIN(CASE WHEN cum >= ceil(0.99 * n.n) THEN lat END), 6) AS p99_minutes
+        |FROM w CROSS JOIN n GROUP BY n.n""".stripMargin,
 
     "graph_assortativity" ->
       """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
