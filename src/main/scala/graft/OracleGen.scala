@@ -710,7 +710,8 @@ FROM a"""
   def textWinnow(n: Int = 5, w: Int = 4): String =
     s"""${winnowCtes(n, w)},
 agg AS (SELECT doc_id, list_sort(list(sh)) AS fingerprints FROM fp GROUP BY doc_id)
-SELECT d.doc_id, COALESCE(a.fingerprints, CAST([] AS BIGINT[])) AS fingerprints,
+SELECT d.doc_id,
+  COALESCE(array_to_string(a.fingerprints, ','), '') AS fingerprints,
   CAST(COALESCE(len(a.fingerprints), 0) AS BIGINT) AS n_fp
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 

@@ -179,9 +179,26 @@ object SparkEntry {
     * so Verify/Bench/tests (fresh sessions) each rebuild; persist is
     * lazy, so the first consuming action materializes.
     */
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
-      org.apache.spark.sql.DataFrame]()
+  // Bounded LRU, evicted entries unpersisted: the previous unbounded
+  // ConcurrentHashMap pinned persisted frames of STOPPED sessions
+  // forever in a long-lived JVM (Verify/Bench/tests each build fresh
+  // sessions — round-6 advice). 16 entries covers every concurrent
+  // (session, sfDir, tag) combination the entry points produce.
+  private val edgeCacheMax = 16
+  private val edgeCache: java.util.Map[(SparkSession, String, String),
+      org.apache.spark.sql.DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String, String),
+          org.apache.spark.sql.DataFrame](edgeCacheMax, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String, String),
+              org.apache.spark.sql.DataFrame]): Boolean =
+          size() > edgeCacheMax && {
+            // best-effort: the owning session may already be stopped
+            try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+            true
+          }
+      })
 
   private def purchasePairsCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     edgeCache.computeIfAbsent((s, dir, "pp"), _ =>
@@ -191,6 +208,17 @@ object SparkEntry {
   private def coActivityCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     edgeCache.computeIfAbsent((s, dir, "ca"), _ =>
       graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The 2-round label-propagation partition over the co-activity
+    * graph, memoized like the edge relations: `graph_label_prop`
+    * returns it and `graph_modularity` scores it — without sharing,
+    * the second query re-runs the full 2-round propagation (~4 s of
+    * the round-6 bench; round-6 advice item 7).
+    */
+  private def labelPropCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    edgeCache.computeIfAbsent((s, dir, "lp"), _ =>
+      graft.operators.Graph.labelPropagation(coActivityCached(s, dir), iters = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Per-JVM memoized bucketed tables for `q_bucketed_join`: bucketBy(8)
@@ -1388,9 +1416,12 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("n"),
           sum(col("du").cast(dec)).cast("double").as("sx"),
           sum(col("dv").cast(dec)).cast("double").as("sy"),
-          sum((col("du") * col("dv")).cast(dec)).cast("double").as("sxy"),
-          sum((col("du") * col("du")).cast(dec)).cast("double").as("sxx"),
-          sum((col("dv") * col("dv")).cast(dec)).cast("double").as("syy"))
+          // cast each degree BEFORE the product (like Eval.aucBinary
+          // and the oracle's HUGEINT casts): at extreme scale du*dv in
+          // long arithmetic could overflow where decimal cannot
+          sum(col("du").cast(dec) * col("dv").cast(dec)).cast("double").as("sxy"),
+          sum(col("du").cast(dec) * col("du").cast(dec)).cast("double").as("sxx"),
+          sum(col("dv").cast(dec) * col("dv").cast(dec)).cast("double").as("syy"))
       g.select(col("n").cast("long").as("n_directed_edges"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
@@ -1978,11 +2009,16 @@ object SparkEntry {
     // to share a fingerprint, with ~2/(w+1) of shingles retained. One
     // codegen'd kernel pass per row (monotonic deque, O(shingles)),
     // zero shuffle at any scale.
+    // Fingerprints surface as one comma-joined string (already sorted):
+    // the gate's pandas comparator cannot sort top-level array columns
+    // (r6 ERR), and InventorySpec's shape canary now bans them.
     "text_winnow" -> ((s, dir) =>
       ld(s, dir, "documents").select(col("doc_id"),
         graft.functions.native.winnow_fingerprints(col("text"), 5, 4)
-          .as("fingerprints"))
-        .withColumn("n_fp", size(col("fingerprints")).cast("long"))),
+          .as("__fp"))
+        .select(col("doc_id"),
+          array_join(col("__fp").cast("array<string>"), ",").as("fingerprints"),
+          size(col("__fp")).cast("long").as("n_fp"))),
 
     // Content-defined chunking (LBFS/rsync CDC): rolling-hash cuts
     // where the 8-char window hash ≡ 0 (mod 64) carve each doc into
@@ -1993,8 +2029,12 @@ object SparkEntry {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
       ld(s, dir, "documents")
         .repartition(32, col("doc_id"))
+        // __norm MUST be the kernel's own normalization (not the regex
+        // normalizeWs): the spans are offsets into the string the
+        // kernel built, and the two normalizers can disagree on
+        // non-ASCII whitespace / length-changing case mappings
         .select(col("doc_id"),
-          TF.normalizeWs(col("text")).as("__norm"),
+          graft.functions.native.normalize_text(col("text")).as("__norm"),
           explode(graft.functions.native.cdc_chunk_spans(col("text"), 8, 64))
             .as("p"))
         .select(col("doc_id"), col("__norm"),
@@ -2247,8 +2287,13 @@ object SparkEntry {
     // Sharded inverted index: term → sorted posting list per doc-id
     // shard, so no term's corpus-wide list ever sits in one buffer —
     // the index is materialized as it would be stored at 100 TB.
+    // Postings surface comma-joined (already sorted) — the gate's
+    // comparator can't sort top-level arrays; the operator itself keeps
+    // the typed array<bigint> postings for library consumers.
     "corpus_inverted_index" -> ((s, dir) =>
-      Corpus.invertedIndex(ld(s, dir, "documents"))),
+      Corpus.invertedIndex(ld(s, dir, "documents"))
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), ","))),
 
     // Hash-shard export stats: 16 deterministic md5 shards with
     // per-shard doc/token counts and min/max content fingerprints.
@@ -2386,18 +2431,15 @@ object SparkEntry {
     // hops, so big components stay split into communities), which keeps
     // the oracle a finite unrolled recurrence. operators.Graph
     // .labelPropagation.
-    "graph_label_prop" -> ((s, dir) =>
-      graft.operators.Graph.labelPropagation(coActivityCached(s, dir),
-        iters = 2)),
+    "graph_label_prop" -> ((s, dir) => labelPropCached(s, dir)),
 
     // Newman modularity of that 2-round partition — one exact rational
     // (4m·Σe_c − Σd_c²)/(4m²), integer numerator/denominator, a single
-    // rounded double division. operators.Graph.modularityOfLabels.
-    "graph_modularity" -> ((s, dir) => {
-      val edges = coActivityCached(s, dir)
-      graft.operators.Graph.modularityOfLabels(edges,
-        graft.operators.Graph.labelPropagation(edges, iters = 2))
-    }),
+    // rounded double division. operators.Graph.modularityOfLabels;
+    // the partition itself is the memoized labelPropCached relation.
+    "graph_modularity" -> ((s, dir) =>
+      graft.operators.Graph.modularityOfLabels(coActivityCached(s, dir),
+        labelPropCached(s, dir))),
 
     // HITS hubs/authorities on the DIRECTED customer→supplier purchase
     // graph (operators.Graph.hits — per-iteration exact-decimal sum
@@ -2465,10 +2507,12 @@ object SparkEntry {
 
     // SemDeDup: k-means clusters bound the quadratic step; within a
     // cluster, drop every vector with a lower-id neighbor above the
-    // cosine threshold. k grows with corpus size (k ∝ √N) at scale.
+    // cosine threshold. k adapts to the input (⌈N/64⌉, floor 8) so
+    // cells stay bounded as the corpus scales; at the gate's sf0.01
+    // (N=500) that resolves to k=8, matching the oracle's replay.
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(ld(s, dir, "embeddings"), "embedding", "vec_id",
-        k = 8, iters = 2, threshold = 0.7)),
+        iters = 2, threshold = 0.7)),
 
     // Two-stage near-dup dedup at scale: LSH candidates → exact
     // Jaccard verification (only candidate pairs are re-checked).
@@ -2484,10 +2528,18 @@ object SparkEntry {
     // gate row rather than a claim. Full-outer on the pair key; three
     // counts; two exact-int ratios.
     "dedup_lsh_eval" -> ((s, dir) => {
-      val docs = ld(s, dir, "documents")
-      val cand = Dedup.minHashCandidates(docs, "text", "doc_id")
+      // ONE documents scan + ONE shingle-kernel pass, persisted, feeds
+      // both pipelines (candidates derive minhashes from the same hash
+      // arrays the ground truth indexes) — previously each side
+      // re-scanned and re-shingled the corpus from scratch, making this
+      // the slowest bench query (r6: 22.1 s; advice item 4)
+      val hashed = ld(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          graft.functions.native.char_shingle_hashes(col("text"), 5).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.minHashCandidatesFromHashes(hashed)
         .select(col("id_a"), col("id_b")).withColumn("__c", lit(1L))
-      val truth = Dedup.prefixFilterPairs(docs, "text", "doc_id", 5, 0.5)
+      val truth = Dedup.prefixFilterPairsFromHashes(hashed, 0.5)
         .select(col("id_a"), col("id_b")).withColumn("__t", lit(1L))
       cand.join(truth, Seq("id_a", "id_b"), "full_outer")
         .agg(sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
@@ -3925,10 +3977,10 @@ object SparkEntry {
 
     "q12_ship_delay" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30
-        |      THEN 1 ELSE 0 END) AS on_time,
-        |  SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
-        |      THEN 1 ELSE 0 END) AS late
+        |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+        |  CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS late
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE year(l_shipdate) = 2000
         |GROUP BY o_orderpriority""".stripMargin,
@@ -5063,7 +5115,7 @@ object SparkEntry {
         |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |    FROM documents) t WHERE tok <> '')
         |SELECT term, doc_id % 8 AS shard, COUNT(*) AS df_shard,
-        |  list_sort(list(doc_id)) AS postings
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM toks GROUP BY term, doc_id % 8""".stripMargin,
 
     "corpus_shard_stats" ->

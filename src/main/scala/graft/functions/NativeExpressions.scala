@@ -224,6 +224,15 @@ object ShingleKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(spans, m))
   }
 
+  /** The kernel's normalization, exposed as a string: the md5 source
+    * for [[cdcChunkSpans]] substrings MUST come from this exact
+    * function — a regex-based normalizer can disagree on non-ASCII
+    * whitespace (U+0085) or length-changing case mappings, silently
+    * misaligning span offsets (round-6 advice).
+    */
+  def normalizeText(text: UTF8String): UTF8String =
+    UTF8String.fromString(new String(normalize(text.toString)))
+
   /** splitmix64 of the index — deterministic per-salt constant. */
   def salt(i: Int): Long = {
     var z = i.toLong + 0x9E3779B97F4A7C15L
@@ -284,6 +293,21 @@ case class CdcChunkSpans(child: Expression, n: Int, modulus: Int)
     copy(child = c)
 }
 
+/** The shingle kernels' own normalization (trim, per-char lowercase,
+  * whitespace-run collapse) as a string column — the only correct
+  * substring source for [[CdcChunkSpans]] offsets.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.normalizeText($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of an array<bigint> hash column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -319,6 +343,8 @@ object native {
     Bridge.column(WinnowFingerprints(Bridge.expression(c), n, w))
   def cdc_chunk_spans(c: Column, n: Int, modulus: Int): Column =
     Bridge.column(CdcChunkSpans(Bridge.expression(c), n, modulus))
+  def normalize_text(c: Column): Column =
+    Bridge.column(NormalizeText(Bridge.expression(c)))
   def minhashes(hashes: Column, k: Int): Column =
     Bridge.column(MinHashes(Bridge.expression(hashes), k))
 }

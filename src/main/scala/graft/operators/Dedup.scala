@@ -125,14 +125,27 @@ object Dedup {
     */
   def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleLen: Int = 5, bands: Int = 4, rowsPerBand: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
-    val k = bands * rowsPerBand
+                        maxBucket: Int = 1000): DataFrame =
     // native one-pass kernel: normalize + shingle + hash + k minhashes
     // in a single codegen'd call per row (see ShingleKernels)
-    val signed = docs
-      .select(col(idCol).as("id"),
-        graft.functions.native.minhashes(
-          graft.functions.native.char_shingle_hashes(col(textCol), shingleLen), k).as("__mh"))
+    minHashCandidatesFromHashes(
+      docs.select(col(idCol).as("id"),
+        graft.functions.native.char_shingle_hashes(col(textCol), shingleLen).as("hs")),
+      bands, rowsPerBand, maxBucket)
+
+  /** [[minHashCandidates]] over an ALREADY-SHINGLED `(id, hs:
+    * array<bigint>)` relation — the sharing point when several
+    * pipelines (LSH candidates, exact ground truth, containment) need
+    * the same shingle sets: persist the hashed relation once and feed
+    * each consumer, instead of re-scanning and re-shingling the corpus
+    * per pipeline.
+    */
+  def minHashCandidatesFromHashes(hashed: DataFrame,
+                                  bands: Int = 4, rowsPerBand: Int = 4,
+                                  maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val signed = hashed
+      .select(col("id"), graft.functions.native.minhashes(col("hs"), k).as("__mh"))
       .select(col("id"),
         struct((0 until k).map(i => element_at(col("__mh"), i + 1).as(s"mh$i")): _*).as("sig"))
     // the band key is the exact minhash tuple (not a hash of it): the
@@ -425,11 +438,51 @@ object Dedup {
     */
   def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleLen: Int = 5, threshold: Double = 0.5,
-                        witnesses: Int = 64, nParts: Int = 32): DataFrame = {
+                        witnesses: Int = 64, nParts: Int = 32): DataFrame =
+    prefixPairsFromTok(
+      docs
+        .select(col(idCol).cast("long").as("id"), normalizeWs(col(textCol)).as("__norm"))
+        .select(col("id"), explode(charShinglesOf(col("__norm"), shingleLen)).as("t")),
+      threshold, witnesses, nParts)
+
+  /** [[prefixFilterPairs]] over an ALREADY-SHINGLED `(id, hs:
+    * array<bigint>)` relation (distinct shingle HASHES, e.g.
+    * [[graft.functions.native.char_shingle_hashes]]) — same exact
+    * prefix-filter algorithm with the 64-bit hash standing in for the
+    * shingle string. The output pair set and jaccard values are
+    * IDENTICAL to the string form (the result is invariant to the
+    * vocabulary bijection; the dictionary order merely permutes
+    * candidate generation) modulo negligible 64-bit hash collisions —
+    * the same trade [[jaccardVerify]] documents. Lets one persisted
+    * shingle relation feed both the LSH candidate pipeline and this
+    * exact ground truth (`dedup_lsh_eval`).
+    */
+  def prefixFilterPairsFromHashes(hashed: DataFrame, threshold: Double = 0.5,
+                                  witnesses: Int = 64, nParts: Int = 32): DataFrame =
+    prefixPairsFromTok(hashed.select(col("id"), explode(col("hs")).as("t")),
+      threshold, witnesses, nParts)
+
+  /** Shared tail of the prefix-filter join: `tok` is one row per (doc
+    * id, distinct shingle), shingle typed string OR long.
+    */
+  private def prefixPairsFromTok(tok: DataFrame, threshold: Double,
+                                 witnesses: Int, nParts: Int): DataFrame = {
     require(witnesses >= 1, "witnesses must be >= 1")
-    val tok = docs
-      .select(col(idCol).cast("long").as("id"), normalizeWs(col(textCol)).as("__norm"))
-      .select(col("id"), explode(charShinglesOf(col("__norm"), shingleLen)).as("t"))
+    // All bounds below run in INTEGER arithmetic on the rational
+    // t = p/q (q = 1e6 grid): double `ceil` of a product can round up
+    // past an exact integer boundary for thresholds where t or t/(1+t)
+    // is non-representable, overshooting the bound and silently
+    // dropping boundary-valid pairs (round-6 advice). Identities used:
+    //   nb >= ceil(na*t)            <=>  nb*q >= na*p        (nb integer)
+    //   w  >= ceil((na+nb)*t/(1+t)) <=>  w*(p+q) >= (na+nb)*p
+    //   ceil(n*t) = (n*p + q-1) div q                        (exact)
+    val q = 1000000L
+    val pRaw = math.round(threshold * q)
+    require(math.abs(threshold * q - pRaw) < 1e-6,
+      s"threshold must lie on the 1e-6 grid, got $threshold")
+    val g = java.math.BigInteger.valueOf(pRaw)
+      .gcd(java.math.BigInteger.valueOf(q)).longValueExact()
+    val (tp, tq) = (pRaw / g, q / g)
     // shingle sets are distinct per doc, so count(*) = document frequency
     val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("__df"))
     val dict = Corpus.globalIds(dfreq, Seq("__df", "t"), nParts)
@@ -439,33 +492,38 @@ object Dedup {
       .agg(sort_array(collect_list(col("tid"))).as("toks"))
       .withColumn("n", size(col("toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lim = least(col("n").cast("long"),
-      col("n") - ceil(col("n") * threshold) + witnesses).cast("int")
+    val ceilNt = expr(
+      s"(n * CAST($tp AS BIGINT) + CAST(${tq - 1} AS BIGINT)) div CAST($tq AS BIGINT)")
+    val lim = least(col("n").cast("long"), col("n") - ceilNt + witnesses).cast("int")
     val prefix = ordered.select(col("id"), col("n"),
       explode(slice(col("toks"), lit(1), lim)).as("tid"))
-    // t/(1+t) rounds DOWN in binary for t=0.5 (and any t where it is
-    // non-representable), so ceil never overshoots an exact integer
-    // α_pair — the witness requirement stays a true lower bound
-    val t1 = threshold / (1.0 + threshold)
     val cands = prefix.select(col("tid"), col("id").as("id_a"), col("n").as("na"))
       .join(prefix.select(col("tid"), col("id").as("id_b"), col("n").as("nb")), "tid")
       .filter(col("id_a") < col("id_b") &&
-        col("nb") >= ceil(col("na") * threshold) &&
-        col("na") >= ceil(col("nb") * threshold))
+        col("nb").cast("long") * tq >= col("na").cast("long") * tp &&
+        col("na").cast("long") * tq >= col("nb").cast("long") * tp)
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("__w"))
-      .filter(col("__w") >= least(lit(witnesses.toLong),
-        ceil((col("na") + col("nb")) * t1)))
+      .filter(col("__w") >= witnesses.toLong ||
+        col("__w") * (tp + tq) >= (col("na") + col("nb")).cast("long") * tp)
     cands
       .join(ordered.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(ordered.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("__i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .filter(col("__i").cast("double") / (col("na") + col("nb") - col("__i"))
-        >= threshold)
+      .filter(col("__i") * tq >=
+        (col("na") + col("nb")).cast("long").minus(col("__i")) * tp)
       .select(col("id_a"), col("id_b"),
         round(col("__i").cast("double") / (col("na") + col("nb") - col("__i")), 6)
           .as("jaccard"))
   }
+
+  /** Adaptive cluster count for [[semanticDedup]]:
+    * k = max(kMin, ⌈n / targetCellSize⌉), clamped to Int range.
+    */
+  def chooseK(n: Long, targetCellSize: Int, kMin: Int): Int =
+    math.min(
+      math.max(kMin.toLong, (n + targetCellSize - 1) / targetCellSize),
+      Int.MaxValue.toLong).toInt
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embeddings, then WITHIN each cluster drop every vector that has a
@@ -476,15 +534,22 @@ object Dedup {
     *
     * Scale shape: the clustering bounds the quadratic step — pairs are
     * formed by a self-equi-join on `cell_id` (shuffle keyed by cell,
-    * never corpus × corpus), and at 100 TB you raise k with corpus size
-    * (k ∝ √N keeps expected cluster size √N) exactly as the paper
-    * does over its 8 TB runs. The drop rule is an EXISTS against the
-    * pair set — no transitive closure, so no iteration.
+    * never corpus × corpus). With k ≤ 0 (the default) k GROWS WITH THE
+    * INPUT — k = max(kMin, ⌈N / targetCellSize⌉), one bounded count()
+    * — so expected cell size stays ~targetCellSize and the in-cell
+    * O(Σ|cell|²) pairing cannot re-become quadratic as the corpus
+    * scales (round-6 advice: a constant k means cells grow linearly
+    * with N). Pass an explicit k > 0 to pin the paper's fixed-k shape.
+    * The drop rule is an EXISTS against the pair set — no transitive
+    * closure, so no iteration.
     */
   def semanticDedup(embs: DataFrame, vecCol: String, idCol: String,
-                    k: Int = 8, iters: Int = 2,
-                    threshold: Double = 0.7): DataFrame = {
-    val labeled = KMeans.sphericalKMeans(embs, vecCol, idCol, k = k, iters = iters)
+                    k: Int = 0, iters: Int = 2,
+                    threshold: Double = 0.7,
+                    targetCellSize: Int = 64, kMin: Int = 8): DataFrame = {
+    require(targetCellSize >= 1 && kMin >= 1, "cell size and kMin must be >= 1")
+    val kEff = if (k > 0) k else chooseK(embs.count(), targetCellSize, kMin)
+    val labeled = KMeans.sphericalKMeans(embs, vecCol, idCol, k = kEff, iters = iters)
       .select(col("vec_id").as("id"), col("cell_id"))
     val vecs = embs.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))

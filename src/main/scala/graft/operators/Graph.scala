@@ -364,14 +364,23 @@ object Graph {
     // broadcast-materialization job doubled the job count; measured
     // ~2.5× the runtime of this shape). The division is double/double
     // exactly as the oracle's CAST(raw AS DOUBLE)/CAST(tot AS DOUBLE).
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
       val raw = e.join(scores.withColumnRenamed("node", from), from)
         .groupBy(col(to).as("node"))
         .agg(sum(col("score").cast(dec)).as("raw"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // the normalizer collect MATERIALIZES raw, so the raw from two
+      // half-steps back (this new raw's grandparent input is already
+      // folded into blocks) can be dropped — repeated hits() calls in
+      // one session previously grew the block-manager cache by 2×iters
+      // frames per call (round-6 advice); only the final hub/auth raws
+      // stay pinned for the caller's action
       val tot = raw.agg(sum(col("raw"))).collect()(0).getDecimal(0)
       require(tot != null && tot.signum > 0,
         "hits requires a non-empty edge relation (score mass vanished)")
+      pinned += raw
+      if (pinned.length > 2) pinned.remove(0).unpersist(blocking = false)
       raw.select(col("node"),
         round(col("raw").cast("double") / lit(tot.doubleValue()), 6).as("score"))
     }
@@ -382,8 +391,8 @@ object Graph {
       a = halfStep(h, "src", "dst")
       h = halfStep(a, "dst", "src")
     }
-    // persisted raws stay pinned until the session drops them — the
-    // final projections read them directly, so no checkpoint is needed
+    // the last two persisted raws stay pinned — the final projections
+    // read them directly, so no checkpoint is needed
     h.select(col("node"), lit("hub").as("kind"), col("score"))
       .unionByName(a.select(col("node"), lit("auth").as("kind"), col("score")))
   }

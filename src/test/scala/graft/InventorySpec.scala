@@ -36,6 +36,30 @@ class InventorySpec extends AnyFunSuite {
         "oracles on a diet before declaring them")
   }
 
+  // The round-6 failure mode, pinned: the driver's comparator sorts
+  // result frames with pandas, and a top-level array/map column raises
+  // `TypeError: unhashable type: 'numpy.ndarray'` inside sort_values —
+  // the row goes ERR and the query's signal is lost (r6:
+  // corpus_inverted_index, text_winnow). Declared results must be flat:
+  // join/sort/explode or string-join any collection before returning.
+  test("gate shape: no declared query returns a top-level array or map column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists())
+    val spark = TestSpark.spark
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"array/map-typed output columns crash the driver's pandas " +
+        s"comparator (sort_values on ndarray) — flatten or string-join " +
+        s"them: ${bad.mkString(", ")}")
+  }
+
   test("README's query count matches the declared inventory") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),

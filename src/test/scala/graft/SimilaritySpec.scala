@@ -143,6 +143,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(base.tail.forall { case (i, _) => out(i) }, "unrelated vectors must survive")
   }
 
+  test("semanticDedup adaptive k: chooseK tracks the input and the default path matches the explicit k it resolves to") {
+    import graft.operators.Dedup
+    // the formula: ceil(n / cellSize), floored at kMin
+    assert(Dedup.chooseK(50L, 64, 8) == 8)      // sf0.001-sized
+    assert(Dedup.chooseK(500L, 64, 8) == 8)     // gate sf0.01: ⌈500/64⌉ = 8
+    assert(Dedup.chooseK(5000L, 64, 8) == 79)   // bench sf0.1 grows k
+    assert(Dedup.chooseK(1000000L, 64, 8) == 15625)
+    assert(Dedup.chooseK(0L, 64, 8) == 8)
+    // default (adaptive) invocation ≡ explicit k = chooseK(N):
+    // 43 vectors → k = max(8, ⌈43/64⌉) = 8
+    val rnd = new Random(7)
+    val dim = 16
+    val embs = (1L to 43L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val adaptive = Dedup.semanticDedup(embs, "embedding", "vec_id",
+        iters = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val explicit = Dedup.semanticDedup(embs, "embedding", "vec_id",
+        k = 8, iters = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(adaptive.sameElements(explicit))
+  }
+
   test("ANN recall@3 vs brute force clears the floor on the real embeddings table") {
     // Correctness rows pin determinism; THIS pins retrieval quality —
     // the point of ANN. Ground truth = exact brute-force cosine top-3;
