@@ -1957,6 +1957,98 @@ object SparkEntry {
         TF.tokenCount(col("text")).cast("long").as("n_tokens"),
         TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
 
+    // Character-level Shannon entropy per document (nats) — the
+    // compressibility screen: near-zero entropy flags degenerate /
+    // repeated-char junk, unusually high entropy flags binary-ish
+    // noise. Per-doc char histogram (shuffle keyed (doc, char) —
+    // bounded by alphabet × docs, never corpus-wide), terms rounded to
+    // 6 dp and summed as exact decimal (order-independent, the psi
+    // discipline).
+    "text_entropy" -> ((s, dir) => {
+      val norm = ld(s, dir, "documents")
+        .select(col("doc_id"), TF.normalizeWs(col("text")).as("t"))
+        .filter(length(col("t")) > 0)
+      val g = norm
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("t")))).as("i"), col("t"))
+        .select(col("doc_id"), substring(col("t"), col("i"), lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+      val l = g.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("len"), count(lit(1)).as("d"))
+      val p = col("n").cast("double") / col("len").cast("double")
+      val agg = g.join(l, "doc_id")
+        .select(col("doc_id"), col("len"), col("d"),
+          round(p * log(p), 6).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("len")).as("len"), max(col("d")).as("d"),
+          round(lit(0.0) - sum(col("term").cast("decimal(25,12)"))
+            .cast("double"), 6).as("entropy"))
+      ld(s, dir, "documents").select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("len"), lit(0L)).as("n_chars"),
+          coalesce(col("d"), lit(0L)).as("n_distinct_chars"),
+          col("entropy"))
+    }),
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1): word count
+    // bounds, mean word length bounds, alphabetic-word fraction,
+    // stopword floor, symbol density — the rule-based quality gate a
+    // pretraining pipeline runs before model-based scoring. Pure
+    // per-row projection over the token array (codegen'd higher-order
+    // functions) — ZERO shuffle at any scale.
+    "text_gopher_quality" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val empty = length(trim(col("text"))) === 0
+      val nW = when(empty, 0).otherwise(size(toks)).cast("long")
+      val sumLen = when(empty, 0L).otherwise(
+        aggregate(toks, lit(0L), (a, w) => a + length(w).cast("long")))
+      val alpha = when(empty, 0L).otherwise(
+        size(filter(toks, w => lower(w).rlike("[a-z]"))).cast("long"))
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with",
+        "for", "on")
+      val nStop = when(empty, 0L).otherwise(
+        size(filter(toks, w => lower(w).isInCollection(stops))).cast("long"))
+      val nSym = size(regexp_extract_all(col("text"), lit("[#%$]"), lit(0)))
+        .cast("long")
+      val meanLen = when(nW > 0,
+        round(sumLen.cast("double") / nW.cast("double"), 6))
+      val fracAlpha = when(nW > 0,
+        round(alpha.cast("double") / nW.cast("double"), 6))
+      ld(s, dir, "documents").select(
+        col("doc_id"), nW.as("n_words"), meanLen.as("mean_word_len"),
+        fracAlpha.as("frac_alpha_words"), nStop.as("n_stopwords"),
+        nSym.as("n_symbols"),
+        (nW >= 50 && nW <= 100000 &&
+          coalesce(meanLen >= 3.0 && meanLen <= 10.0, lit(false)) &&
+          coalesce(fracAlpha >= 0.8, lit(false)) &&
+          nStop >= 2).as("keep"))
+    }),
+
+    // C4-style line/document filters (Raffel et al. 2020): lines kept
+    // iff they end in terminal punctuation and carry ≥ 5 words;
+    // documents dropped on lorem-ipsum / brace / "javascript"
+    // boilerplate markers. Pure projection over the line array — ZERO
+    // shuffle at any scale.
+    "text_c4_filters" -> ((s, dir) => {
+      val lines = split(col("text"), "\n")
+      val keptLine = (l: Column) =>
+        trim(l).rlike("[.!?\"]$") &&
+          size(split(trim(l), "\\s+")) >= 5
+      val nLines = size(lines).cast("long")
+      val nKept = size(filter(lines, keptLine)).cast("long")
+      val low = lower(col("text"))
+      ld(s, dir, "documents").select(
+        col("doc_id"), nLines.as("n_lines"), nKept.as("n_kept_lines"),
+        round(nKept.cast("double") / nLines.cast("double"), 6)
+          .as("kept_ratio"),
+        low.contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"),
+        low.contains("javascript").as("has_js"),
+        (!low.contains("lorem ipsum") && !col("text").contains("{") &&
+          !low.contains("javascript")).as("keep"))
+    }),
+
     // First BPE-training iteration: corpus-wide adjacent-symbol-pair
     // counts, top 50. Scale shape: the corpus collapses to the DISTINCT
     // word relation first (map-side-combinable groupBy), pairs expand
@@ -2300,6 +2392,22 @@ object SparkEntry {
     "corpus_shard_stats" -> ((s, dir) =>
       Corpus.shardStats(ld(s, dir, "documents"))),
 
+    // Training-mix composition report: per (source, lang) docs, tokens,
+    // and token share of the whole corpus — the one-page readout every
+    // data-mix decision starts from. One map-side-combinable groupBy
+    // plus a broadcast single-row total.
+    "corpus_mix_report" -> ((s, dir) => {
+      val g = ld(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val tot = g.agg(sum(col("n_tokens")).as("t"))
+      g.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("t").cast("double"), 6)
+            .as("token_share"))
+    }),
+
     // Per-domain cap (source-balancing): ≤10 docs per source by a
     // deterministic md5 coin, selected with the bounded-heap top-k
     // aggregate (O(k) state per stratum, map-side combine — no
@@ -2384,6 +2492,16 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")),
 
+    // Signature-agreement histogram over the LSH candidate pairs — the
+    // tuning readout for (bands, rowsPerBand): how many of the k=16
+    // minhashes agree per candidate. jaccard_est is matches/16 exactly,
+    // so n_match = est·16 is an exact integer; one tiny groupBy after
+    // the candidate join.
+    "dedup_candidate_hist" -> ((s, dir) =>
+      Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")
+        .groupBy(round(col("jaccard_est") * 16).cast("long").as("n_match"))
+        .agg(count(lit(1)).as("n_pairs"))),
+
     // EXACT all-pairs similarity self-join via prefix filtering
     // (Bayardo et al. WWW'07): every pair with 5-shingle Jaccard >= 0.5
     // over the FULL corpus — exact recall where dedup_minhash_lsh is
@@ -2461,6 +2579,31 @@ object SparkEntry {
     // per node even on power-law graphs). One summary row.
     "graph_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangleStats(coActivityCached(s, dir))),
+
+    // Neighbor-set Jaccard per existing edge — the classic
+    // link-strength / link-prediction score: J(a,b) =
+    // |N(a)∩N(b)| / |N(a)∪N(b)|. Common neighbors come from the same
+    // bounded edge×neighbor join shape as the triangle count (never
+    // all-pairs); union size is the exact-integer da+db−common, one
+    // rounded division at the end.
+    "graph_jaccard_neighbors" -> ((s, dir) => {
+      val e = coActivityCached(s, dir)
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val common = e
+        .join(sym.select(col("u").as("a"), col("v").as("x")), "a")
+        .join(sym.select(col("u").as("b"), col("v").as("x")), Seq("b", "x"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      e.join(common, Seq("a", "b"), "left")
+        .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+        .select(col("a"), col("b"),
+          coalesce(col("common"), lit(0L)).as("common_neighbors"),
+          round(coalesce(col("common"), lit(0L)).cast("double") /
+            (col("da") + col("db") - coalesce(col("common"), lit(0L)))
+              .cast("double"), 6).as("jaccard"))
+    }),
 
     // Bounded-radius BFS: min-hop distance from the seed users
     // (user_id ≡ 0 mod 50) over the co-activity graph, 3 frontier
@@ -2592,6 +2735,42 @@ object SparkEntry {
       ld(s, dir, "embeddings").select(
         col("vec_id"),
         round(VF.l2Norm(col("embedding")), 6).as("norm"))),
+
+    // Per-dimension whitening (standardization) before ANN/clustering:
+    // z_ij = (x_ij − mean_j)/std_j, constant dimensions pass through
+    // as 0. The per-dim moments are ONE map-side-combinable aggregate
+    // over the exploded components (64 result rows, broadcast back);
+    // verified via per-vector L2 norms before/after (scalar outputs —
+    // gate-shape rule). Exactness: components 6-dp, moment sums exact
+    // decimal, one rounded division/sqrt per derived stat.
+    "embed_whitening" -> ((s, dir) => {
+      val dec = "decimal(38,12)"
+      val e = ld(s, dir, "embeddings").select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double"), 6)).as("v"))
+      val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
+      val varE = round(col("sxx").cast("double") / col("n").cast("double") -
+        col("mean") * col("mean"), 6)
+      val stats = comp.groupBy(col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+        .withColumn("mean",
+          round(col("sx").cast("double") / col("n").cast("double"), 6))
+        .select(col("j"), col("mean"),
+          when(varE > 0, round(sqrt(varE), 6)).as("std"))
+      comp.join(broadcast(stats), "j")
+        .select(col("vec_id"), col("x"),
+          when(col("std").isNotNull,
+            round((col("x") - col("mean")) / col("std"), 6))
+            .otherwise(lit(0.0)).as("z"))
+        .groupBy(col("vec_id"))
+        .agg(
+          round(sqrt(sum((col("x") * col("x")).cast(dec)).cast("double")), 6)
+            .as("norm_before"),
+          round(sqrt(sum((col("z") * col("z")).cast(dec)).cast("double")), 6)
+            .as("norm_after"))
+    }),
 
     // Int8 scalar quantization of the embedding column (4× storage
     // cut for billion-scale ANN). Pure projection over the scan — no
@@ -4664,6 +4843,64 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
+    // terms rounded to 6 dp then summed as exact decimal (the psi
+    // discipline), `0 - sum` so a zero entropy can never surface -0.0
+    "text_entropy" ->
+      """WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0),
+        |ch AS (SELECT doc_id, substr(t, CAST(u.i AS INT), 1) AS c
+        |       FROM norm, LATERAL unnest(range(1, length(t) + 1)) AS u(i)),
+        |g AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+        |l AS (SELECT doc_id, SUM(n) AS len, COUNT(*) AS d FROM g GROUP BY 1),
+        |t2 AS (SELECT g.doc_id, l.len, l.d,
+        |    round((CAST(n AS DOUBLE) / CAST(len AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(len AS DOUBLE)), 6) AS term
+        |  FROM g JOIN l USING (doc_id)),
+        |agg AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS len, CAST(MAX(d) AS BIGINT) AS d,
+        |    round(0.0 - CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6) AS entropy
+        |  FROM t2 GROUP BY doc_id)
+        |SELECT doc.doc_id, COALESCE(a.len, 0) AS n_chars,
+        |  COALESCE(a.d, 0) AS n_distinct_chars, a.entropy
+        |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id""".stripMargin,
+
+    "text_gopher_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(lower(w), '[a-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','be','to','of','and','that','have','with','for','on'], lower(w)))) AS BIGINT) AS n_stopwords,
+        |    CAST(len(regexp_extract_all(text, '[#%$]')) AS BIGINT) AS n_symbols
+        |  FROM b),
+        |r AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS mean_word_len,
+        |    CASE WHEN n_words > 0 THEN round(CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS frac_alpha_words,
+        |    n_stopwords, n_symbols
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords, n_symbols,
+        |  (n_words >= 50 AND n_words <= 100000 AND
+        |   COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AND
+        |   COALESCE(frac_alpha_words >= 0.8, FALSE) AND n_stopwords >= 2) AS keep
+        |FROM r""".stripMargin,
+
+    "text_c4_filters" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+        |m AS (SELECT doc_id, text, CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5)) AS BIGINT) AS n_kept_lines
+        |  FROM b)
+        |SELECT doc_id, n_lines, n_kept_lines,
+        |  round(CAST(n_kept_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS kept_ratio,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  contains(lower(text), 'javascript') AS has_js,
+        |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'javascript')) AS keep
+        |FROM m""".stripMargin,
+
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
         |           FROM documents),
@@ -5125,6 +5362,15 @@ object SparkEntry {
         |  MIN(md5(text)) AS fp_min, MAX(md5(text)) AS fp_max
         |FROM documents GROUP BY 1""".stripMargin,
 
+    "corpus_mix_report" ->
+      """WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n_tokens) AS t FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS token_share
+        |FROM g, tot""".stripMargin,
+
     "text_hash_embed" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
@@ -5376,6 +5622,31 @@ object SparkEntry {
         |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
         |FROM embeddings""".stripMargin,
 
+    "embed_whitening" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+        |  FROM embeddings),
+        |comp AS (SELECT vec_id, CAST(u.j AS INT) AS j, v[CAST(u.j AS INT)] AS x
+        |  FROM e, LATERAL unnest(range(1, len(v) + 1)) AS u(j)),
+        |st0 AS (SELECT j, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+        |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        |  FROM comp GROUP BY j),
+        |st1 AS (SELECT j, n, sxx,
+        |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean FROM st0),
+        |st AS (SELECT j, mean,
+        |    CASE WHEN round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean, 6) > 0
+        |      THEN round(sqrt(round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean, 6)), 6)
+        |    END AS std
+        |  FROM st1),
+        |z AS (SELECT c.vec_id, c.x,
+        |    CASE WHEN st.std IS NOT NULL THEN round((c.x - st.mean) / st.std, 6)
+        |         ELSE 0.0 END AS z
+        |  FROM comp c JOIN st USING (j))
+        |SELECT vec_id,
+        |  round(sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)), 6) AS norm_before,
+        |  round(sqrt(CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE)), 6) AS norm_after
+        |FROM z GROUP BY vec_id""".stripMargin,
+
     "knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -5438,6 +5709,13 @@ object SparkEntry {
     "embed_outliers" -> OracleGen.embedOutliers(),
     "knn_pq" -> OracleGen.knnPq(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
+
+    "dedup_candidate_hist" ->
+      s"""WITH cand AS (
+${OracleGen.dedupMinhashLsh}
+)
+SELECT CAST(round(jaccard_est * 16) AS BIGINT) AS n_match, COUNT(*) AS n_pairs
+FROM cand GROUP BY 1""",
     "dedup_incremental" -> OracleGen.dedupIncremental(),
     "dedup_clusters" -> OracleGen.dedupClusters,
 
@@ -5528,6 +5806,27 @@ object SparkEntry {
 
     // id-ordered triangle join: the count is orientation-independent,
     // so the oracle needn't replay the degree-ordered Spark plan
+    "graph_jaccard_neighbors" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |ed AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+        |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+        |cn AS (SELECT ed.a, ed.b, COUNT(*) AS common
+        |       FROM ed JOIN e e1 ON e1.src = ed.a
+        |       JOIN e e2 ON e2.src = ed.b AND e2.dst = e1.dst
+        |       GROUP BY 1, 2)
+        |SELECT ed.a, ed.b,
+        |  CAST(COALESCE(cn.common, 0) AS BIGINT) AS common_neighbors,
+        |  round(CAST(COALESCE(cn.common, 0) AS DOUBLE) /
+        |    CAST(da.d + db.d - COALESCE(cn.common, 0) AS DOUBLE), 6) AS jaccard
+        |FROM ed
+        |LEFT JOIN cn ON cn.a = ed.a AND cn.b = ed.b
+        |JOIN deg da ON da.node = ed.a
+        |JOIN deg db ON db.node = ed.b""".stripMargin,
+
     "graph_triangles" ->
       """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
         |           FROM events),
