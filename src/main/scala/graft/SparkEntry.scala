@@ -216,10 +216,16 @@ object SparkEntry {
     * the second query re-runs the full 2-round propagation (~4 s of
     * the round-6 bench; round-6 advice item 7).
     */
-  private def labelPropCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  private def labelPropCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // resolve the edge relation BEFORE entering computeIfAbsent: a
+    // nested access to the same access-ordered LinkedHashMap mutates
+    // modCount (even on a hit) and HashMap.computeIfAbsent throws a
+    // message-less ConcurrentModificationException
+    val edges = coActivityCached(s, dir)
     edgeCache.computeIfAbsent((s, dir, "lp"), _ =>
-      graft.operators.Graph.labelPropagation(coActivityCached(s, dir), iters = 2)
+      graft.operators.Graph.labelPropagation(edges, iters = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Per-JVM memoized bucketed tables for `q_bucketed_join`: bucketBy(8)
     * + sortBy both sides on the join key, once per sfDir (dir-keyed

@@ -127,7 +127,16 @@ object Jobs {
     val existing =
       if (Lake.tableExists(spark, table)) spark.table(table)
       else CdcOps.emptyLike(routed.inserts)
-    val merged = CdcOps.mergeBatch(existing, routed, spec.primaryKeys, spec.orderColumns)
+    // Tombstones past the broadcast budget switch the merge to the
+    // bloom-pruned anti-join (no full-table exchange of `existing`).
+    // |updates| + |deletes| upper-bounds the tombstone count; callers
+    // cache `events`, so the two counts are cache scans, not re-reads.
+    val limit = spark.conf.getOption("graft.cdc.tombstoneBroadcastLimit")
+      .map(_.toLong).getOrElse(1L << 22)
+    val beyond =
+      routed.updates.count() + routed.deleteKeys.count() > limit
+    val merged = CdcOps.mergeBatch(existing, routed, spec.primaryKeys,
+      spec.orderColumns, tombstonesBeyondBroadcast = beyond)
     Lake.overwriteTableSafely(merged, table, format = spec.format)
   }
 }

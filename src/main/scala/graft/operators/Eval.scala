@@ -22,13 +22,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Eval {
 
+  /** Pins the (small) final projection in its own buffer, then releases
+    * every intermediate persist — repeated Eval calls in one session
+    * must not grow the block-manager cache with dead subtrees. If the
+    * pinned copy is ever evicted it recomputes from lineage, still
+    * correct, just uncached.
+    */
+  private def pinAndRelease(out: DataFrame,
+                            intermediates: DataFrame*): DataFrame = {
+    val pinned = out.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    pinned
+  }
+
   /** Cumulative-below counts per distinct key: for each row of `g`
     * (already one row per distinct `orderCol`), appends, for every
     * column in `sumCols`, `cum_<c>` = the sum of that column over rows
     * with a strictly smaller `orderCol`. Long-typed inputs; exact.
+    * Also returns the persisted range-partitioned frame so the public
+    * caller can release it once its final projection materializes.
     */
   private def withCumBelow(g: DataFrame, orderCol: String,
-                           sumCols: Seq[String], nParts: Int): DataFrame = {
+                           sumCols: Seq[String],
+                           nParts: Int): (DataFrame, DataFrame) = {
     val parted = g.repartitionByRange(nParts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -47,9 +64,10 @@ object Eval {
     val local = sumCols.foldLeft(parted)((d, c) =>
       d.withColumn(s"__loc_$c",
         coalesce(sum(col(c)).over(localW), lit(0L))))
-    sumCols.foldLeft(local.join(broadcast(withOff), "__pid"))((d, c) =>
+    (sumCols.foldLeft(local.join(broadcast(withOff), "__pid"))((d, c) =>
         d.withColumn(s"cum_$c", col(s"__loc_$c") + col(s"__off_$c")))
-      .drop("__pid" +: sumCols.flatMap(c => Seq(s"__loc_$c", s"__off_$c")): _*)
+      .drop("__pid" +: sumCols.flatMap(c => Seq(s"__loc_$c", s"__off_$c")): _*),
+      parted)
   }
 
   /** Tie-aware binary AUC (area under the ROC curve) of `score`
@@ -73,9 +91,9 @@ object Eval {
       .na.drop(Seq("s"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
-    val cum = withCumBelow(g, "s", Seq("c"), nParts)
+    val (cum, pinned) = withCumBelow(g, "s", Seq("c"), nParts)
     val dec = "decimal(38,0)"
-    cum.agg(
+    val out = cum.agg(
         // cast BEFORE the product: p·(2·cb+c+1) can reach ~n² ≈ 2⁸⁰,
         // past long range, so the multiply itself must be decimal
         sum(col("p").cast(dec) *
@@ -92,6 +110,7 @@ object Eval {
           .as("auc"),
         col("np").cast("long").as("n_pos"),
         (col("n") - col("np")).cast("long").as("n_neg"))
+    pinAndRelease(out, pinned)
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic between the `valueCol`
@@ -119,7 +138,8 @@ object Eval {
       .filter(col("a") + col("b") > 0)
       .groupBy(col("v"))
       .agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
-    val cum = withCumBelow(g, "v", Seq("a", "b"), nParts)
+    val (cumRaw, pinned) = withCumBelow(g, "v", Seq("a", "b"), nParts)
+    val cum = cumRaw
       .select(col("v"),
         (col("cum_a") + col("a")).as("ca"), // ECDF includes own tie group
         (col("cum_b") + col("b")).as("cb"))
@@ -132,7 +152,7 @@ object Eval {
           .as("x"))
     // one-pass argmax: max over (x, −v) structs ⇒ largest x, and among
     // its attainers the smallest (numeric) v — deterministic tie-break
-    d.agg(max_by(struct(col("x"), col("v"), col("na"), col("nb")),
+    val out = d.agg(max_by(struct(col("x"), col("v"), col("na"), col("nb")),
         struct(col("x"), (lit(-1) * col("v")).as("nv"))).as("m"))
       .select(
         when(col("m.na") > 0 && col("m.nb") > 0,
@@ -142,6 +162,7 @@ object Eval {
         col("m.v").as("at_value"),
         col("m.na").cast("long").as("n_a"),
         col("m.nb").cast("long").as("n_b"))
+    pinAndRelease(out, cum, pinned)
   }
 
   /** Decile (or n-tile) lift table of `score` predicting `label` — the
@@ -242,10 +263,11 @@ object Eval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val psi = terms.agg(
       round(sum(col("term").cast("decimal(25,12)")).cast("double"), 6).as("psi"))
-    terms.crossJoin(broadcast(psi))
+    val out = terms.crossJoin(broadcast(psi))
       .select(col("bin"), col("ca"), col("cb"),
         round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
         col("term"), col("psi"))
+    pinAndRelease(out, terms)
   }
 
   /** Two-proportion z-test between group A's and group B's success
@@ -313,8 +335,9 @@ object Eval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mi = terms.agg(
       round(sum(col("term").cast("decimal(25,12)")).cast("double"), 6).as("mi"))
-    terms.crossJoin(broadcast(mi))
+    val out = terms.crossJoin(broadcast(mi))
       .select(col("x"), col("y"), col("nxy"), col("nx"), col("ny"),
         col("term"), col("mi"))
+    pinAndRelease(out, terms, cells)
   }
 }

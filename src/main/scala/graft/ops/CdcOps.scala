@@ -251,11 +251,18 @@ object CdcOps {
     */
   def mergeBatch(existing: DataFrame, routed: Routed,
                  primaryKeys: Seq[String],
-                 orderColumns: Seq[String] = Seq("timestamp")): DataFrame = {
+                 orderColumns: Seq[String] = Seq("timestamp"),
+                 tombstonesBeyondBroadcast: Boolean = false): DataFrame = {
     val dedupedUpdates = lastWriterWins(routed.updates, primaryKeys, orderColumns)
     val tombstones = routed.deleteKeys
       .unionByName(dedupedUpdates.select(primaryKeys.map(col): _*))
-    val kept = antiJoinByKey(existing, tombstones, primaryKeys)
+    // one batch's tombstones normally broadcast; past the broadcast
+    // budget the bloom-pruned variant keeps the existing (100 TB) side
+    // from shuffling wholesale — identical result either way
+    val kept =
+      if (tombstonesBeyondBroadcast)
+        bloomPrunedAntiJoin(existing, tombstones, primaryKeys)
+      else antiJoinByKey(existing, tombstones, primaryKeys)
     kept
       .unionByName(routed.inserts, allowMissingColumns = true)
       .unionByName(dedupedUpdates, allowMissingColumns = true)

@@ -194,4 +194,27 @@ class EvalSpec extends AnyFunSuite {
       .collect()(0)
     assert(r2.getDouble(0) == 0.0)
   }
+
+  test("eval statistics release intermediate persists (only the final " +
+      "projection stays pinned)") {
+    val df = (1 to 200).map(i =>
+      (i.toDouble % 17, if (i % 3 == 0) "a" else "b")).toDF("v", "g")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ks = Eval.ksStatistic(df, col("v"), col("g") === "a", col("g") === "b")
+    ks.collect()
+    // ksStatistic persists two intermediates (range-partitioned counts,
+    // ECDF relation); both must be released, leaving exactly the pinned
+    // one-row result
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    ks.unpersist()
+    val psi = Eval.psiDrift(df, col("v"), col("g") === "a", col("g") === "b")
+    psi.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    psi.unpersist()
+    val mi = Eval.mutualInformation(df, col("g"), col("v"))
+    mi.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    mi.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
 }

@@ -208,4 +208,17 @@ class GraphSpec extends AnyFunSuite {
     // s1 (pointed at by both strong hubs) must outrank the fringe s3
     assert(got(("s1", "auth")) > got(("s3", "auth")))
   }
+
+  test("memoized label-prop queries survive repeated + nested cache access") {
+    // regression: labelPropCached resolved its edge relation INSIDE
+    // computeIfAbsent — a nested access to the access-ordered LRU
+    // mutates modCount and threw ConcurrentModificationException
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val lp = SparkEntry.queries("graph_label_prop")(spark, sfDir)
+    assert(lp.count() > 0)
+    // second hit (graph_modularity reuses the cached partition)
+    assert(SparkEntry.queries("graph_modularity")(spark, sfDir).count() > 0)
+    assert(SparkEntry.queries("graph_label_prop")(spark, sfDir).count() == lp.count())
+  }
 }

@@ -153,6 +153,35 @@ class JobsSpec extends AnyFunSuite {
     assert(spark.table(spec.dailyTable).count() == 0)
   }
 
+  test("daily merge takes the bloom-pruned path when tombstones exceed " +
+      "the broadcast limit, with identical results") {
+    val root = tmp("bloommerge")
+    val spec = TableSpec("bacct", "graft_db", Seq("ID"),
+      s"$root/lake", s"$root/ckpt", "topic")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql(s"DROP TABLE IF EXISTS ${spec.dailyTable}")
+
+    val day1 = (1 to 50).map(i => envelope(ts(1, i % 60), "c", s"$i", s"P$i"))
+    val day2 = (1 to 30).map(i => envelope(ts(2, i % 60), "u", s"$i", s"Q$i")) ++
+      (31 to 40).map(i => envelope(ts(2, i % 60), "d", s"$i", null))
+    Lake.appendPartitioned(
+      graft.ops.CdcOps.withDatePartitions(day1.toDF("timestamp", "value")), spec.dataDir)
+    Lake.appendPartitioned(
+      graft.ops.CdcOps.withDatePartitions(day2.toDF("timestamp", "value")), spec.dataDir)
+
+    // limit 0: every batch counts as beyond-broadcast → bloom path e2e
+    spark.conf.set("graft.cdc.tombstoneBroadcastLimit", "0")
+    try {
+      Jobs.dailyMerge(spark, spec, LocalDate.of(2024, 1, 1))
+      Jobs.dailyMerge(spark, spec, LocalDate.of(2024, 1, 2))
+    } finally spark.conf.unset("graft.cdc.tombstoneBroadcastLimit")
+    val got = spark.table(spec.dailyTable)
+      .select($"ID", $"PRODUCT").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = (1 to 30).map(i => s"$i" -> s"Q$i").toMap ++
+      (41 to 50).map(i => s"$i" -> s"P$i").toMap
+    assert(got == want)
+  }
+
   test("history increment mode appends deduplicated rows") {
     val root = tmp("incr")
     val spec = TableSpec("facts", "graft_db", Seq("ID"),

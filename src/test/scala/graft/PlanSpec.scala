@@ -226,4 +226,43 @@ class PlanSpec extends AnyFunSuite {
     val plan = executed(graft.operators.Graph.hits(spark, edges, iters = 2))
     assert(!plan.contains("CartesianProduct"), s"cartesian in HITS:\n$plan")
   }
+
+  test("bloomPrunedAntiJoin beyond broadcast: the definite-keep branch " +
+      "of the existing table never shuffles") {
+    import org.apache.spark.sql.execution.{SparkPlan, UnionExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // simulate tombstones past the broadcast budget: no auto-broadcast,
+    // so the residual anti-join must run without broadcasting either
+    // side — the scenario antiJoinByKey's hint cannot survive
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val existing = spark.range(0L, 20000L)
+        .select(col("id").as("pk"), (col("id") % 97).as("v"))
+      val tomb = spark.range(0L, 20000L, 7L).select(col("id").as("pk"))
+      val out = graft.ops.CdcOps.bloomPrunedAntiJoin(existing, tomb, Seq("pk"))
+      out.write.format("noop").mode("overwrite").save()
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case o => o +: o.children.flatMap(flatten)
+      }
+      val whole = flatten(out.queryExecution.executedPlan)
+      val union = whole.collectFirst { case u: UnionExec => u }
+      assert(union.isDefined, s"no union in plan:\n${out.queryExecution.executedPlan}")
+      val branches = union.get.children.map(flatten)
+      // the definite-keep branch: bloom-probe filter directly over the
+      // scan, zero exchanges — the 100 TB side stays where it is
+      val keeps = branches.filter(b =>
+        !b.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+          b.mkString("\n").contains("might_contain"))
+      assert(keeps.nonEmpty,
+        s"no shuffle-free bloom-probe branch — definite keeps are being " +
+          s"exchanged:\n${out.queryExecution.executedPlan}")
+      // and the result is EXACTLY the plain anti-join
+      val expected = existing.join(tomb, Seq("pk"), "left_anti")
+      assert(out.except(expected).isEmpty && expected.except(out).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
