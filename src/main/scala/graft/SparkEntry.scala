@@ -1585,6 +1585,30 @@ object SparkEntry {
       graft.operators.Eval.mutualInformation(ld(s, dir, "events"),
         col("event_type"), col("value"))),
 
+    // Exact tie-aware Spearman between each user's total spend and
+    // their purchase count — do heavy spenders also purchase often,
+    // robust to the value scale. operators.Eval.spearman: doubled
+    // average ranks from the range-partition prefix sums, exact
+    // DECIMAL(38,0) sums, one double combination (q_corr shape).
+    "q_spearman" -> ((s, dir) => {
+      val u = ld(s, dir, "events").groupBy(col("user_id")).agg(
+        sum(dec(col("value"))).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      graft.operators.Eval.spearman(u, col("x"), col("y"))
+    }),
+
+    // Mean NDCG@10 of value ranking purchases within each user's event
+    // list — the retrieval-eval readout; operators.Eval.meanNdcgBinary
+    // (one query-partitioned window + one co-partitioned groupBy,
+    // broadcast 10-row discount/ideal tables, 6-dp decimal terms).
+    "q_ndcg" -> ((s, dir) =>
+      // null scores dropped up front: the two engines disagree on
+      // null placement under ORDER BY ... DESC
+      graft.operators.Eval.meanNdcgBinary(
+        ld(s, dir, "events").filter(col("value").isNotNull),
+        col("user_id"), col("value"),
+        col("event_type") === "purchase", col("event_id"), k = 10)),
+
     // Two-proportion z-test: did the purchase rate move between the
     // pre-/post-Jan-15 cohorts — operators.Eval.twoProportionZ (one
     // combined aggregate; √ and divisions mirrored by the oracle).
@@ -4332,6 +4356,52 @@ object SparkEntry {
         |      / (CAST(2.0 AS DOUBLE) * CAST(np * (n - np) AS DOUBLE)), 6) END AS auc,
         |  CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t""".stripMargin,
+
+    "q_spearman" ->
+      """WITH u AS (SELECT user_id,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS x,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT
+        |    2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS r2x,
+        |    2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS r2y
+        |  FROM u WHERE x IS NOT NULL AND y IS NOT NULL),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(r2x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(r2y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS DOUBLE) AS syy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  END AS spearman_rho
+        |FROM s""".stripMargin,
+
+    "q_ndcg" ->
+      """WITH ranked AS (SELECT user_id AS q,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |disc AS (SELECT i AS rn,
+        |    CAST(round(1.0 / log2(i + 1), 6) AS DECIMAL(25,12)) AS d
+        |  FROM generate_series(1, 10) AS t(i)),
+        |pf AS (SELECT rn AS m, SUM(d) OVER (ORDER BY rn) AS icum FROM disc),
+        |perq AS (SELECT ranked.q,
+        |    SUM(CASE WHEN rel = 1 AND ranked.rn <= 10 THEN disc.d
+        |        ELSE CAST(0 AS DECIMAL(25,12)) END) AS dcg,
+        |    LEAST(SUM(rel), 10) AS m
+        |  FROM ranked LEFT JOIN disc ON disc.rn = ranked.rn
+        |  GROUP BY ranked.q HAVING SUM(rel) > 0),
+        |nd AS (SELECT round(CAST(dcg AS DOUBLE) / CAST(icum AS DOUBLE), 6) AS ndcg
+        |  FROM perq JOIN pf USING (m))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  round(CAST(SUM(CAST(ndcg AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_ndcg
+        |FROM nd""".stripMargin,
 
     "q_kanonymity" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

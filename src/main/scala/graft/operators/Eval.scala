@@ -340,4 +340,105 @@ object Eval {
         col("term"), col("mi"))
     pinAndRelease(out, terms, cells)
   }
+
+  /** Exact tie-aware Spearman rank correlation between two columns —
+    * the monotonic-association screen (robust to the score scale,
+    * unlike Pearson): Pearson correlation of the average-tie ranks.
+    *
+    * Rank bookkeeping is DOUBLED so it stays integral: a row with value
+    * v, `cb` rows strictly below and a tie group of `c` gets
+    * `r2 = 2·cb + c + 1` (= 2× the average rank). Scaling both rank
+    * vectors by 2 leaves the correlation unchanged. Each column's ranks
+    * come from the same range-partition prefix-sum machinery as
+    * [[aucBinary]] (one per-distinct-value collapse + one co-partitioned
+    * join back — never a single-partition corpus window); the five sums
+    * are exact DECIMAL(38,0) (|Σ r2x·r2y| ≤ 4n³, inside decimal(38)
+    * up to n ≈ 2⁴⁰ rows), cast to double only for the final
+    * combination — the same shape the q_corr oracle mirrors.
+    *
+    * Returns a single row `(n, spearman_rho)`; rho is NULL when either
+    * column is constant (zero variance ⇒ undefined).
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+               nParts: Int = 32): DataFrame = {
+    val rows = df.select(xCol.as("x"), yCol.as("y"))
+      .na.drop(Seq("x", "y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def ranks(c: String): (DataFrame, DataFrame) = {
+      val g = rows.groupBy(col(c)).agg(count(lit(1)).as("c"))
+      val (cum, pinned) = withCumBelow(g, c, Seq("c"), nParts)
+      (cum.select(col(c),
+        (lit(2) * col("cum_c") + col("c") + lit(1)).as(s"r2$c")), pinned)
+    }
+    val (rx, px) = ranks("x")
+    val (ry, py) = ranks("y")
+    val dec = "decimal(38,0)"
+    val s = rows.join(rx, "x").join(ry, "y").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("r2x").cast(dec)).cast("double").as("sx"),
+        sum(col("r2y").cast(dec)).cast("double").as("sy"),
+        sum(col("r2x").cast(dec) * col("r2y").cast(dec)).cast("double").as("sxy"),
+        sum(col("r2x").cast(dec) * col("r2x").cast(dec)).cast("double").as("sxx"),
+        sum(col("r2y").cast(dec) * col("r2y").cast(dec)).cast("double").as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val out = s.select(
+      col("n").cast("long").as("n"),
+      when(vx > 0 && vy > 0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(vx) * sqrt(vy)), 6)).as("spearman_rho"))
+    pinAndRelease(out, rows, px, py)
+  }
+
+  /** Mean NDCG@k of `score` ranking binary `rel` within each query
+    * group — the retrieval-eval readout for a ranker (BM25, hybrid
+    * RRF, a quality scorer ordering a feed):
+    * `DCG@k = Σ_{i≤k, rel_i=1} 1/log₂(i+1)`, normalized by the ideal
+    * DCG for that query's positive count, averaged over queries with
+    * ≥ 1 positive.
+    *
+    * Scale shape: the only corpus-sized operations are ONE window
+    * partitioned by the query id (rank within query, deterministic via
+    * `tiebreak`) and ONE groupBy on the same key — co-partitioned, a
+    * single exchange. The k discount weights and their prefix sums are
+    * a broadcast k-row table; each discount is rounded to 6 dp and
+    * decimal-summed so per-query DCG is order-independent and
+    * oracle-mirrorable.
+    *
+    * Returns a single row `(n_queries, mean_ndcg)`.
+    */
+  def meanNdcgBinary(df: DataFrame, queryCol: Column, score: Column,
+                     rel: Column, tiebreak: Column, k: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__tb"))
+    val ranked = df.select(queryCol.as("__q"), score.as("__s"),
+        rel.cast("long").as("__r"), tiebreak.as("__tb"))
+      .withColumn("rn", row_number().over(w))
+    val zeroDec = lit(0).cast("decimal(25,12)")
+    // discount table 1..k with 6-dp rounded weights; prefix sums give
+    // the ideal DCG for any positive count m ≤ k
+    val disc = spark.range(1, k + 1L).select(
+      col("id").as("rn"),
+      round(lit(1.0) / log2(col("id") + lit(1)), 6)
+        .cast("decimal(25,12)").as("d"))
+    val pf = disc.withColumn("icum",
+      sum(col("d")).over(Window.orderBy(col("rn")))) // ≤ k rows
+    val perQuery = ranked
+      .join(broadcast(disc), Seq("rn"), "left")
+      .groupBy(col("__q"))
+      .agg(
+        sum(when(col("__r") === 1 && col("rn") <= k, col("d"))
+          .otherwise(zeroDec)).as("dcg"),
+        least(sum(col("__r")), lit(k.toLong)).as("m"))
+      .filter(col("m") > 0)
+    val out = perQuery
+      .join(broadcast(pf.select(col("rn").as("m"), col("icum"))), Seq("m"))
+      .select(round(col("dcg").cast("double") / col("icum").cast("double"), 6)
+        .as("ndcg"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("ndcg").cast("decimal(25,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_ndcg"))
+    out
+  }
 }

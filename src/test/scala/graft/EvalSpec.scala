@@ -195,6 +195,89 @@ class EvalSpec extends AnyFunSuite {
     assert(r2.getDouble(0) == 0.0)
   }
 
+  /** Textbook Spearman: average-tie ranks, then Pearson. */
+  private def bruteSpearman(rows: Seq[(Double, Double)]): Option[Double] = {
+    def avgRanks(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      val rank = vs.map { v =>
+        val below = sorted.count(_ < v)
+        val ties = sorted.count(_ == v)
+        below + (ties + 1) / 2.0
+      }
+      rank
+    }
+    val rx = avgRanks(rows.map(_._1))
+    val ry = avgRanks(rows.map(_._2))
+    val n = rows.size.toDouble
+    val sx = rx.sum; val sy = ry.sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum
+    val syy = ry.map(a => a * a).sum
+    val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+    if (vx <= 0 || vy <= 0) None
+    else Some(BigDecimal((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("spearman matches the average-rank definition on random ties") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(25).toDouble, rnd.nextInt(12).toDouble))
+    val r = Eval.spearman(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0)
+    assert(r.getLong(0) == 300L)
+    val got = Option(r.get(1)).map(_.asInstanceOf[Double])
+    val want = bruteSpearman(rows.map { case (a, b) => (a, b) })
+    // doubled ranks scale both vectors by 2: correlation unchanged;
+    // allow 1 ulp of rounding slack from the different sum orders
+    assert(got.isDefined && want.isDefined &&
+      math.abs(got.get - want.get) <= 1e-6)
+  }
+
+  test("spearman is ±1 on monotone data and NULL on a constant column") {
+    val inc = (1 to 50).map(i => (i.toDouble, math.exp(i / 10.0)))
+    val r1 = Eval.spearman(inc.toDF("x", "y"), col("x"), col("y")).collect()(0)
+    assert(r1.getDouble(1) == 1.0)
+    val dec = (1 to 50).map(i => (i.toDouble, -i * 3.0))
+    val r2 = Eval.spearman(dec.toDF("x", "y"), col("x"), col("y")).collect()(0)
+    assert(r2.getDouble(1) == -1.0)
+    val const = (1 to 20).map(i => (i.toDouble, 7.0))
+    val r3 = Eval.spearman(const.toDF("x", "y"), col("x"), col("y")).collect()(0)
+    assert(r3.isNullAt(1))
+  }
+
+  test("meanNdcgBinary matches a hand-computed fixture") {
+    def d(i: Int): BigDecimal =
+      BigDecimal(1.0 / (math.log(i + 1) / math.log(2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // q1: positives at ranks 1 and 3 of 4 (2 positives total) →
+    //   DCG = d(1)+d(3), IDCG = d(1)+d(2)
+    // q2: positive at rank 2 of 2 (1 positive) → DCG = d(2), IDCG = d(1)
+    // q3: no positives → excluded
+    val rows = Seq(
+      ("q1", 9.0, 1, 1L), ("q1", 8.0, 0, 2L), ("q1", 7.0, 1, 3L), ("q1", 6.0, 0, 4L),
+      ("q2", 5.0, 0, 5L), ("q2", 4.0, 1, 6L),
+      ("q3", 3.0, 0, 7L))
+    val r = Eval.meanNdcgBinary(rows.toDF("q", "s", "rel", "tb"),
+      col("q"), col("s"), col("rel") === 1, col("tb"), k = 10).collect()(0)
+    assert(r.getLong(0) == 2L)
+    def rnd6(x: BigDecimal): BigDecimal =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val n1 = rnd6((d(1) + d(3)) / (d(1) + d(2)))
+    val n2 = rnd6(d(2) / d(1))
+    val want = rnd6((n1 + n2) / 2).toDouble
+    assert(r.getDouble(1) == want)
+  }
+
+  test("meanNdcgBinary is 1.0 when every positive ranks first") {
+    val rows = Seq(
+      ("a", 9.0, 1, 1L), ("a", 1.0, 0, 2L),
+      ("b", 8.0, 1, 3L), ("b", 2.0, 0, 4L))
+    val r = Eval.meanNdcgBinary(rows.toDF("q", "s", "rel", "tb"),
+      col("q"), col("s"), col("rel") === 1, col("tb")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 1.0)
+  }
+
   test("eval statistics release intermediate persists (only the final " +
       "projection stays pinned)") {
     val df = (1 to 200).map(i =>
