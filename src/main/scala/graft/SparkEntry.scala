@@ -1546,6 +1546,17 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("n"),
           col("p50"), col("p90"), col("p95"), col("p99"))),
 
+    // Winsorized + trimmed mean of value per event_type — the robust
+    // location readout for heavy-tailed scores. operators.Rank
+    // .winsorizedStats: exact discrete p05/p95 bounds from the
+    // range-partition percentile machinery, broadcast back over ONE
+    // map-side-combinable corpus groupBy (no window), decimal sums.
+    "q_winsorized" -> ((s, dir) =>
+      graft.operators.Rank.winsorizedStats(ld(s, dir, "events"),
+          col("event_type"), col("value"), lo = 0.05, hi = 0.95)
+        .select(col("g").as("event_type"), col("n"), col("p_lo"),
+          col("p_hi"), col("win_mean"), col("trim_mean"), col("n_trim"))),
+
     // Tie-aware binary AUC of `value` predicting purchase events —
     // operators.Eval.aucBinary: per-score collapse, range-partition
     // prefix sums, doubled-rank integer arithmetic in DECIMAL(38,0),
@@ -4356,6 +4367,29 @@ object SparkEntry {
         |      / (CAST(2.0 AS DOUBLE) * CAST(np * (n - np) AS DOUBLE)), 6) END AS auc,
         |  CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t""".stripMargin,
+
+    "q_winsorized" ->
+      """WITH s AS (SELECT event_type AS g, value AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |c AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |p AS (SELECT w.g, n.n,
+        |    MIN(CASE WHEN cum >= ceil(0.05 * n.n) THEN v END) AS p_lo,
+        |    MIN(CASE WHEN cum >= ceil(0.95 * n.n) THEN v END) AS p_hi
+        |  FROM w JOIN n USING (g) GROUP BY w.g, n.n)
+        |SELECT s.g AS event_type, p.n, p.p_lo, p.p_hi,
+        |  round(CAST(SUM(CAST(LEAST(GREATEST(s.v, p.p_lo), p.p_hi)
+        |      AS DECIMAL(12,2))) AS DOUBLE) / p.n, 6) AS win_mean,
+        |  round(CAST(SUM(CASE WHEN s.v >= p.p_lo AND s.v <= p.p_hi
+        |      THEN CAST(s.v AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN s.v >= p.p_lo AND s.v <= p.p_hi THEN 1 ELSE 0 END),
+        |    6) AS trim_mean,
+        |  CAST(SUM(CASE WHEN s.v >= p.p_lo AND s.v <= p.p_hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_trim
+        |FROM s JOIN p USING (g)
+        |GROUP BY s.g, p.n, p.p_lo, p.p_hi""".stripMargin,
 
     "q_spearman" ->
       """WITH u AS (SELECT user_id,

@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Pins the (small) final projection, then releases the given
+    * intermediate persists — same hygiene as Eval.pinAndRelease:
+    * repeated calls in one session must not grow the block-manager
+    * cache with dead subtrees.
+    */
+  private def pinAndRelease(out: DataFrame,
+                            intermediates: DataFrame*): DataFrame = {
+    val pinned = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    pinned
+  }
+
   /** Exact SQL `NTILE(n) OVER (ORDER BY orderCols)` without a
     * single-partition window. `orderCols` lexicographic must be a
     * UNIQUE total order (append a key column as tiebreaker) — that is
@@ -85,8 +99,44 @@ object Rank {
       // textually identical expression, so the target rank agrees
       min(when(col("cum") >= ceil(lit(p) * col("n")), col("v"))).as(name)
     }
-    cum.groupBy(col("g"), col("n"))
-      .agg(aggs.head, aggs.tail: _*)
+    pinAndRelease(
+      cum.groupBy(col("g"), col("n")).agg(aggs.head, aggs.tail: _*),
+      parted)
+  }
+
+  /** Winsorized and trimmed statistics per group — the robust location
+    * readout for heavy-tailed quality scores: values are clamped to
+    * the group's exact discrete [lo, hi] percentiles (winsorized mean)
+    * or excluded outside them (trimmed mean), so a handful of extreme
+    * outliers cannot drag the location estimate.
+    *
+    * Scale shape: percentile bounds come from [[exactPercentiles]]
+    * (range-partition machinery, one small row per group) and join
+    * back BROADCAST, so the corpus-side pass is one map-side-combinable
+    * groupBy — no window anywhere. Sums are exact DECIMAL(12,2) (the
+    * q_corr convention) divided once and 6-dp rounded, so they are
+    * order-independent and oracle-mirrorable.
+    *
+    * Returns one row per group: `(g, n, p_lo, p_hi, win_mean,
+    * trim_mean, n_trim)`.
+    */
+  def winsorizedStats(df: DataFrame, group: Column, value: Column,
+                      lo: Double = 0.05, hi: Double = 0.95,
+                      nParts: Int = 32): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
+    val pct = exactPercentiles(df, group, value,
+        Seq("p_lo" -> lo, "p_hi" -> hi), nParts)
+    val rows = df.select(group.as("g"), value.as("v")).na.drop(Seq("v"))
+    val d = "decimal(12,2)"
+    val inBand = col("v") >= col("p_lo") && col("v") <= col("p_hi")
+    rows.join(broadcast(pct), "g")
+      .groupBy(col("g"), col("n"), col("p_lo"), col("p_hi"))
+      .agg(
+        round(sum(least(greatest(col("v"), col("p_lo")), col("p_hi"))
+          .cast(d)).cast("double") / col("n"), 6).as("win_mean"),
+        round(sum(when(inBand, col("v").cast(d))).cast("double") /
+          sum(when(inBand, 1L).otherwise(0L)), 6).as("trim_mean"),
+        sum(when(inBand, 1L).otherwise(0L)).as("n_trim"))
   }
 
   /** Exact 2-D skyline (Pareto frontier), both dimensions MINIMIZED:
@@ -127,6 +177,6 @@ object Rank {
       .withColumn("__dmin", least(min(col(c2)).over(localW), col("__premin")))
       .filter(col("__dmin").isNull || col("__dmin") > col(c2))
       .select(col(c1), col(c2))
-    points.join(frontier, Seq(c1, c2), "left_semi")
+    pinAndRelease(points.join(frontier, Seq(c1, c2), "left_semi"), parted)
   }
 }

@@ -99,4 +99,30 @@ class RankSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     assert(got("a") == ((7.0, 7.0)) && got("b") == ((1.0, 1.0)))
   }
+
+  test("winsorizedStats matches a brute-force replay with outliers") {
+    val rnd = new scala.util.Random(5)
+    val vals = (1 to 97).map(_ => rnd.nextInt(1000) / 100.0) ++
+      Seq(9999.99, -9999.99, 5000.0) // outliers the clamp must absorb
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val r = Rank.winsorizedStats(df, col("g"), col("v"), 0.05, 0.95, nParts = 4)
+      .collect()(0)
+    // brute: discrete percentile = smallest v with cum count >= ceil(p*n)
+    val sorted = vals.sorted
+    def pct(p: Double): Double = sorted(math.ceil(p * sorted.size).toInt - 1)
+    val (lo, hi) = (pct(0.05), pct(0.95))
+    assert(r.getDouble(2) == lo && r.getDouble(3) == hi)
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val winMean = rnd6(vals.map(v => BigDecimal(math.min(math.max(v, lo), hi))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vals.size)
+    val inBand = vals.filter(v => v >= lo && v <= hi)
+    val trimMean = rnd6(inBand.map(BigDecimal(_)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / inBand.size)
+    assert(r.getDouble(4) == winMean)
+    assert(r.getDouble(5) == trimMean)
+    assert(r.getLong(6) == inBand.size.toLong)
+    // the clamp really bit: plain mean is dragged, winsorized is not
+    assert(math.abs(vals.sum / vals.size) > math.abs(winMean) + 10)
+  }
 }
