@@ -1546,6 +1546,20 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("n"),
           col("p50"), col("p90"), col("p95"), col("p99"))),
 
+    // Per-row quantile-rank normalization of value within event_type —
+    // the distribution-free transform before cross-scorer
+    // thresholding. operators.Rank.quantileRank: per-distinct-value
+    // ECDF from the slice-offset machinery, mapped back by one
+    // co-partitioned join; the shared range exchange is computed once
+    // via ReuseExchange, nothing corpus-sized is pinned.
+    "q_quantile_normalize" -> ((s, dir) =>
+      graft.operators.Rank.quantileRank(
+          ld(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          col("event_type"), col("value"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("qrank"))),
+
     // Winsorized + trimmed mean of value per event_type — the robust
     // location readout for heavy-tailed scores. operators.Rank
     // .winsorizedStats: exact discrete p05/p95 bounds from the
@@ -4367,6 +4381,18 @@ object SparkEntry {
         |      / (CAST(2.0 AS DOUBLE) * CAST(np * (n - np) AS DOUBLE)), 6) END AS auc,
         |  CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t""".stripMargin,
+
+    "q_quantile_normalize" ->
+      """WITH s AS (SELECT event_id, event_type AS g, value AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |c AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT s.event_id, s.g AS event_type, s.v AS value,
+        |  round(CAST(cum AS DOUBLE) / n.n, 6) AS qrank
+        |FROM s JOIN w ON w.g = s.g AND w.v = s.v
+        |JOIN n ON n.g = s.g""".stripMargin,
 
     "q_winsorized" ->
       """WITH s AS (SELECT event_type AS g, value AS v FROM events

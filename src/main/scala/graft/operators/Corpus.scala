@@ -682,6 +682,13 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     require(orderCols.nonEmpty, "globalIds needs at least one order column")
     val oc = orderCols.map(col)
+    // The persist is a CORRECTNESS device, not a perf cache (measured:
+    // dropping it flipped q_lift_table red at sf0.01): the offsets
+    // branch and the ranked main branch must see the SAME partition
+    // bounds, and repartitionByRange determines them by sampling — two
+    // independent materializations can sample different bounds, making
+    // __pid inconsistent between the branches. Persisting pins one
+    // materialization that both branches read.
     val parted = df.repartitionByRange(nParts, oc: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -41,6 +41,8 @@ object Rank {
                  outCol: String, nParts: Int = 32): DataFrame = {
     require(n >= 1, "ntile bucket count must be >= 1")
     val ranked = Corpus.globalIds(df, orderCols, nParts)
+    // counting RANKED (not df) doubles as the cache materializer for
+    // globalIds' pinned range partition — see the persist note there
     val t = ranked.count() // one long to the driver
     val q = t / n
     val m = t % n
@@ -137,6 +139,59 @@ object Rank {
         round(sum(when(inBand, col("v").cast(d))).cast("double") /
           sum(when(inBand, 1L).otherwise(0L)), 6).as("trim_mean"),
         sum(when(inBand, 1L).otherwise(0L)).as("n_trim"))
+  }
+
+  /** Per-row quantile-rank normalization within each group — the
+    * distribution-free score transform a quality-filter pipeline runs
+    * before thresholding heterogeneous scorers: each row's value maps
+    * to its inclusive ECDF position `cum/n ∈ (0, 1]` within its group,
+    * so thresholds mean the same thing across groups regardless of the
+    * raw score scale.
+    *
+    * Scale shape: collapse to one row per (group, value) map-side (the
+    * only corpus-sized shuffle), per-distinct-value cumulative counts
+    * via the same slice-offset machinery as [[exactPercentiles]], then
+    * ONE co-partitioned join maps the (group, value) → quantile
+    * relation back onto the rows — never a corpus-wide window. The
+    * ratio is one double division, 6-dp.
+    *
+    * The distinct-value relation is persisted like [[exactPercentiles]]'
+    * — NOT as a perf cache but because repartitionByRange samples its
+    * partition bounds, and the offsets branch and the quantile-map
+    * branch must see the SAME bounds (see the persist note in
+    * [[Corpus.globalIds]]); the output is corpus-sized, so the pin
+    * cannot be traded for a materialize-and-release.
+    *
+    * Appends `qrank` to the input rows (null-valued rows are dropped).
+    */
+  def quantileRank(df: DataFrame, group: Column, value: Column,
+                   nParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.withColumn("__g", group).withColumn("__v", value)
+      .na.drop(Seq("__v"))
+    val g = rows.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("c"))
+    val parted = g.repartitionByRange(nParts, col("__g"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pidTotals = parted.groupBy(col("__pid"), col("__g"))
+      .agg(sum(col("c")).as("__t"))
+    // ≤ nParts × groups rows: the single-partition window is the point
+    val offs = pidTotals
+      .withColumn("__off", coalesce(sum(col("__t")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__g"), col("__off"))
+    val totals = pidTotals.groupBy(col("__g")).agg(sum(col("__t")).as("__n"))
+    val localW = Window.partitionBy(col("__pid"), col("__g"))
+      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val qmap = parted
+      .withColumn("__loc", sum(col("c")).over(localW))
+      .join(broadcast(offs), Seq("__pid", "__g"))
+      .join(broadcast(totals), "__g")
+      .select(col("__g"), col("__v"),
+        round((col("__loc") + col("__off")).cast("double") / col("__n"), 6)
+          .as("qrank"))
+    rows.join(qmap, Seq("__g", "__v")).drop("__g", "__v")
   }
 
   /** Exact 2-D skyline (Pareto frontier), both dimensions MINIMIZED:

@@ -100,6 +100,21 @@ class RankSpec extends AnyFunSuite {
     assert(got("a") == ((7.0, 7.0)) && got("b") == ((1.0, 1.0)))
   }
 
+  test("quantileRank: inclusive ECDF per group, ties share a rank") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+      ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val got = Rank.quantileRank(df, col("g"), col("v"), nParts = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", 1.0)) == 0.25)
+    assert(got(("a", 2.0)) == 0.75) // cum includes the whole tie group
+    assert(got(("a", 5.0)) == 1.0)
+    assert(got(("b", 3.0)) == 1.0)
+    // row multiplicity preserved
+    assert(Rank.quantileRank(df, col("g"), col("v"), nParts = 3).count() == 6)
+  }
+
   test("winsorizedStats matches a brute-force replay with outliers") {
     val rnd = new scala.util.Random(5)
     val vals = (1 to 97).map(_ => rnd.nextInt(1000) / 100.0) ++
