@@ -2935,6 +2935,29 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // ANN recall eval — dedup_lsh_eval's twin for the vector index:
+    // IVF top-3 vs the brute-force ground truth per probe query,
+    // recall = |IVF ∩ truth| / k. The number SimilaritySpec pins as a
+    // floor, surfaced as a driver-checked result (both rankings are
+    // deterministic: 6-dp cosine DESC, candidate-id tiebreak).
+    "knn_recall_eval" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(e, probes,
+          "embedding", "vec_id", k = 3)
+        .select(col("query_id"), col("candidate_id"))
+      val approx = Similarity.ivfTopK(e, probes,
+          "embedding", "vec_id", k = 3, nProbe = 6)
+        .select(col("query_id"), col("candidate_id"))
+        .withColumn("__hit", lit(1L))
+      truth.join(approx, Seq("query_id", "candidate_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+    }),
+
     // ---- streaming + end-to-end pipeline ------------------------
     // CDC events through a REAL StreamExecution, fed from file sources
     // (nothing is ever collected to the driver — the 100 TB path).
@@ -5998,6 +6021,35 @@ FROM cand GROUP BY 1""",
     "dedup_lsh_eval" -> OracleGen.dedupLshEval(threshold = 0.5),
     "knn_lsh" -> OracleGen.knnLsh(),
     "knn_ivf" -> OracleGen.knnIvf(),
+
+    // brute-force truth and the IVF ranking composed as nested CTEs;
+    // recall = per-query overlap of the two deterministic top-3 lists
+    "knn_recall_eval" -> {
+      val brute =
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+          |s AS (SELECT query_id, n.vec_id AS candidate_id,
+          |        CASE WHEN qn * nrm = 0 THEN 0.0
+          |             ELSE list_dot_product(qv, v) / (qn * nrm) END AS cos
+          |      FROM n, q WHERE n.vec_id <> query_id),
+          |r AS (SELECT query_id, candidate_id,
+          |        row_number() OVER (PARTITION BY query_id
+          |          ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS rnk
+          |      FROM s)
+          |SELECT query_id, candidate_id FROM r WHERE rnk <= 3""".stripMargin
+      s"""WITH truth AS ($brute),
+         |approx AS (${OracleGen.knnIvf()}),
+         |h AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN a.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM truth t LEFT JOIN approx a
+         |    ON a.query_id = t.query_id AND a.candidate_id = t.candidate_id
+         |  GROUP BY t.query_id)
+         |SELECT query_id, n_true, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+         |FROM h""".stripMargin
+    },
     "knn_ivfpq" -> OracleGen.knnIvfPq(),
     "mm_frame_features" -> OracleGen.mmFrameFeatures
   )
