@@ -63,4 +63,54 @@ class EvalPropertySpec extends AnyFunSuite {
         ab.getLong(2) == ba.getLong(3) && ab.getLong(3) == ba.getLong(2)
     })
   }
+
+  // two numeric columns with heavy ties, non-constant by construction
+  private val xyGen: Gen[List[(Double, Double)]] = for {
+    n <- Gen.choose(20, 100)
+    rows <- Gen.listOfN(n, for {
+      x <- Gen.choose(0, 12)
+      y <- Gen.choose(0, 9)
+    } yield (x.toDouble, y.toDouble))
+  } yield ((0.0, 0.0) :: (1.0, 1.0) :: (2.0, 0.0) :: rows)
+
+  test("Spearman is rank-based: strictly increasing transforms of " +
+      "either column leave rho unchanged; swapping columns is symmetric") {
+    check(Prop.forAll(xyGen) { rows =>
+      val df = rows.toDF("x", "y")
+      def rho(xc: org.apache.spark.sql.Column,
+              yc: org.apache.spark.sql.Column): Double =
+        Eval.spearman(df, xc, yc).collect()(0).getDouble(1)
+      val base = rho(col("x"), col("y"))
+      rho(exp(col("x")), col("y")) == base &&
+        rho(col("x"), col("y") * lit(7.0) + lit(1.0)) == base &&
+        rho(col("y"), col("x")) == base
+    })
+  }
+
+  test("Spearman negates under a strictly decreasing transform") {
+    check(Prop.forAll(xyGen) { rows =>
+      val df = rows.toDF("x", "y")
+      val base = Eval.spearman(df, col("x"), col("y")).collect()(0).getDouble(1)
+      val neg = Eval.spearman(df, -col("x"), col("y")).collect()(0).getDouble(1)
+      math.abs(base + neg) < 2e-6
+    })
+  }
+
+  test("NDCG is invariant under strictly increasing score transforms " +
+      "and always within (0, 1]") {
+    check(Prop.forAll(rowsGen) { rows =>
+      // one query per 10 rows; tiebreak = index keeps ranks unique
+      val df = rows.zipWithIndex
+        .map { case ((s, y), i) => (i / 10, s, y, i.toLong) }
+        .toDF("q", "s", "y", "tb")
+      def m(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        Eval.meanNdcgBinary(df, col("q"), f(col("s")), col("y"), col("tb"))
+          .collect()(0)
+      val base = m(identity)
+      val scaled = m(s => s * lit(5.0) + lit(3.0))
+      base.getLong(0) == scaled.getLong(0) &&
+        base.getDouble(1) == scaled.getDouble(1) &&
+        base.getDouble(1) > 0.0 && base.getDouble(1) <= 1.0
+    })
+  }
 }
