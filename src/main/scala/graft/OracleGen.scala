@@ -849,6 +849,40 @@ SELECT doc_id, frame_idx, round($slotSum, 6) AS feat_sum, format, n_frames
 FROM frames"""
   }
 
+  /** Oracle for `mm_frame_dedup` — replays
+    * [[graft.operators.Multimodal.StubCodec.frameFingerprint]]: the
+    * canonical `s:b,b,...,;` per-slot byte-list string (integers, never
+    * floats) md5'd per sampled frame, then grouped across blobs with
+    * the lexicographic (doc_id, frame_idx) canonical pick.
+    */
+  def mmFrameDedup: String = {
+    def hexv(pos: Int) = s"(strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1)"
+    val bytes = (0 until 16).map(k => s"CAST(16 * ${hexv(2 * k + 1)} + ${hexv(2 * k + 2)} AS INT)")
+      .mkString("[", ", ", "]")
+    // 16-byte blobs: slot s of frame f draws exactly bytes i1 and i1+8,
+    // i1 = ((s - f) mod 8), in ascending index order
+    val canon = (0 until 8).map { s =>
+      val i1 = s"((($s - frame_idx) % 8 + 8) % 8)"
+      s"'$s:', CAST(bl[$i1 + 1] AS VARCHAR), ',', CAST(bl[$i1 + 9] AS VARCHAR), ',;'"
+    }.mkString(", ")
+    s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+bytes AS (SELECT doc_id, $bytes AS bl FROM h),
+meta AS (SELECT doc_id, bl, CAST(1 + (bl[4] % 16) AS INT) AS n_frames FROM bytes),
+frames AS (SELECT doc_id, bl,
+    CAST(u.i * GREATEST(n_frames // LEAST(n_frames, 4), 1) AS BIGINT) AS frame_idx
+  FROM meta, LATERAL unnest(range(0, LEAST(n_frames, 4))) AS u(i)),
+fpt AS (SELECT doc_id, frame_idx, md5(concat($canon)) AS fp FROM frames),
+g AS (SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc
+  FROM fpt GROUP BY fp),
+g2 AS (SELECT f.fp, MIN(f.frame_idx) AS canonical_frame
+  FROM fpt f JOIN g ON g.fp = f.fp AND f.doc_id = g.canonical_doc
+  GROUP BY f.fp)
+SELECT f.doc_id, f.frame_idx, f.fp, g.canonical_doc, g2.canonical_frame,
+  g.n_copies,
+  (f.doc_id = g.canonical_doc AND f.frame_idx = g2.canonical_frame) AS keep
+FROM fpt f JOIN g ON g.fp = f.fp JOIN g2 ON g2.fp = f.fp"""
+  }
+
   /** Oracle for `graph_pagerank` — [[graft.operators.Graph.pageRank]]
     * over [[graft.operators.Graph.purchaseGraph]], the recurrence
     * UNROLLED one CTE per iteration (the same finite-prefix trick as

@@ -3583,6 +3583,16 @@ object SparkEntry {
     // frame sampling → per-frame feature vectors, all via mapPartitions
     // (one partition of blobs resident per task; shuffles move features,
     // never media bytes). Codec is the deterministic stub.
+    // Frame-level dedup across blobs (the video analog of block
+    // dedup): fingerprints computed in the same mapPartitions pass
+    // that samples frames — integer byte lists md5'd, never floats —
+    // so the exchange carries (fp, ids) only, payloads at rest.
+    "mm_frame_dedup" -> ((s, dir) =>
+      Multimodal.dedupFrames(
+        ld(s, dir, "documents")
+          .select(col("doc_id"), unhex(md5(col("text"))).as("blob")),
+        "blob", "doc_id", maxFrames = 4)),
+
     "mm_frame_features" -> ((s, dir) => {
       val blobs = ld(s, dir, "documents")
         .select(col("doc_id"), unhex(md5(col("text"))).as("blob"))
@@ -6051,6 +6061,8 @@ FROM cand GROUP BY 1""",
          |FROM h""".stripMargin
     },
     "knn_ivfpq" -> OracleGen.knnIvfPq(),
-    "mm_frame_features" -> OracleGen.mmFrameFeatures
+    "mm_frame_features" -> OracleGen.mmFrameFeatures,
+
+    "mm_frame_dedup" -> OracleGen.mmFrameDedup
   )
 }

@@ -59,6 +59,33 @@ object Multimodal {
       (w / factor, h / factor, bytes.take(keep))
     }
 
+    /** Canonical fingerprint of ONE frame's feature-generating content:
+      * md5 over the per-slot ordered byte lists that determine
+      * [[frameFeatures]](bytes, frame, 8). Two frames share a
+      * fingerprint iff the byte sequence feeding every feature slot is
+      * identical — i.e. their decoded features are bit-equal — without
+      * ever fingerprinting floats (float formatting is engine-specific;
+      * integer byte values are not). The string layout
+      * `s:b,b,...,;` per slot is replayed verbatim by the oracle.
+      */
+    def frameFingerprint(bytes: Array[Byte], frame: Int): String = {
+      val sb = new StringBuilder
+      var s = 0
+      while (s < 8) {
+        sb.append(s).append(':')
+        var i = 0
+        while (i < bytes.length) {
+          if ((i + frame) % 8 == s) sb.append(bytes(i) & 0xff).append(',')
+          i += 1
+        }
+        sb.append(';')
+        s += 1
+      }
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+
     /** "Decode" one frame: a fixed-size feature vector (stub: byte
       * histogram folded to `dim`).
       */
@@ -146,6 +173,52 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Frame-level dedup ACROSS blobs — the video/image analog of
+    * sub-document block dedup: every sampled frame is fingerprinted by
+    * its feature-generating content ([[StubCodec.frameFingerprint]] —
+    * integer byte lists, never floats) in the same mapPartitions pass
+    * that samples it, so only `(fingerprint, doc_id, frame_idx)` rows
+    * ever reach an exchange — media payloads stay at rest. keep =
+    * lexicographically lowest (doc_id, frame_idx) per content group.
+    * At 100 TB this is how near-free cross-video frame dedup works:
+    * the shuffle is fingerprint-sized regardless of blob size.
+    */
+  def dedupFrames(df: DataFrame, blobCol: String, idCol: String,
+                  maxFrames: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("fp", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bIdx = df.schema.fieldIndex(blobCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    val fps = df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val (_, _, _, _, nFrames) = StubCodec.decodeMeta(bytes)
+          val take = math.min(nFrames, maxFrames)
+          val step = math.max(nFrames / math.max(take, 1), 1)
+          val id = r.getAs[Number](iIdx).longValue()
+          (0 until take).iterator.map { i =>
+            Row(id, (i * step).toLong,
+              StubCodec.frameFingerprint(bytes, i * step))
+          }
+        }
+      }
+    }(enc)
+    val grp = fps.groupBy(col("fp")).agg(
+      min(struct(col("doc_id"), col("frame_idx"))).as("c"),
+      count(lit(1)).as("n_copies"))
+    fps.join(grp, "fp")
+      .select(col("doc_id"), col("frame_idx"), col("fp"),
+        col("c.doc_id").as("canonical_doc"),
+        col("c.frame_idx").as("canonical_frame"), col("n_copies"),
+        (col("doc_id") === col("c.doc_id") &&
+          col("frame_idx") === col("c.frame_idx")).as("keep"))
   }
 
   /** Exact media dedup by content fingerprint — the multimodal twin of

@@ -135,6 +135,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(f1.nonEmpty && f1.forall(_.getSeq[Float](2).length == 4))
   }
 
+  test("multimodal: dedupFrames shares fingerprints across identical blobs " +
+      "and keeps the lexicographic lowest (doc, frame)") {
+    val payload = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    val blobs = Seq(
+      (4L, payload), (9L, payload.clone()), // identical media content
+      (2L, Array.tabulate[Byte](16)(i => (i * 11 + 5).toByte)))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.dedupFrames(blobs, "blob", "doc_id", maxFrames = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // doc 4 and doc 9 decode identical frames: every frame of 9 is a
+    // duplicate of 4's, with n_copies 2
+    val d4 = rows.keys.filter(_._1 == 4L)
+    assert(d4.nonEmpty)
+    d4.foreach { case (_, f) =>
+      assert(rows((4L, f)) == ((4L, f, 2L, true)))
+      assert(rows((9L, f)) == ((4L, f, 2L, false)))
+    }
+    // doc 2's frames are their own canonical group
+    rows.keys.filter(_._1 == 2L).foreach { case (_, f) =>
+      assert(rows((2L, f))._4)
+    }
+    // fingerprint string is engine-neutral: spot-check determinism
+    val fp1 = Multimodal.StubCodec.frameFingerprint(payload, 0)
+    assert(fp1 == Multimodal.StubCodec.frameFingerprint(payload.clone(), 0))
+    assert(fp1 != Multimodal.StubCodec.frameFingerprint(payload, 1))
+  }
+
   test("multimodal: dedupBlobs groups identical payloads, keep = lowest id") {
     val payload = Array[Byte](1, 2, 3, 4)
     val blobs = Seq(
