@@ -570,7 +570,9 @@ SELECT query_id, candidate_id, approx_ip, "rank" FROM (
     * rounding tie, so HALF_UP and HALF_EVEN engines agree) cast to
     * double and re-rounded to 6 dp.
     */
-  def embedKmeans(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
+  def embedKmeans(k: Int = 8, iters: Int = 2, dim: Int = 64,
+                  limitSql: String = ""): String = {
+    val kLimit = if (limitSql.nonEmpty) limitSql else k.toString
     val h = fnvToken("CAST(vec_id AS VARCHAR)")
     val signedH =
       s"CAST(CASE WHEN $h >= $Pow63::HUGEINT THEN $h - $M64::HUGEINT ELSE $h END AS BIGINT)"
@@ -602,7 +604,7 @@ $name AS (SELECT cell, list(m ORDER BY i) AS cv FROM ${name}m GROUP BY cell)"""
   FROM embeddings),
 n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 c0 AS (SELECT (row_number() OVER (ORDER BY $signedH, vec_id)) - 1 AS cell, v AS cv
-  FROM e ORDER BY $signedH, vec_id LIMIT $k),
+  FROM e ORDER BY $signedH, vec_id LIMIT $kLimit),
 $iterCtes,
 ${simCte("sf", s"c$iters")}
 SELECT vec_id, CAST(cell AS BIGINT) AS cell_id, sim AS cosine FROM (
@@ -797,7 +799,11 @@ CROSS JOIN p$iters pa CROSS JOIN qp$iters pb"""
     * rounded-cosine threshold.
     */
   def dedupSemantic(threshold: Double = 0.7): String =
-    s"""WITH km AS (SELECT vec_id, cell_id FROM (${embedKmeans()})),
+    // the Spark side's k ADAPTS to the input (Dedup.chooseK: max(8,
+    // ceil(N/64)), one count) — the oracle must replay the same k, not
+    // a hardcoded 8, or the two silently diverge past N = 512
+    s"""WITH km AS (SELECT vec_id, cell_id FROM (${embedKmeans(limitSql =
+      "GREATEST(8, ((SELECT COUNT(*) FROM embeddings) + 63) // 64)")})),
 ev AS (SELECT CAST(vec_id AS BIGINT) AS id,
     list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
   FROM embeddings),

@@ -1550,8 +1550,9 @@ object SparkEntry {
     // the distribution-free transform before cross-scorer
     // thresholding. operators.Rank.quantileRank: per-distinct-value
     // ECDF from the slice-offset machinery, mapped back by one
-    // co-partitioned join; the shared range exchange is computed once
-    // via ReuseExchange, nothing corpus-sized is pinned.
+    // co-partitioned join. The distinct-(group, value) relation is
+    // pinned for range-bound consistency (see the operator's scaladoc);
+    // here values are 2-dp, so the pin is distinct-value-sized.
     "q_quantile_normalize" -> ((s, dir) =>
       graft.operators.Rank.quantileRank(
           ld(s, dir, "events")
@@ -2739,7 +2740,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).withColumn("__c", lit(1L))
       val truth = Dedup.prefixFilterPairsFromHashes(hashed, 0.5)
         .select(col("id_a"), col("id_b")).withColumn("__t", lit(1L))
-      cand.join(truth, Seq("id_a", "id_b"), "full_outer")
+      val out = cand.join(truth, Seq("id_a", "id_b"), "full_outer")
         .agg(sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
           sum(coalesce(col("__t"), lit(0L))).as("n_true"),
           sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L)
@@ -2751,6 +2752,13 @@ object SparkEntry {
           when(col("n_true") > 0,
             round(col("n_hit").cast("double") /
               col("n_true").cast("double"), 6)).as("recall"))
+        // pin the 1-row result, release the corpus-sized shingle
+        // relation — repeated invocations (bench passes) must not
+        // accumulate full-corpus cached relations
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      hashed.unpersist(blocking = false)
+      out
     }),
 
     // Asymmetric (containment) dedup: exact overlap coefficient

@@ -71,7 +71,7 @@ object Jobs {
     */
   def dailyMerge(spark: SparkSession, spec: TableSpec, ds: LocalDate): Unit =
     readDayEvents(spark, spec, ds).foreach { events =>
-      mergeInto(spark, spec, spec.dailyTable, events.cache())
+      mergeInto(spark, spec, spec.dailyTable, events)
     }
 
   /** History merge (`pipelines/history_data_handler.py`): merge ds−1
@@ -94,7 +94,7 @@ object Jobs {
         val wrote =
           if (Lake.tableExists(spark, spec.historyTable))
             readDayEvents(spark, spec, ds.minusDays(1), lowered).map { ev =>
-              mergeInto(spark, spec, spec.historyTable, ev.cache().distinct())
+              mergeInto(spark, spec, spec.historyTable, ev.distinct())
             }.isDefined
           else {
             // Backfill: the whole raw log arrives as ONE batch, where the
@@ -123,20 +123,29 @@ object Jobs {
     */
   private def mergeInto(spark: SparkSession, spec: TableSpec,
                         table: String, events: DataFrame): Unit = {
-    val routed = CdcOps.routeOps(events, spec.primaryKeys)
-    val existing =
-      if (Lake.tableExists(spark, table)) spark.table(table)
-      else CdcOps.emptyLike(routed.inserts)
-    // Tombstones past the broadcast budget switch the merge to the
-    // bloom-pruned anti-join (no full-table exchange of `existing`).
-    // |updates| + |deletes| upper-bounds the tombstone count; callers
-    // cache `events`, so the two counts are cache scans, not re-reads.
-    val limit = spark.conf.getOption("graft.cdc.tombstoneBroadcastLimit")
-      .map(_.toLong).getOrElse(1L << 22)
-    val beyond =
-      routed.updates.count() + routed.deleteKeys.count() > limit
-    val merged = CdcOps.mergeBatch(existing, routed, spec.primaryKeys,
-      spec.orderColumns, tombstonesBeyondBroadcast = beyond)
-    Lake.overwriteTableSafely(merged, table, format = spec.format)
+    // Cache HERE, above any caller-side distinct(), so the routed
+    // counts below and the merge itself all read one materialization
+    // (a cache below the distinct would re-run the distinct shuffle
+    // per action); released once the merge has written.
+    val ev = events.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val routed = CdcOps.routeOps(ev, spec.primaryKeys)
+      val existing =
+        if (Lake.tableExists(spark, table)) spark.table(table)
+        else CdcOps.emptyLike(routed.inserts)
+      // Tombstones past the broadcast budget switch the merge to the
+      // bloom-pruned anti-join (no full-table exchange of `existing`).
+      // |updates| + |deletes| upper-bounds the tombstone count; one
+      // cache-backed scan computes both counts.
+      val limit = spark.conf.getOption("graft.cdc.tombstoneBroadcastLimit")
+        .map(_.toLong).getOrElse(1L << 22)
+      val beyond = routed.updates.select(lit(1L).as("__one"))
+        .unionByName(routed.deleteKeys.select(lit(1L).as("__one")))
+        .count() > limit
+      val merged = CdcOps.mergeBatch(existing, routed, spec.primaryKeys,
+        spec.orderColumns, tombstonesBeyondBroadcast = beyond)
+      Lake.overwriteTableSafely(merged, table, format = spec.format)
+    } finally ev.unpersist(blocking = false)
   }
 }

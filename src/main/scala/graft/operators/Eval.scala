@@ -26,7 +26,10 @@ object Eval {
     * every intermediate persist — repeated Eval calls in one session
     * must not grow the block-manager cache with dead subtrees. If the
     * pinned copy is ever evicted it recomputes from lineage, still
-    * correct, just uncached.
+    * correct, just uncached. Deliberate tradeoff: the count() makes
+    * construction EAGER, so plan-only consumers (Explain, schema
+    * canaries) pay one execution — accepted, because the statistics'
+    * callers always materialize anyway and the leak was unbounded.
     */
   private def pinAndRelease(out: DataFrame,
                             intermediates: DataFrame*): DataFrame = {

@@ -210,10 +210,17 @@ object Multimodal {
         }
       }
     }(enc)
-    val grp = fps.groupBy(col("fp")).agg(
-      min(struct(col("doc_id"), col("frame_idx"))).as("c"),
-      count(lit(1)).as("n_copies"))
-    fps.join(grp, "fp")
+    // window, not self-join: fps is an unpersisted mapPartitions
+    // relation, and a groupBy+join-back would evaluate it twice —
+    // decoding and fingerprinting every blob a second time. One
+    // fp-partitioned window shuffles the fingerprint rows once and
+    // reads the decode pass once (content groups are duplicate-set
+    // sized, so the per-group window buffer is bounded).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+    fps
+      .withColumn("c", min(struct(col("doc_id"), col("frame_idx"))).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
       .select(col("doc_id"), col("frame_idx"), col("fp"),
         col("c.doc_id").as("canonical_doc"),
         col("c.frame_idx").as("canonical_frame"), col("n_copies"),
