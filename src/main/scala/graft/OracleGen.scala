@@ -855,6 +855,34 @@ SELECT doc_id, frame_idx, round($slotSum, 6) AS feat_sum, format, n_frames
 FROM frames"""
   }
 
+  /** Oracle for `graph_kcore` — replays
+    * [[graft.operators.Graph.kCore]] over the co-activity edges with
+    * the peeling unrolled a fixed `rounds` times: the Spark side
+    * THROWS unless the fixpoint is reached within its `maxIters`, and
+    * a converged fixpoint is stable under further rounds, so the
+    * fixed-round replay is exact whenever the gate is green at all.
+    */
+  def graphKCore(k: Int = 3, rounds: Int = 8, minCo: Int = 3): String = {
+    val peel = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT e.src AS node, COUNT(*) AS deg
+  FROM e JOIN a${i - 1} x ON x.node = e.src
+  JOIN a${i - 1} y ON y.node = e.dst GROUP BY 1),
+a$i AS (SELECT node FROM d$i WHERE deg >= $k)"""
+    }.mkString(",\n")
+    s"""WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+  FROM events),
+ed AS (SELECT a.user_id AS a, b.user_id AS b
+  FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING count(*) >= $minCo),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+a0 AS (SELECT DISTINCT src AS node FROM e),
+$peel,
+df AS (SELECT e.src AS node, COUNT(*) AS deg
+  FROM e JOIN a$rounds x ON x.node = e.src
+  JOIN a$rounds y ON y.node = e.dst GROUP BY 1)
+SELECT node, CAST(deg AS BIGINT) AS core_deg FROM df"""
+  }
+
   /** Oracle for `mm_frame_dedup` — replays
     * [[graft.operators.Multimodal.StubCodec.frameFingerprint]]: the
     * canonical `s:b,b,...,;` per-slot byte-list string (integers, never

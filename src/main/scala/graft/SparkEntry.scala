@@ -2661,6 +2661,16 @@ object SparkEntry {
               .cast("double"), 6).as("jaccard"))
     }),
 
+    // 3-core of the co-activity graph: iterative degree-< k peeling
+    // to the fixpoint (convergence-guarded — throws rather than
+    // returning a half-peeled set, which also licenses the oracle's
+    // fixed-round replay). Per round: one semi-join of the 2-column
+    // edge relation + one degree groupBy; edges never rewrite.
+    "graph_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCore(coActivityCached(s, dir), k = 3,
+          maxIters = 8)
+        .select(col("node"), col("deg").cast("long").as("core_deg"))),
+
     // Bounded-radius BFS: min-hop distance from the seed users
     // (user_id ≡ 0 mod 50) over the co-activity graph, 3 frontier
     // expansions — per-hop shuffle ∝ frontier × degree, visited set
@@ -5899,6 +5909,8 @@ FROM cand GROUP BY 1""",
     "graph_pagerank" -> OracleGen.graphPageRank(iters = 5, damping = 0.85),
 
     "graph_hits" -> OracleGen.graphHits(iters = 3),
+
+    "graph_kcore" -> OracleGen.graphKCore(k = 3, rounds = 8),
 
     // two unrolled sync min-label rounds over the co-activity graph
     "graph_label_prop" ->

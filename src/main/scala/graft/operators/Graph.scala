@@ -121,6 +121,59 @@ object Graph {
       .select(col("a"), col("b"))
   }
 
+  /** k-core of an undirected edge set (`a < b` canonical, distinct):
+    * iteratively peel nodes of degree < k until the fixpoint; returns
+    * the surviving nodes with their in-core degree — the standard
+    * dense-community pruning pass before expensive per-node work.
+    *
+    * Scale shape: each round is ONE semi-join of the (2-column) edge
+    * relation against the surviving node set plus one
+    * map-side-combinable degree groupBy — edges never rewrite, only
+    * the shrinking node relation moves. Convergence is detected by a
+    * scalar count per round (the fail-don't-drift policy: if the
+    * fixpoint isn't reached within `maxIters`, THROW rather than
+    * return a half-peeled set — which also licenses the oracle to
+    * replay a fixed `maxIters` rounds, since a converged fixpoint is
+    * stable under further rounds).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
+    require(k >= 1 && maxIters >= 1, "need k >= 1 and maxIters >= 1")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def degreesOver(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+    var alive = sym.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var n = alive.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = degreesOver(alive).filter(col("deg") >= k)
+        .select(col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = next.count()
+      alive.unpersist(blocking = false)
+      alive = next
+      converged = m == n
+      n = m
+      it += 1
+    }
+    if (!converged) {
+      alive.unpersist(blocking = false); sym.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge within $maxIters rounds — raise maxIters")
+    }
+    val out = degreesOver(alive)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    alive.unpersist(blocking = false); sym.unpersist(blocking = false)
+    out
+  }
+
   /** Degree histogram of an undirected edge set (`a < b` canonical,
     * distinct): (degree, n_nodes). Two map-side-combinable groupBys —
     * the 100 TB shape for "what does the graph look like".

@@ -209,6 +209,30 @@ class GraphSpec extends AnyFunSuite {
     assert(got(("s1", "auth")) > got(("s3", "auth")))
   }
 
+  test("kCore peels a chain down to the clique core over multiple rounds") {
+    // K4 clique (3-core) + a chain hanging off it: the chain peels one
+    // node per round (cascading removals — a single-round filter would
+    // get this wrong), the clique survives with in-core degree 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (k4 ++ chain).toDF("a", "b")
+    // k=2: only node 7 is initially below k — 6 then 5 fall in later
+    // rounds as their neighbors vanish (the true cascade)
+    val got = graft.operators.Graph.kCore(edges, k = 2, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=1 keeps everything with its full degree
+    val all = graft.operators.Graph.kCore(edges, k = 1, maxIters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all.keySet == (1L to 7L).toSet && all(4L) == 4L && all(7L) == 1L)
+    // non-convergence within maxIters must THROW, not half-peel
+    intercept[IllegalStateException] {
+      graft.operators.Graph.kCore(edges, k = 2, maxIters = 2)
+    }
+    // empty k-core (no 5-core exists) is empty, not an error
+    assert(graft.operators.Graph.kCore(edges, k = 5, maxIters = 8).count() == 0)
+  }
+
   test("memoized label-prop queries survive repeated + nested cache access") {
     // regression: labelPropCached resolved its edge relation INSIDE
     // computeIfAbsent — a nested access to the access-ordered LRU
