@@ -2661,6 +2661,17 @@ object SparkEntry {
               .cast("double"), 6).as("jaccard"))
     }),
 
+    // Connected components of the co-activity graph — the canonical
+    // iterative graph op, surfaced directly (dedup_clusters runs the
+    // same machinery over LSH pairs): min-label propagation to the
+    // fixpoint with a convergence guard (partial labels are silently
+    // wrong, so non-convergence throws). operators.Cluster
+    // .connectedComponents; oracle = recursive-CTE closure.
+    "graph_components" -> ((s, dir) =>
+      graft.operators.Cluster.connectedComponents(
+          coActivityCached(s, dir), "a", "b")
+        .select(col("id").as("node"), col("comp").as("component"))),
+
     // 3-core of the co-activity graph: iterative degree-< k peeling
     // to the fixpoint (convergence-guarded — throws rather than
     // returning a half-peeled set, which also licenses the oracle's
@@ -5911,6 +5922,22 @@ FROM cand GROUP BY 1""",
     "graph_hits" -> OracleGen.graphHits(iters = 3),
 
     "graph_kcore" -> OracleGen.graphKCore(k = 3, rounds = 8),
+
+    // transitive min-label closure over the symmetrized co-activity
+    // edges; component = smallest reachable node id
+    "graph_components" ->
+      """WITH RECURSIVE u AS (SELECT DISTINCT date_trunc('hour', ts) AS h,
+        |    event_type AS et, user_id FROM events),
+        |ed AS (SELECT a.user_id AS a, b.user_id AS b
+        |  FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT a AS src, b AS dst FROM ed
+        |          UNION SELECT b, a FROM ed),
+        |cc AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+        |SELECT id AS node, MIN(comp) AS component FROM cc GROUP BY id""".stripMargin,
 
     // two unrolled sync min-label rounds over the co-activity graph
     "graph_label_prop" ->
