@@ -233,6 +233,32 @@ class GraphSpec extends AnyFunSuite {
     assert(graft.operators.Graph.kCore(edges, k = 5, maxIters = 8).count() == 0)
   }
 
+  test("kCore matches a brute-force peel on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 5
+      val edges = (1 to n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val k = 2 + trial % 2
+      // brute: peel to fixpoint on adjacency sets
+      var adj = edges.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = dead.nonEmpty
+        adj = (adj -- dead).map { case (v, ns) => v -> (ns -- dead) }
+      }
+      val want = adj.map { case (v, ns) => v -> ns.size.toLong }
+      val got = graft.operators.Graph.kCore(edges.toDF("a", "b"), k,
+          maxIters = 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$n, k=$k)")
+    }
+  }
+
   test("memoized label-prop queries survive repeated + nested cache access") {
     // regression: labelPropCached resolved its edge relation INSIDE
     // computeIfAbsent — a nested access to the access-ordered LRU

@@ -227,6 +227,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in HITS:\n$plan")
   }
 
+  test("quantileRank: every window is slice- or group-local, offsets broadcast") {
+    val rows = (0 until 400).map(i => (s"g${i % 3}", (i % 37).toDouble))
+      .toDF("g", "v")
+    val plan = executed(graft.operators.Rank.quantileRank(
+      rows, col("g"), col("v"), nParts = 8))
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    // no bare ORDER BY over the whole relation
+    assert(plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => !l.contains("windowspecdefinition()")),
+      s"global window present:\n$plan")
+  }
+
+  test("winsorizedStats: percentile bounds join back broadcast; corpus side " +
+      "is one aggregate, no window") {
+    val rows = (0 until 300).map(i => (s"g${i % 2}", (i % 29).toDouble))
+      .toDF("g", "v")
+    val plan = executed(graft.operators.Rank.winsorizedStats(
+      rows, col("g"), col("v"), 0.1, 0.9, nParts = 4))
+    assert(plan.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side sort-merge:\n$plan")
+  }
+
   test("bloomPrunedAntiJoin beyond broadcast: the definite-keep branch " +
       "of the existing table never shuffles") {
     import org.apache.spark.sql.execution.{SparkPlan, UnionExec}
