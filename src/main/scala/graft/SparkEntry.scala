@@ -1635,6 +1635,14 @@ object SparkEntry {
         col("user_id"), col("value"),
         col("event_type") === "purchase", col("event_id"), k = 10)),
 
+    // Average precision (PR-AUC at observed operating points) of value
+    // ranking purchases — the imbalanced-data companion to q_auc.
+    // operators.Eval.averagePrecision: two range-partition rank passes
+    // (full relation, then positives), per-positive exact rationals.
+    "q_avg_precision" -> ((s, dir) =>
+      graft.operators.Eval.averagePrecision(ld(s, dir, "events"),
+        col("value"), col("event_type") === "purchase", col("event_id"))),
+
     // Two-proportion z-test: did the purchase rate move between the
     // pre-/post-Jan-15 cohorts — operators.Eval.twoProportionZ (one
     // combined aggregate; √ and divisions mirrored by the oracle).
@@ -4455,6 +4463,20 @@ object SparkEntry {
         |  round(CAST(cum AS DOUBLE) / n.n, 6) AS qrank
         |FROM s JOIN w ON w.g = s.g AND w.v = s.v
         |JOIN n ON n.g = s.g""".stripMargin,
+
+    "q_avg_precision" ->
+      """WITH s AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    event_id AS tb
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY v DESC, tb) AS r FROM s),
+        |p AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS j FROM r WHERE y = 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    round(CAST(SUM(CAST(round(CAST(j AS DOUBLE) / r, 6)
+        |        AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
+        |  END AS avg_precision
+        |FROM p""".stripMargin,
 
     "q_winsorized" ->
       """WITH s AS (SELECT event_type AS g, value AS v FROM events

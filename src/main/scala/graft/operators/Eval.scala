@@ -393,6 +393,39 @@ object Eval {
     pinAndRelease(out, rows, px, py)
   }
 
+  /** Average precision (the area under the precision-recall curve at
+    * the observed operating points) of `score` ranking binary `rel` —
+    * the imbalanced-data companion to [[aucBinary]]:
+    * `AP = (1/n⁺) Σ_{positives} P@rank(positive)`, with
+    * `P@r = (positives among the top r) / r` under the deterministic
+    * total order (score DESC, tiebreak ASC).
+    *
+    * Scale shape: two [[Corpus.globalIds]] range-partition rank passes
+    * (the full relation, then the positives subset — never a
+    * single-partition window); for the i-th positive at global rank r,
+    * P@r = i/r exactly, so the whole statistic is per-row rationals
+    * 6-dp-rounded and decimal-summed (order-independent,
+    * oracle-mirrorable). Returns one row `(n_pos, avg_precision)`;
+    * NULL AP when there are no positives.
+    */
+  def averagePrecision(df: DataFrame, score: Column, rel: Column,
+                       tiebreak: Column, nParts: Int = 32): DataFrame = {
+    val base = df.select(score.as("s"), rel.cast("long").as("y"),
+        tiebreak.as("tb"))
+      .na.drop(Seq("s"))
+      .withColumn("negs", -col("s"))
+    val ranked = Corpus.globalIds(base, Seq("negs", "tb"), nParts)
+      .withColumn("r", col("global_id") + 1).drop("global_id")
+    val pos = ranked.filter(col("y") === 1)
+    Corpus.globalIds(pos, Seq("negs", "tb"), nParts)
+      .withColumn("j", col("global_id") + 1)
+      .agg(count(lit(1)).as("n_pos"),
+        when(count(lit(1)) > 0,
+          round(sum(round(col("j").cast("double") / col("r"), 6)
+              .cast("decimal(25,12)")).cast("double") / count(lit(1)), 6))
+          .as("avg_precision"))
+  }
+
   /** Mean NDCG@k of `score` ranking binary `rel` within each query
     * group — the retrieval-eval readout for a ranker (BM25, hybrid
     * RRF, a quality scorer ordering a feed):

@@ -246,6 +246,39 @@ class EvalSpec extends AnyFunSuite {
     assert(r3.isNullAt(1))
   }
 
+  test("averagePrecision matches the textbook definition on random data") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 200).map(i =>
+      (rnd.nextInt(40).toDouble, rnd.nextInt(5) == 0, i.toLong))
+    val r = Eval.averagePrecision(rows.toDF("s", "y", "tb"),
+      col("s"), col("y"), col("tb")).collect()(0)
+    // brute: sort by (score desc, tb asc); AP = mean over positives of
+    // (positives so far)/(rank), each term rounded to 6 dp
+    val sorted = rows.sortBy { case (s, _, tb) => (-s, tb) }
+    var seen = 0
+    val terms = sorted.zipWithIndex.collect { case ((_, true, _), i) =>
+      seen += 1
+      BigDecimal(seen.toDouble / (i + 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = BigDecimal(terms.sum.toDouble / terms.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == terms.size.toLong)
+    assert(r.getDouble(1) == want)
+  }
+
+  test("averagePrecision is 1.0 when all positives rank first, NULL with " +
+      "no positives") {
+    val perfect = (1 to 30).map(i => (100.0 - i, i <= 10, i.toLong))
+    val r1 = Eval.averagePrecision(perfect.toDF("s", "y", "tb"),
+      col("s"), col("y"), col("tb")).collect()(0)
+    assert(r1.getLong(0) == 10L && r1.getDouble(1) == 1.0)
+    val none = (1 to 10).map(i => (i.toDouble, false, i.toLong))
+    val r0 = Eval.averagePrecision(none.toDF("s", "y", "tb"),
+      col("s"), col("y"), col("tb")).collect()(0)
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1))
+  }
+
   test("meanNdcgBinary matches a hand-computed fixture") {
     def d(i: Int): BigDecimal =
       BigDecimal(1.0 / (math.log(i + 1) / math.log(2)))
