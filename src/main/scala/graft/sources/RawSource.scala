@@ -16,30 +16,40 @@ import graft.model.TableSpec
   */
 object RawSource {
 
-  /** S1 — Kafka streaming source with the reference's exact options:
-    * earliest offsets, no fail-on-data-loss (late/duplicate handling is
-    * downstream batch dedup), optional SASL/SCRAM-SHA-256.
+  /** The full Kafka option map, as a PURE function so the plumbing is
+    * unit-testable without a broker: earliest offsets, no
+    * fail-on-data-loss (late/duplicate handling is downstream batch
+    * dedup), optional SASL/SCRAM-SHA-256 block. [[kafkaStream]] applies
+    * exactly this map.
+    */
+  def kafkaOptions(spec: TableSpec, bootstrapServers: String,
+                   saslUser: Option[String] = None,
+                   saslPassword: Option[String] = None): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> spec.kafkaTopic,
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "false")
+    val sasl = for (u <- saslUser; p <- saslPassword) yield Map(
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.mechanism" -> "SCRAM-SHA-256",
+      "kafka.sasl.jaas.config" ->
+        ("org.apache.kafka.common.security.scram.ScramLoginModule required " +
+          s"""username="$u" password="$p";"""))
+    base ++ sasl.getOrElse(Map.empty)
+  }
+
+  /** S1 — Kafka streaming source with the reference's exact options
+    * ([[kafkaOptions]]).
     */
   def kafkaStream(spark: SparkSession, spec: TableSpec,
                   bootstrapServers: String,
                   saslUser: Option[String] = None,
-                  saslPassword: Option[String] = None): DataFrame = {
-    var r = spark.readStream
+                  saslPassword: Option[String] = None): DataFrame =
+    spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", spec.kafkaTopic)
-      .option("startingOffsets", "earliest")
-      .option("failOnDataLoss", "false")
-    for (u <- saslUser; p <- saslPassword) {
-      r = r
-        .option("kafka.security.protocol", "SASL_PLAINTEXT")
-        .option("kafka.sasl.mechanism", "SCRAM-SHA-256")
-        .option("kafka.sasl.jaas.config",
-          "org.apache.kafka.common.security.scram.ScramLoginModule required " +
-            s"""username="$u" password="$p";""")
-    }
-    r.load()
-  }
+      .options(kafkaOptions(spec, bootstrapServers, saslUser, saslPassword))
+      .load()
 
   /** File-based stream standing in for Kafka in tests: a directory of
     * parquet `(timestamp, value)` envelopes.

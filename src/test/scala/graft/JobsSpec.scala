@@ -96,6 +96,27 @@ class JobsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
   }
 
+  test("kafkaOptions carries the reference's exact source options, with " +
+      "the SASL block only when both credentials are present") {
+    val spec = TableSpec("t", "graft_db", Seq("ID"), "/d", "/c", "cdc.topic")
+    val plain = RawSource.kafkaOptions(spec, "broker:9092")
+    assert(plain == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "cdc.topic",
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "false"))
+    val sasl = RawSource.kafkaOptions(spec, "broker:9092",
+      Some("svc"), Some("pw"))
+    assert(sasl("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(sasl("kafka.sasl.mechanism") == "SCRAM-SHA-256")
+    assert(sasl("kafka.sasl.jaas.config") ==
+      "org.apache.kafka.common.security.scram.ScramLoginModule required " +
+        """username="svc" password="pw";""")
+    // half-provided credentials must NOT produce a half-configured block
+    assert(RawSource.kafkaOptions(spec, "broker:9092", Some("svc"), None)
+      == plain)
+  }
+
   test("raw ingest streams envelopes into a date-partitioned lake exactly once") {
     val root = tmp("raw")
     val spec = TableSpec("t", "graft_db", Seq("ID"),
