@@ -1837,6 +1837,32 @@ object SparkEntry {
       }
     }),
 
+    // Exact streaming top-k: per-(type, user) counts ride a
+    // complete-mode aggregate (state = one row per live key, the
+    // monitoring-dashboard shape next to the CMS-approx
+    // stream_heavy_hitters), and the bounded-heap top-3 tail runs on
+    // the materialized final state. Oracle = the batch equivalent.
+    "stream_topk" -> ((s, dir) => withStateParts(s) {
+      val counts = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val sinkName = s"graft_stopk_${System.nanoTime()}"
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        graft.operators.TopK.topKPerGroup(
+          s.table(sinkName).localCheckpoint(true),
+          Seq("event_type"), "n", "user_id", k = 3)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     "stream_approx_distinct" -> ((s, dir) => withStateParts(s) {
       val regs = Sketch.hllRegisters(
         eventsStream(s, dir).filter(col("user_id").isNotNull),
@@ -4877,6 +4903,17 @@ object SparkEntry {
     // the streaming CMS must agree with the batch definition —
     // identical oracle by construction
     "stream_heavy_hitters" -> heavyHittersOracle,
+
+    // the complete-mode fixpoint after AvailableNow equals the batch
+    // aggregate over the same rows
+    "stream_topk" ->
+      """SELECT event_type, user_id, n, rank FROM (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id) AS rank
+        |  FROM (SELECT event_type, user_id, COUNT(*) AS n FROM events
+        |        WHERE user_id IS NOT NULL GROUP BY 1, 2))
+        |WHERE rank <= 3""".stripMargin,
 
     // rebuilds the HLL registers bit for bit: 60-bit md5 hash, bucket
     // = h mod 64, rho = 55 - bitlength(h div 64); same α=0.709
