@@ -227,6 +227,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in HITS:\n$plan")
   }
 
+  test("kCore: peeling is joins + aggregates only — no cartesian, no window") {
+    val edges = (0L until 300L)
+      .map(i => (i % 40, (i * 7 + 1) % 40))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("a", "b")
+    val out = graft.operators.Graph.kCore(edges, k = 2, maxIters = 16)
+    val plan = executed(out)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in kCore:\n$plan")
+    assert(!plan.contains("Window"), s"window in kCore:\n$plan")
+    out.unpersist()
+  }
+
   test("quantileRank: every window is slice- or group-local, offsets broadcast") {
     val rows = (0 until 400).map(i => (s"g${i % 3}", (i % 37).toDouble))
       .toDF("g", "v")
