@@ -1635,6 +1635,16 @@ object SparkEntry {
         col("user_id"), col("value"),
         col("event_type") === "purchase", col("event_id"), k = 10)),
 
+    // Gini concentration of spend across users (integer cents — exact,
+    // engine-portable products): the curation audit for "how unevenly
+    // is the corpus spread". operators.Eval.gini: doubled average
+    // ranks, DECIMAL(38,0) sums, two final double divisions.
+    "q_gini" -> ((s, dir) =>
+      graft.operators.Eval.gini(
+        ld(s, dir, "events").groupBy(col("user_id"))
+          .agg((sum(dec(col("value"))) * 100).cast("long").as("cents")),
+        col("cents"))),
+
     // Average precision (PR-AUC at observed operating points) of value
     // ranking purchases — the imbalanced-data companion to q_auc.
     // operators.Eval.averagePrecision: two range-partition rank passes
@@ -4489,6 +4499,25 @@ object SparkEntry {
         |  round(CAST(cum AS DOUBLE) / n.n, 6) AS qrank
         |FROM s JOIN w ON w.g = s.g AND w.v = s.v
         |JOIN n ON n.g = s.g""".stripMargin,
+
+    "q_gini" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS x
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT x,
+        |    2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS r2
+        |  FROM u WHERE x IS NOT NULL),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(r2 AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS srx,
+        |    CAST(COUNT(*) AS BIGINT) AS n_l,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS BIGINT) AS sx_l
+        |  FROM r)
+        |SELECT n_l AS n, sx_l AS total,
+        |  CASE WHEN sx > 0 THEN
+        |    round(srx / (n * sx) - (n + 1.0) / n, 6)
+        |  END AS gini
+        |FROM s""".stripMargin,
 
     "q_avg_precision" ->
       """WITH s AS (SELECT value AS v,

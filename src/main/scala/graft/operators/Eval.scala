@@ -393,6 +393,41 @@ object Eval {
     pinAndRelease(out, rows, px, py)
   }
 
+  /** Gini coefficient of a non-negative integer quantity (pass CENTS,
+    * token counts, byte counts — integer units keep every product
+    * exact and engine-portable) — the concentration audit a curation
+    * pipeline runs on "how unevenly is the corpus spread across
+    * users/sources": 0 = perfectly even, (n−1)/n = one holder has
+    * everything.
+    *
+    * Tie-aware mean-difference form with average ranks: with doubled
+    * ranks `r2 = 2·cum_below + ties + 1` (integral, from the same
+    * range-partition prefix sums as [[aucBinary]]),
+    * `G = Σ(r2ᵢ·xᵢ) / (n·Σx) − (n+1)/n`. All sums are exact
+    * DECIMAL(38,0) over integers; two double divisions at the end.
+    * Returns one row `(n, total, gini)`; NULL when Σx = 0.
+    */
+  def gini(df: DataFrame, quantity: Column, nParts: Int = 32): DataFrame = {
+    val rows = df.select(quantity.cast("long").as("x")).na.drop(Seq("x"))
+    val g = rows.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val (cum, pinned) = withCumBelow(g, "x", Seq("c"), nParts)
+    val dec = "decimal(38,0)"
+    val out = cum
+      .select(col("x"), col("c"),
+        (lit(2) * col("cum_c") + col("c") + lit(1)).as("r2"))
+      .agg(
+        sum(col("c")).cast("double").as("n"),
+        sum(col("x").cast(dec) * col("c").cast(dec)).cast("double").as("sx"),
+        sum(col("r2").cast(dec) * col("x").cast(dec) * col("c").cast(dec))
+          .cast("double").as("srx"))
+      .select(col("n").cast("long").as("n"),
+        col("sx").cast("long").as("total"),
+        when(col("sx") > 0,
+          round(col("srx") / (col("n") * col("sx")) -
+            (col("n") + lit(1.0)) / col("n"), 6)).as("gini"))
+    pinAndRelease(out, pinned)
+  }
+
   /** Average precision (the area under the precision-recall curve at
     * the observed operating points) of `score` ranking binary `rel` —
     * the imbalanced-data companion to [[aucBinary]]:

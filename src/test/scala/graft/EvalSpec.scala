@@ -246,6 +246,34 @@ class EvalSpec extends AnyFunSuite {
     assert(r3.isNullAt(1))
   }
 
+  test("gini: 0 on perfect equality, (n-1)/n on total concentration, " +
+      "scale-invariant, matches brute force with ties") {
+    def run(xs: Seq[Long]): (Long, Long, Option[Double]) = {
+      val r = Eval.gini(xs.map(Tuple1(_)).toDF("x"), col("x")).collect()(0)
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+    }
+    assert(run(Seq.fill(10)(7L)) == ((10L, 70L, Some(0.0))))
+    val (n1, t1, g1) = run(0L +: Seq.fill(19)(0L) :+ 100L)
+    assert(n1 == 21L && t1 == 100L &&
+      g1.contains(BigDecimal(20.0 / 21)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(run(Seq(0L, 0L, 0L)) == ((3L, 0L, None))) // Σx = 0 → NULL
+    // brute force (tie-aware mean absolute difference form):
+    // G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·mean)
+    val rnd = new scala.util.Random(31)
+    val xs = (1 to 80).map(_ => rnd.nextInt(50).toLong)
+    val brute = {
+      val diffs = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum.toDouble
+      BigDecimal(diffs / (2.0 * xs.size * xs.size * (xs.sum.toDouble / xs.size)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = run(xs)._3.get
+    assert(math.abs(got - brute) <= 1e-6)
+    // integer scaling leaves G unchanged
+    assert(run(xs.map(_ * 7))._3.get == got)
+  }
+
   test("averagePrecision matches the textbook definition on random data") {
     val rnd = new scala.util.Random(23)
     val rows = (1 to 200).map(i =>
