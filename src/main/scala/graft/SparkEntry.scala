@@ -1789,6 +1789,16 @@ object SparkEntry {
       Sketch.hllDistinctReport(ld(s, dir, "events"), "event_type",
         "user_id", m = 64)),
 
+    // Pairwise audience overlap by HLL set algebra: |A∩B| ≈
+    // |A|+|B|−|A∪B|, the union estimated from the element-wise-max
+    // register merge — ONE corpus scan builds every segment's
+    // registers, then all O(segments²) overlaps are sketch-sized math.
+    // The exact pairwise intersection rides along as the verification
+    // anchor (the key self-join the sketch algebra exists to avoid).
+    "q_hll_intersect" -> ((s, dir) =>
+      Sketch.hllOverlapReport(ld(s, dir, "events"), "event_type",
+        "user_id", m = 64)),
+
     // The SAME HLL registers maintained as streaming state: a
     // complete-mode max-aggregation over (group, bucket) — bounded at
     // ≤ groups×64 rows no matter how long the stream runs — then the
@@ -2552,6 +2562,25 @@ object SparkEntry {
     "corpus_quality_filter" -> ((s, dir) =>
       Corpus.qualityFilter(ld(s, dir, "documents"), langs = Set("en"))),
 
+    // Curriculum phasing: the verified quality scorer ordered into 4
+    // exact quartile phases (range-partition NTILE — no global window),
+    // with per-phase volume and the kept-document count. The readout
+    // that decides "train on phase 4 last" in curriculum-style data
+    // ordering.
+    "corpus_curriculum" -> ((s, dir) => {
+      val q = Corpus.qualityFilter(ld(s, dir, "documents"), langs = Set("en"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"), col("keep"))
+      graft.operators.Rank.ntileExact(q, Seq("quality", "doc_id"), 4, "phase")
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("quality").cast("decimal(12,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_quality"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    }),
+
     // The whole export, end to end: quality/dedup filter → stratified
     // domain mixing → hash-sharded export stats. Each stage is the
     // already-verified operator; this pins that they COMPOSE (the thing
@@ -2736,6 +2765,25 @@ object SparkEntry {
       graft.operators.Graph.kHopDistances(coActivityCached(s, dir),
         ev.select(col("user_id").as("node")).filter(col("node") % 50 === 0).distinct(),
         maxHops = 3)
+    }),
+
+    // Landmark closeness centrality: exact distances from a bounded
+    // landmark set (one multi-source BFS keyed by landmark), then per
+    // node the count/sum of distances to the landmarks that reach it —
+    // the scalable stand-in for all-pairs closeness (landmark scheme,
+    // Indyk 1999). Frontier = 2-long-column (lm, node) pairs; edges at
+    // rest; hop-0 self rows are excluded from the readout.
+    "graph_closeness" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      graft.operators.Graph.landmarkDistances(coActivityCached(s, dir),
+        ev.select(col("user_id").as("lm")).filter(col("lm") % 13 === 0).distinct(),
+        maxHops = 2)
+        .filter(col("hop") >= 1)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("hop")).as("total_dist"))
+        .select(col("node"), col("n_reached"), col("total_dist"),
+          round(col("n_reached").cast("double") / col("total_dist"), 6)
+            .as("closeness"))
     }),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -2941,6 +2989,15 @@ object SparkEntry {
     "embed_kmeans" -> ((s, dir) =>
       graft.operators.KMeans.sphericalKMeans(
         ld(s, dir, "embeddings"), "embedding", "vec_id")),
+
+    // Embedding-space drift between labeled segments: one wide decimal
+    // aggregate collapses the corpus to |labels| centroid rows, then a
+    // broadcast self-join scores every segment pair by centroid cosine
+    // and L2 — the "did this source/day/model move in embedding space"
+    // readout. Nothing after the first aggregate touches the corpus.
+    "embed_centroid_drift" -> ((s, dir) =>
+      graft.operators.Eval.centroidDrift(ld(s, dir, "embeddings"),
+        "label", "embedding", dim = 64)),
 
     "knn_bruteforce" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
@@ -4949,6 +5006,49 @@ object SparkEntry {
     // harmonic estimate + linear-counting small-range correction
     "q_approx_distinct_hll" -> hllOracle,
 
+    // bit-for-bit register replay of Sketch.hllOverlapReport: singles
+    // and pair-merged (element-wise max) registers share one harmonic
+    // estimator; rounding happens only at the final projection
+    "q_hll_intersect" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |br AS (SELECT g, h % 64 AS b,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h // 64)) END AS r0 FROM h),
+        |regs AS MATERIALIZED (SELECT g, b, MAX(r0) AS r FROM br GROUP BY g, b),
+        |gs AS (SELECT DISTINCT g FROM regs),
+        |pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        |ur AS (SELECT ga, gb, b, MAX(r) AS r FROM (
+        |    SELECT p.ga, p.gb, r.b, r.r FROM pr p JOIN regs r ON r.g = p.ga
+        |    UNION ALL
+        |    SELECT p.ga, p.gb, r.b, r.r FROM pr p JOIN regs r ON r.g = p.gb) t
+        |  GROUP BY ga, gb, b),
+        |es0 AS (SELECT g, COUNT(*) AS nreg, SUM(pow(0.5, r)) AS sp
+        |  FROM regs GROUP BY g),
+        |es1 AS (SELECT g, 64 - nreg AS zeros,
+        |    0.709 * 64 * 64 / (sp + (64 - nreg)) AS raw FROM es0),
+        |es AS (SELECT g, CASE WHEN raw <= 160.0 AND zeros > 0
+        |    THEN 64 * ln(64.0 / zeros) ELSE raw END AS approx FROM es1),
+        |eu0 AS (SELECT ga, gb, COUNT(*) AS nreg, SUM(pow(0.5, r)) AS sp
+        |  FROM ur GROUP BY ga, gb),
+        |eu1 AS (SELECT ga, gb, 64 - nreg AS zeros,
+        |    0.709 * 64 * 64 / (sp + (64 - nreg)) AS raw FROM eu0),
+        |eu AS (SELECT ga, gb, CASE WHEN raw <= 160.0 AND zeros > 0
+        |    THEN 64 * ln(64.0 / zeros) ELSE raw END AS approx FROM eu1),
+        |d AS (SELECT DISTINCT event_type AS g, user_id AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |x AS (SELECT a.g AS ga, b.g AS gb, COUNT(*) AS xc
+        |  FROM d a JOIN d b ON a.k = b.k AND a.g < b.g GROUP BY 1, 2)
+        |SELECT p.ga AS seg_a, p.gb AS seg_b,
+        |  CAST(COALESCE(x.xc, 0) AS BIGINT) AS exact_intersect,
+        |  round(eu.approx, 4) AS approx_union,
+        |  round(greatest(CAST(0 AS DOUBLE), ea.approx + eb.approx - eu.approx), 4)
+        |    AS approx_intersect
+        |FROM pr p JOIN es ea ON ea.g = p.ga JOIN es eb ON eb.g = p.gb
+        |JOIN eu ON eu.ga = p.ga AND eu.gb = p.gb
+        |LEFT JOIN x ON x.ga = p.ga AND x.gb = p.gb""".stripMargin,
+
     // the streaming-state registers must equal the batch ones —
     // deliberately the SAME oracle (sketch mergeability contract)
     "stream_approx_distinct" -> hllOracle,
@@ -5837,6 +5937,22 @@ object SparkEntry {
          |   AND quality >= 0.5 AND lang_pred IN ('en')) AS keep
          |FROM g""".stripMargin,
 
+    // NTILE(4) over (quality, doc_id) is exactly Rank.ntileExact's
+    // bucket arithmetic (q_rfm precedent); keep mirrors qualityFilter
+    "corpus_curriculum" ->
+      s"""$qualityFilterCtes,
+         |p AS (SELECT doc_id, n_tokens, quality,
+         |    CAST(NTILE(4) OVER (ORDER BY quality, doc_id) AS BIGINT) AS phase,
+         |    (is_canonical AND n_tokens BETWEEN 5 AND 100000
+         |     AND quality >= 0.5 AND lang_pred IN ('en')) AS keep
+         |  FROM g)
+         |SELECT phase, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_quality,
+         |  MIN(quality) AS min_quality, MAX(quality) AS max_quality,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM p GROUP BY phase""".stripMargin,
+
     "corpus_export_pipeline" ->
       s"""$qualityFilterCtes,
          |kept AS (SELECT d.* FROM documents d JOIN g ON g.doc_id = d.doc_id
@@ -5992,6 +6108,35 @@ object SparkEntry {
 
     "embed_kmeans" -> OracleGen.embedKmeans(),
 
+    // mirrors Eval.centroidDrift arithmetic: 6-dp inputs recovered
+    // exactly as DECIMAL(12,6), exact component SUMS (centroids never
+    // rounded — cosine is scale-invariant, L2 cross-multiplied), one
+    // double division + sqrt at the end
+    "embed_centroid_drift" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |s0 AS (SELECT label, u.i AS i,
+        |    CAST(SUM(CAST(v[CAST(u.i AS INT)] AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS s
+        |  FROM e, LATERAL unnest(range(1, 65)) AS u(i) GROUP BY label, u.i),
+        |n AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+        |t AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    na.n AS n_a, nb.n AS n_b, a.s AS ai, b.s AS bi
+        |  FROM s0 a JOIN s0 b ON a.label < b.label AND a.i = b.i
+        |  JOIN n na ON na.label = a.label JOIN n nb ON nb.label = b.label),
+        |s AS (SELECT label_a, label_b, MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+        |    SUM(ai * bi) AS dot, SUM(ai * ai) AS na2, SUM(bi * bi) AS nb2,
+        |    SUM(CAST(ai * CAST(n_b AS DECIMAL(10,0)) -
+        |             bi * CAST(n_a AS DECIMAL(10,0)) AS DECIMAL(18,6)) *
+        |        CAST(ai * CAST(n_b AS DECIMAL(10,0)) -
+        |             bi * CAST(n_a AS DECIMAL(10,0)) AS DECIMAL(18,6))) AS d2
+        |  FROM t GROUP BY label_a, label_b)
+        |SELECT label_a, label_b, n_a, n_b,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6) AS cosine,
+        |  round(sqrt(CAST(d2 AS DOUBLE)) / CAST(n_a * n_b AS DOUBLE), 6) AS l2_dist
+        |FROM s""".stripMargin,
+
     "embed_outliers" -> OracleGen.embedOutliers(),
     "knn_pq" -> OracleGen.knnPq(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
@@ -6107,6 +6252,33 @@ FROM cand GROUP BY 1""",
         |UNION ALL SELECT node, CAST(1 AS BIGINT) FROM h1
         |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM h2
         |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM h3""".stripMargin,
+
+    // the 2-hop landmark BFS unrolled per landmark (NOT EXISTS keyed by
+    // lm, unlike khop's landmark-free NOT IN); hop-0 self rows excluded
+    "graph_closeness" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |e AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |h0 AS (SELECT DISTINCT user_id AS lm, user_id AS node
+        |       FROM events WHERE user_id % 13 = 0),
+        |h1 AS (SELECT DISTINCT h0.lm, s.dst AS node
+        |       FROM h0 JOIN sym s ON h0.node = s.src
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 x
+        |         WHERE x.lm = h0.lm AND x.node = s.dst)),
+        |h2 AS (SELECT DISTINCT h1.lm, s.dst AS node
+        |       FROM h1 JOIN sym s ON h1.node = s.src
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 x
+        |         WHERE x.lm = h1.lm AND x.node = s.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h1 x
+        |         WHERE x.lm = h1.lm AND x.node = s.dst)),
+        |d AS (SELECT lm, node, 1 AS hop FROM h1
+        |      UNION ALL SELECT lm, node, 2 FROM h2)
+        |SELECT node, COUNT(*) AS n_reached, CAST(SUM(hop) AS BIGINT) AS total_dist,
+        |  round(CAST(COUNT(*) AS DOUBLE) / SUM(hop), 6) AS closeness
+        |FROM d GROUP BY node""".stripMargin,
 
     // id-ordered triangle join: the count is orientation-independent,
     // so the oracle needn't replay the degree-ordered Spark plan

@@ -512,4 +512,72 @@ object Eval {
           count(lit(1)), 6).as("mean_ndcg"))
     out
   }
+
+  /** Embedding-space drift between labeled segments: per-label mean
+    * vector (centroid), then pairwise centroid cosine and L2 distance —
+    * the "did this source / day / model version move in embedding
+    * space" readout, and the class-separation report for a labeled
+    * eval set.
+    *
+    * Scale shape: ONE wide aggregate over the corpus (dim decimal
+    * component sums + a count per label, map-side combinable) collapses
+    * everything to |labels| rows; the pairwise stage is a broadcast
+    * self-join over those rows. Nothing downstream of the first
+    * aggregate ever sees the corpus. All sums are exact decimals
+    * (order-independent, engine-portable) and the centroids are never
+    * materialized, let alone rounded — cosine and L2 are computed on
+    * the raw sums — so the one double division + √ at the end is
+    * bit-mirrored by the oracle.
+    */
+  def centroidDrift(embs: DataFrame, labelCol: String, vecCol: String,
+                    dim: Int): DataFrame = {
+    val e = embs
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).cast("long").as("label"),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
+    // DECIMAL(12,6) recovers the 6-dp value EXACTLY from its double, so
+    // the sums are exact and order-free. Everything downstream stays on
+    // the sums: cosine(mean_a, mean_b) = cosine(sum_a, sum_b) by scale
+    // invariance, and ‖mean_a − mean_b‖ cross-multiplies to
+    // √Σ(sa·n_b − sb·n_a)² / (n_a·n_b) — centroids are never rounded
+    // (a first draft rounded them to 6 dp and the two engines disagreed
+    // on midpoint ties, amplified by cancellation in the dot product).
+    // DECIMAL(18,6) bounds: |sums| < 10¹², |sa·n| < 10¹² — fine for any
+    // corpus whose per-label L1 mass stays under 10¹².
+    val sums = (0 until dim).map(j =>
+      sum(element_at(col("v"), j + 1).cast("decimal(12,6)"))
+        .cast("decimal(18,6)").as(s"s$j"))
+    val g = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+    // pairwise stage on the |labels|×dim TALL view of the (tiny) sums
+    // relation, with true decimal SUM aggregates: a 64-term column
+    // expression chain (first draft) hits Spark's decimal-addition
+    // type widening (precision 39 > 38) and silently drops scale —
+    // aggregates keep (38,12) exactly. Only label rows explode here;
+    // the corpus aggregate above stays wide and map-side combinable.
+    val tall = g.select(col("label"), col("n"),
+      posexplode(array((0 until dim).map(j => col(s"s$j")): _*))
+        .as(Seq("i", "s")))
+    val a = tall.select(col("label").as("la"), col("n").as("na"),
+      col("i"), col("s").as("ai"))
+    val b = tall.select(col("label").as("lb"), col("n").as("nb"),
+      col("i"), col("s").as("bi"))
+    val nd = (col("ai") * col("nb").cast("decimal(10,0)") -
+      col("bi") * col("na").cast("decimal(10,0)")).cast("decimal(18,6)")
+    a.join(broadcast(b), Seq("i")) // |labels|²×dim rows — bounded model state
+      .filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        sum(col("ai") * col("bi")).as("dot"),
+        sum(col("ai") * col("ai")).as("na2"),
+        sum(col("bi") * col("bi")).as("nb2"),
+        sum(nd * nd).as("d2"))
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6)
+          .as("cosine"),
+        round(sqrt(col("d2").cast("double")) /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("l2_dist"))
+  }
 }

@@ -288,6 +288,49 @@ object Graph {
     visited
   }
 
+  /** Multi-source BFS keyed by landmark: like [[kHopDistances]] but the
+    * frontier carries WHICH landmark reached the node, so one pass
+    * yields `(lm, node, hop)` — exact distance from every landmark to
+    * every node within `maxHops`. This is the landmark/pivot scheme for
+    * closeness-style centrality at scale (Indyk 1999; HADI's exact
+    * small-radius regime): |landmarks| bounded ⇒ the frontier relation
+    * is ≤ |landmarks|×|nodes| 2-long-column rows, shuffled on `node`
+    * per round, edges persisted at rest — never an all-pairs walk.
+    *
+    * `edges` is undirected canonical `(a, b)`; `landmarks` is a
+    * one-column `lm` relation. Seeds appear at hop 0 (lm = node).
+    */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
+                        maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = landmarks.select(col("lm")).distinct()
+      .select(col("lm"), col("lm").as("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = frontier.select(col("lm"), col("node"))
+        .join(sym, col("node") === col("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(visited, Seq("lm", "node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = visited.union(next)
+        frontier = next
+      }
+      h += 1
+    }
+    sym.unpersist()
+    visited
+  }
+
   /** The symmetric customer↔supplier co-purchase graph: an edge per
     * distinct (customer, supplier) pair observed in orders⋈lineitem,
     * materialized in both directions (so the bipartite walk mixes and

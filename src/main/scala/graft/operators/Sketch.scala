@@ -188,4 +188,57 @@ object Sketch {
         round(abs(col("approx_distinct") - col("exact_distinct")) /
           col("exact_distinct"), 4).as("rel_err"))
   }
+
+  /** Pairwise segment-overlap estimation from HLL registers — the
+    * "how much do these two audiences / crawl slices share" question,
+    * answered by sketch ALGEBRA instead of a pairwise key join:
+    * |A∩B| ≈ |A| + |B| − |A∪B|, where |A∪B| comes from the
+    * element-wise-max merge of the two register sets (the only set
+    * operation HLL supports losslessly).
+    *
+    * Scale shape: the input is scanned ONCE to build per-group
+    * registers (≤ groups×m rows); every pairwise step after that —
+    * group cross pairs, register union, harmonic estimates — runs on
+    * sketch-sized relations, so adding a segment costs one register
+    * set, not a corpus re-scan per pair. The exact pairwise
+    * intersection rides along as the verification anchor (one
+    * key-partitioned self-join; at 100 TB you would drop it — that
+    * join is the very cost the sketch algebra avoids).
+    */
+  def hllOverlapReport(df: DataFrame, groupCol: String, keyCol: String,
+                       m: Int = 64): DataFrame = {
+    val regs = hllRegisters(df, groupCol, keyCol, m)
+      .localCheckpoint() // sketch-sized; read three times below
+    val groups = regs.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("ga"))
+      .crossJoin(groups.select(col(groupCol).as("gb")))
+      .filter(col("ga") < col("gb"))
+    // union registers per pair: element-wise max across the two groups
+    val ra = pairs.join(regs.withColumnRenamed(groupCol, "ga"), "ga")
+    val rb = pairs.join(regs.withColumnRenamed(groupCol, "gb"), "gb")
+    val unionRegs = ra.select(col("ga"), col("gb"), col("b"), col("r"))
+      .union(rb.select(col("ga"), col("gb"), col("b"), col("r")))
+      .groupBy(col("ga"), col("gb"), col("b")).agg(max(col("r")).as("r"))
+      .withColumn("__pk", concat_ws("|", col("ga"), col("gb")))
+    val estU = hllEstimate(unionRegs, "__pk", m)
+      .select(col("__pk"), col("approx").as("eu"))
+    val estS = hllEstimate(regs, groupCol, m)
+    // exact pairwise intersection over the distinct (group, key) set
+    val d = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), col(keyCol).as("k")).distinct()
+    val exact = d.select(col("g").as("ga"), col("k"))
+      .join(d.select(col("g").as("gb"), col("k")), "k")
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("xc"))
+    pairs
+      .join(estS.select(col(groupCol).as("ga"), col("approx").as("ea")), "ga")
+      .join(estS.select(col(groupCol).as("gb"), col("approx").as("eb")), "gb")
+      .join(estU, concat_ws("|", col("ga"), col("gb")) === col("__pk"))
+      .join(exact, Seq("ga", "gb"), "left")
+      .select(col("ga").as("seg_a"), col("gb").as("seg_b"),
+        coalesce(col("xc"), lit(0L)).as("exact_intersect"),
+        round(col("eu"), 4).as("approx_union"),
+        round(greatest(lit(0.0), col("ea") + col("eb") - col("eu")), 4)
+          .as("approx_intersect"))
+  }
 }

@@ -361,4 +361,25 @@ class EvalSpec extends AnyFunSuite {
     mi.unpersist()
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
+
+  test("centroidDrift: orthogonal and identical centroids, exact geometry") {
+    // label 0 → centroid (1,0); label 1 → centroid (0,1); label 2 ==
+    // label 0's centroid from twice the mass (scale invariance)
+    val rows = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),
+      (1, Seq(0.0f, 1.0f)),
+      (2, Seq(1.0f, 0.0f)), (2, Seq(1.0f, 0.0f)),
+      (2, Seq(1.0f, 0.0f)), (2, Seq(1.0f, 0.0f)))
+    val out = Eval.centroidDrift(rows.toDF("label", "embedding"),
+      "label", "embedding", dim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    val (na, nb, cos01, l201) = out((0L, 1L))
+    assert(na == 2L && nb == 1L)
+    assert(cos01 == 0.0 && l201 == 1.414214) // √2 @ 6 dp
+    val (_, n2, cos02, l202) = out((0L, 2L))
+    assert(n2 == 4L && cos02 == 1.0 && l202 == 0.0,
+      "same mean at different mass: cosine 1, distance 0")
+  }
 }

@@ -140,6 +140,28 @@ class GraphSpec extends AnyFunSuite {
     assert(khop(path, Seq(9L), 3) == Map(9L -> 0L))
   }
 
+  private def lmdist(es: Seq[(Long, Long)], lms: Seq[Long], maxHops: Int) =
+    Graph.landmarkDistances(es.toDF("a", "b"), lms.toDF("lm"), maxHops)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("landmarkDistances: per-landmark exact distances on a path graph") {
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(lmdist(path, Seq(1L, 4L), 2) == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (4L, 4L) -> 0L, (4L, 3L) -> 1L, (4L, 2L) -> 2L))
+    // landmarks do NOT shadow each other: unlike kHopDistances'
+    // min-over-seeds, each landmark walks the whole radius itself
+    assert(lmdist(path, Seq(1L, 2L), 1) == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L,
+      (2L, 2L) -> 0L, (2L, 1L) -> 1L, (2L, 3L) -> 1L))
+  }
+
+  test("landmarkDistances: early exhaustion, isolated landmark") {
+    val path = Seq(1L -> 2L)
+    assert(lmdist(path, Seq(1L), 10) == Map((1L, 1L) -> 0L, (1L, 2L) -> 1L))
+    assert(lmdist(path, Seq(9L), 3) == Map((9L, 9L) -> 0L))
+  }
+
   test("labelPropagation: labels travel exactly `iters` hops") {
     // path 1-2-3-4-5 (undirected canonical pairs)
     val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).toDF("a", "b")

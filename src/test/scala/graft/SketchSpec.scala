@@ -105,4 +105,36 @@ class SketchSpec extends AnyFunSuite {
     assert(rows("__all__")._1 == 100L && rows("a")._1 == 100L)
     assert(rows("__all__")._2 == rows("a")._2 && rows("a")._2 == rows("b")._2)
   }
+
+  test("hllOverlapReport: identical segments estimate intersect ≈ union") {
+    // a == b keyset ⇒ union registers = single registers ⇒
+    // approx_intersect = 2e − e = e = approx_union, exact = 200
+    val df = (1L to 200L).flatMap(i => Seq(("a", i), ("b", i))).toDF("g", "k")
+    val r = Sketch.hllOverlapReport(df, "g", "k", m = 64).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "a" && row.getString(1) == "b")
+    assert(row.getLong(2) == 200L)
+    assert(row.getDouble(3) == row.getDouble(4),
+      "identical segments: intersect estimate must equal union estimate")
+  }
+
+  test("hllOverlapReport: disjoint and partial overlaps, every pair present") {
+    // a: 1..300, b: 201..500 (overlap 100), c: 1000..1299 (disjoint)
+    val df = ((1L to 300L).map(("a", _)) ++ (201L to 500L).map(("b", _)) ++
+      (1000L to 1299L).map(("c", _))).toDF("g", "k")
+    val rows = Sketch.hllOverlapReport(df, "g", "k", m = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(rows(("a", "b"))._1 == 100L)
+    assert(rows(("a", "c"))._1 == 0L && rows(("b", "c"))._1 == 0L)
+    // m=64 standard error ~13%; allow 3σ on the 500-key union
+    assert(math.abs(rows(("a", "b"))._2 - 500.0) < 200.0)
+    // estimated intersect within additive sketch error of exact
+    assert(math.abs(rows(("a", "b"))._3 - 100.0) < 250.0)
+    rows.values.foreach { case (_, u, i) =>
+      assert(i >= 0.0 && u > 0.0, "intersect clamped at 0, union positive")
+    }
+  }
 }
