@@ -382,4 +382,26 @@ class EvalSpec extends AnyFunSuite {
     assert(n2 == 4L && cos02 == 1.0 && l202 == 0.0,
       "same mean at different mass: cosine 1, distance 0")
   }
+
+  test("centroidDrift is invariant to duplicating every vector") {
+    // doubling each label's mass leaves every centroid — hence every
+    // cosine/l2 — unchanged; only the counts double (the scale
+    // invariance the sums-not-means arithmetic is built on)
+    val rnd = new scala.util.Random(11)
+    val rows = for (l <- 0 to 3; _ <- 1 to 5) yield
+      (l, Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    def run(df: Seq[(Int, Seq[Float])]) =
+      Eval.centroidDrift(df.toDF("label", "embedding"),
+        "label", "embedding", dim = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val once = run(rows)
+    val twice = run(rows ++ rows)
+    assert(once.keySet == twice.keySet)
+    once.foreach { case (k, (na, nb, cos, l2)) =>
+      val (na2, nb2, cos2, l22) = twice(k)
+      assert(na2 == 2 * na && nb2 == 2 * nb)
+      assert(cos2 == cos && l22 == l2, s"pair $k drifted under duplication")
+    }
+  }
 }

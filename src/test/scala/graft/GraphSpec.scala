@@ -162,6 +162,19 @@ class GraphSpec extends AnyFunSuite {
     assert(lmdist(path, Seq(9L), 3) == Map((9L, 9L) -> 0L))
   }
 
+  test("landmarkDistances minimized over landmarks = kHopDistances") {
+    // the two BFS variants must agree: min over lm of d(lm, node) is
+    // exactly the multi-seed min-hop — on a deterministic pseudo-random
+    // graph with several components
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 40).map(_ => (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val lms = Seq(0L, 5L, 11L)
+    val viaLm = lmdist(es, lms, 4).groupBy(_._1._2).view
+      .mapValues(_.values.min).toMap
+    assert(viaLm == khop(es, lms, 4))
+  }
+
   test("labelPropagation: labels travel exactly `iters` hops") {
     // path 1-2-3-4-5 (undirected canonical pairs)
     val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L).toDF("a", "b")
