@@ -80,6 +80,37 @@ object SparkEntry {
       |    AS rel_err
       |FROM exact ex JOIN approx a ON a.g = ex.g""".stripMargin
 
+  /** Shared by `embed_centroid_drift` (batch sums) and
+    * `stream_centroid_drift` (complete-mode streaming-state sums): the
+    * sums are additive, so the final stream state equals the batch
+    * build and one oracle checks both. Mirrors Eval.centroidDrift /
+    * centroidDriftFromSums arithmetic exactly.
+    */
+  private val centroidDriftOracle: String =
+    """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+      |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+      |s0 AS (SELECT label, u.i AS i,
+      |    CAST(SUM(CAST(v[CAST(u.i AS INT)] AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS s
+      |  FROM e, LATERAL unnest(range(1, 65)) AS u(i) GROUP BY label, u.i),
+      |n AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+      |t AS (SELECT a.label AS label_a, b.label AS label_b,
+      |    na.n AS n_a, nb.n AS n_b, a.s AS ai, b.s AS bi
+      |  FROM s0 a JOIN s0 b ON a.label < b.label AND a.i = b.i
+      |  JOIN n na ON na.label = a.label JOIN n nb ON nb.label = b.label),
+      |s AS (SELECT label_a, label_b, MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+      |    SUM(ai * bi) AS dot, SUM(ai * ai) AS na2, SUM(bi * bi) AS nb2,
+      |    SUM(CAST(ai * CAST(n_b AS DECIMAL(10,0)) -
+      |             bi * CAST(n_a AS DECIMAL(10,0)) AS DECIMAL(18,6)) *
+      |        CAST(ai * CAST(n_b AS DECIMAL(10,0)) -
+      |             bi * CAST(n_a AS DECIMAL(10,0)) AS DECIMAL(18,6))) AS d2
+      |  FROM t GROUP BY label_a, label_b)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6) AS cosine,
+      |  round(sqrt(CAST(d2 AS DOUBLE)) / CAST(n_a * n_b AS DOUBLE), 6) AS l2_dist
+      |FROM s""".stripMargin
+
   /** Shared by `text_bigram_lm` and (as a nested CTE)
     * `corpus_ccnet_buckets` — the add-one-smoothed count-LM score.
     */
@@ -315,6 +346,19 @@ object SparkEntry {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", graft.sources.Tables.normalizedTs(tsType))
+  }
+
+  /** Streaming read of the embeddings table (file source), schema
+    * declared up front like [[eventsStream]].
+    */
+  private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
   }
 
   // ---------------------------------------------------------------
@@ -1826,6 +1870,31 @@ object SparkEntry {
         q.awaitTermination()
         graft.operators.Eval.psiFromBinCounts(
           s.table(sinkName).localCheckpoint(true), -5, 5)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
+    // Embedding-drift monitor as a stream: the per-label count + exact
+    // decimal component sums ride a complete-mode aggregate (|labels|
+    // rows of state — the sums are additive, so the final state equals
+    // the batch build), and the pairwise tail recomputes from the
+    // materialized state with IDENTICAL arithmetic to the batch
+    // operator. Same oracle as embed_centroid_drift — the same
+    // state-vs-tail contract as stream_approx_distinct / stream_psi_drift.
+    "stream_centroid_drift" -> ((s, dir) => withStateParts(s) {
+      val sums = graft.operators.Eval.centroidSums(
+        embeddingsStream(s, dir), "label", "embedding", dim = 64)
+      val sinkName = s"graft_scdr_${System.nanoTime()}"
+      val q = sums.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        graft.operators.Eval.centroidDriftFromSums(
+          s.table(sinkName).localCheckpoint(true), dim = 64)
       } finally {
         if (q.isActive) q.stop()
         s.catalog.dropTempView(sinkName)
@@ -6112,30 +6181,12 @@ object SparkEntry {
     // exactly as DECIMAL(12,6), exact component SUMS (centroids never
     // rounded — cosine is scale-invariant, L2 cross-multiplied), one
     // double division + sqrt at the end
-    "embed_centroid_drift" ->
-      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
-        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
-        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
-        |s0 AS (SELECT label, u.i AS i,
-        |    CAST(SUM(CAST(v[CAST(u.i AS INT)] AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS s
-        |  FROM e, LATERAL unnest(range(1, 65)) AS u(i) GROUP BY label, u.i),
-        |n AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
-        |t AS (SELECT a.label AS label_a, b.label AS label_b,
-        |    na.n AS n_a, nb.n AS n_b, a.s AS ai, b.s AS bi
-        |  FROM s0 a JOIN s0 b ON a.label < b.label AND a.i = b.i
-        |  JOIN n na ON na.label = a.label JOIN n nb ON nb.label = b.label),
-        |s AS (SELECT label_a, label_b, MIN(n_a) AS n_a, MIN(n_b) AS n_b,
-        |    SUM(ai * bi) AS dot, SUM(ai * ai) AS na2, SUM(bi * bi) AS nb2,
-        |    SUM(CAST(ai * CAST(n_b AS DECIMAL(10,0)) -
-        |             bi * CAST(n_a AS DECIMAL(10,0)) AS DECIMAL(18,6)) *
-        |        CAST(ai * CAST(n_b AS DECIMAL(10,0)) -
-        |             bi * CAST(n_a AS DECIMAL(10,0)) AS DECIMAL(18,6))) AS d2
-        |  FROM t GROUP BY label_a, label_b)
-        |SELECT label_a, label_b, n_a, n_b,
-        |  round(CAST(dot AS DOUBLE) /
-        |    (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6) AS cosine,
-        |  round(sqrt(CAST(d2 AS DOUBLE)) / CAST(n_a * n_b AS DOUBLE), 6) AS l2_dist
-        |FROM s""".stripMargin,
+    "embed_centroid_drift" -> centroidDriftOracle,
+
+    // the streaming-state sums must equal the batch ones —
+    // deliberately the SAME oracle (additive-state contract, like
+    // stream_approx_distinct's HLL registers)
+    "stream_centroid_drift" -> centroidDriftOracle,
 
     "embed_outliers" -> OracleGen.embedOutliers(),
     "knn_pq" -> OracleGen.knnPq(),

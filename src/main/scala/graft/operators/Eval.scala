@@ -530,25 +530,43 @@ object Eval {
     * bit-mirrored by the oracle.
     */
   def centroidDrift(embs: DataFrame, labelCol: String, vecCol: String,
-                    dim: Int): DataFrame = {
+                    dim: Int): DataFrame =
+    centroidDriftFromSums(centroidSums(embs, labelCol, vecCol, dim), dim)
+
+  /** The corpus-side half of [[centroidDrift]]: per-label count + exact
+    * decimal component sums in ONE wide, map-side-combinable aggregate.
+    * Split out because the same aggregate rides a complete-mode
+    * streaming aggregation unchanged (|labels| rows of state, the same
+    * state-vs-tail split as the HLL/CMS sketches) — the final state IS
+    * this relation, and [[centroidDriftFromSums]] is the batch tail.
+    *
+    * DECIMAL(12,6) recovers the 6-dp value EXACTLY from its double, so
+    * the sums are exact and order-free. DECIMAL(18,6) bounds:
+    * |sums| < 10¹², |sum·n| < 10¹² — fine for any corpus whose
+    * per-label L1 mass stays under 10¹².
+    */
+  def centroidSums(embs: DataFrame, labelCol: String, vecCol: String,
+                   dim: Int): DataFrame = {
     val e = embs
       .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
       .select(col(labelCol).cast("long").as("label"),
         transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
-    // DECIMAL(12,6) recovers the 6-dp value EXACTLY from its double, so
-    // the sums are exact and order-free. Everything downstream stays on
-    // the sums: cosine(mean_a, mean_b) = cosine(sum_a, sum_b) by scale
-    // invariance, and ‖mean_a − mean_b‖ cross-multiplies to
-    // √Σ(sa·n_b − sb·n_a)² / (n_a·n_b) — centroids are never rounded
-    // (a first draft rounded them to 6 dp and the two engines disagreed
-    // on midpoint ties, amplified by cancellation in the dot product).
-    // DECIMAL(18,6) bounds: |sums| < 10¹², |sa·n| < 10¹² — fine for any
-    // corpus whose per-label L1 mass stays under 10¹².
     val sums = (0 until dim).map(j =>
       sum(element_at(col("v"), j + 1).cast("decimal(12,6)"))
         .cast("decimal(18,6)").as(s"s$j"))
-    val g = e.groupBy(col("label"))
+    e.groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sums: _*)
+  }
+
+  /** The pairwise tail of [[centroidDrift]] over an already-built sums
+    * relation `(label, n, s0..s<dim-1>)`. Everything stays on the sums:
+    * cosine(mean_a, mean_b) = cosine(sum_a, sum_b) by scale invariance,
+    * and ‖mean_a − mean_b‖ cross-multiplies to
+    * √Σ(sa·n_b − sb·n_a)² / (n_a·n_b) — centroids are never rounded
+    * (a first draft rounded them to 6 dp and the two engines disagreed
+    * on midpoint ties, amplified by cancellation in the dot product).
+    */
+  def centroidDriftFromSums(g: DataFrame, dim: Int): DataFrame = {
     // pairwise stage on the |labels|×dim TALL view of the (tiny) sums
     // relation, with true decimal SUM aggregates: a 64-term column
     // expression chain (first draft) hits Spark's decimal-addition

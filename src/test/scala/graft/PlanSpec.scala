@@ -300,4 +300,38 @@ class PlanSpec extends AnyFunSuite {
       assert(out.except(expected).isEmpty && expected.except(out).isEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("centroidDrift: corpus collapses in one wide aggregate; the " +
+      "pairwise stage joins label rows by broadcast, no cartesian") {
+    val rnd = new scala.util.Random(3)
+    val embs = (0 until 400).map(i =>
+      (i % 5, Seq.fill(8)(rnd.nextFloat()))).toDF("label", "embedding")
+    val plan = executed(graft.operators.Eval.centroidDrift(
+      embs, "label", "embedding", dim = 8))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise stage not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian pairing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"label rows sort-merged:\n$plan")
+    // the explode feeds on the aggregated label rows, never the corpus:
+    // every Generate sits above (earlier in the root-first string than)
+    // the corpus-side partial aggregate
+    val lastAgg = plan.lastIndexOf("HashAggregate")
+    val gens = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("Generate")).map(_._2).toSeq
+    assert(gens.nonEmpty && plan.lastIndexOf("Generate") < lastAgg,
+      s"posexplode runs corpus-side:\n$plan")
+  }
+
+  test("hllOverlapReport: every pairwise estimate runs on sketch-sized " +
+      "relations — no window, no cartesian beyond the group-pair cross") {
+    val df = (0L until 2000L).map(i => (s"g${i % 4}", i % 500)).toDF("g", "k")
+    val out = Sketch.hllOverlapReport(df, "g", "k", m = 32)
+    val plan = executed(out)
+    assert(!plan.contains("Window"), s"window in overlap report:\n$plan")
+    // the only allowed cartesian is the tiny group×group pair cross
+    assert(countOf(plan, "CartesianProduct") <= 1 ||
+      countOf(plan, "BroadcastNestedLoopJoin") >= 1,
+      s"unexpected cartesian beyond the group-pair cross:\n$plan")
+  }
 }
