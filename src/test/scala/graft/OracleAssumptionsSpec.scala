@@ -67,4 +67,25 @@ class OracleAssumptionsSpec extends AnyFunSuite {
       assert(onBoundary == 0, s"$sf: purchase exactly on the eviction boundary")
     }
   }
+
+  test("q_hll_intersect / graph_closeness input assumptions hold") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      assume(new java.io.File(s"$dir/events.parquet").exists())
+      val ev = graft.sources.Tables.load(spark, dir, "events")
+      // hllOverlapReport keys the pair estimate on ga|gb — a '|' inside
+      // a segment name would alias two different pairs
+      val piped = ev.filter(col("event_type").contains("|")).count()
+      assert(piped == 0, s"$sf: event_type contains the '|' pair separator")
+      // graph_closeness picks landmarks as user_id % 13 == 0 — negative
+      // ids would make Spark's % (signed rem) and DuckDB's % disagree,
+      // and the landmark set must be non-empty for the query to return
+      // rows at the gate
+      val neg = ev.filter(col("user_id") < 0).count()
+      assert(neg == 0, s"$sf: negative user_id breaks the % landmark pick")
+      val lms = ev.filter(col("user_id") % 13 === 0).count()
+      assert(lms > 0, s"$sf: empty landmark set")
+    }
+  }
 }
