@@ -3804,6 +3804,31 @@ object SparkEntry {
           round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 6)
             .as("feat_sum"))
       frames.join(meta, "doc_id")
+    }),
+
+    // Training-pair manifest (WebDataset-shard readout): every blob
+    // paired with its caption, rolled up per (format, lang) with byte /
+    // token volume and min/max pairing fingerprints — the integrity
+    // record a multimodal loader re-verifies per shard. The decode is
+    // the stub codec via mapPartitions (blobs resident per batch,
+    // never shuffled); only the 2-key rollup exchanges.
+    "mm_manifest" -> ((s, dir) => {
+      val pairs = ld(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          unhex(md5(col("text"))).as("blob"))
+      Multimodal.withMediaMeta(pairs, "blob")
+        .select(col("lang"),
+          col("media.format").as("format"),
+          col("media.n_bytes").as("n_bytes"),
+          TF.tokenCount(col("text")).cast("long").as("cap_tokens"),
+          md5(concat_ws(":", col("doc_id"), lower(hex(col("blob")))))
+            .as("pair_fp"))
+        .groupBy(col("format"), col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_bytes")).as("blob_bytes"),
+          sum(col("cap_tokens")).as("cap_tokens"),
+          min(col("pair_fp")).as("fp_min"),
+          max(col("pair_fp")).as("fp_max"))
     })
   )
 
@@ -6162,6 +6187,26 @@ object SparkEntry {
         |SELECT f.doc_id, g.canonical_id, g.n_copies,
         |  f.doc_id = g.canonical_id AS keep
         |FROM fps f JOIN g USING (fp)""".stripMargin,
+
+    // the stub codec's format nibble replayed from the md5 hex (first
+    // byte & 0x3); pair_fp = md5(doc_id ':' md5(text)) — DuckDB's md5
+    // IS the lowercase hex the Spark side reconstructs
+    "mm_manifest" ->
+      """WITH h AS (SELECT doc_id, lang, text, md5(text) AS hx FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |    CASE ((16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+        |         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 4)
+        |      WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+        |      WHEN 2 THEN 'video' ELSE 'other' END AS format,
+        |    16 AS n_bytes,
+        |    len(string_split_regex(trim(text), '\s+')) AS cap_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || hx) AS pair_fp
+        |  FROM h)
+        |SELECT format, lang, COUNT(*) AS n_pairs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS blob_bytes,
+        |  CAST(SUM(cap_tokens) AS BIGINT) AS cap_tokens,
+        |  MIN(pair_fp) AS fp_min, MAX(pair_fp) AS fp_max
+        |FROM m GROUP BY format, lang""".stripMargin,
 
     // hash-kernel / float-exact oracles, machine-generated (OracleGen)
     "mm_resize" -> {

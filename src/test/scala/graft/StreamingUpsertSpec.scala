@@ -180,4 +180,48 @@ class StreamingUpsertSpec extends AnyFunSuite {
     val live4 = StreamingUpsert.readCurrent(spark, log, schema).collect()
     assert(live4.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("k1", "a2")))
   }
+
+  test("upsert survives a stop/restart: checkpointed state resumes, " +
+      "processed files are not replayed") {
+    import org.apache.spark.sql.functions.col
+    val root = s"target/tmp/upsert-restart-${System.nanoTime()}"
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key STRING, order BIGINT, op STRING, payload STRING")
+    def stream() = StreamingUpsert.upsert(
+      spark.readStream.schema(schema).parquet(in).as[KeyedEvent])
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeyState], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+
+    // run 1: keys established (k1 order 1, k2 order 2), then STOP
+    Seq(KeyedEvent("k1", 1, "c", "v1@1"), KeyedEvent("k2", 2, "c", "v2@2"))
+      .toDS().write.mode("append").parquet(in)
+    val q1 = stream()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // run 2 (same checkpoint): a genuine update for k1 and a STALE
+    // event for k2 (order 1 < checkpointed state 2) — if the LWW state
+    // did not survive the restart, the stale event would win and emit
+    Seq(KeyedEvent("k1", 5, "u", "v1@5"), KeyedEvent("k2", 1, "u", "STALE"))
+      .toDS().write.mode("append").parquet(in)
+    val q2 = stream()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val emitted = spark.read.parquet(out).as[KeyState].collect()
+    // file 1 was NOT replayed after restart: k1 emitted exactly twice
+    // (once per run), k2 exactly once (the stale update emitted nothing)
+    assert(emitted.count(_.key == "k1") == 2, emitted.mkString(", "))
+    assert(emitted.count(_.key == "k2") == 1, emitted.mkString(", "))
+    val latest = StreamingUpsert.latestPerKey(
+      spark.read.parquet(out).as[KeyState]).collect().map(s => s.key -> s).toMap
+    assert(latest("k1").payload == "v1@5" && latest("k1").order == 5)
+    assert(latest("k2").payload == "v2@2" && latest("k2").order == 2,
+      "stale post-restart event must lose to the checkpointed state")
+  }
 }
