@@ -2152,6 +2152,10 @@ object SparkEntry {
           explode(sequence(lit(1), length(col("t")))).as("i"), col("t"))
         .select(col("doc_id"), substring(col("t"), col("i"), lit(1)).as("c"))
         .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+        // g feeds both the per-doc length aggregate and the entropy
+        // join; checkpointing runs the dominant per-char explode ONCE
+        // (it is docs×alphabet-bounded, tiny next to its input)
+        .localCheckpoint()
       val l = g.groupBy(col("doc_id"))
         .agg(sum(col("n")).as("len"), count(lit(1)).as("d"))
       val p = col("n").cast("double") / col("len").cast("double")
@@ -2580,6 +2584,9 @@ object SparkEntry {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        // the total re-aggregates g — checkpoint the (source×lang)-row
+        // relation so the corpus tokenize runs once, not twice
+        .localCheckpoint()
       val tot = g.agg(sum(col("n_tokens")).as("t"))
       g.crossJoin(broadcast(tot))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
@@ -2993,7 +3000,10 @@ object SparkEntry {
       val e = ld(s, dir, "embeddings").select(
         col("vec_id").cast("long").as("vec_id"),
         transform(col("embedding"), x => round(x.cast("double"), 6)).as("v"))
+      // comp feeds the per-dimension stats AND the z-score join —
+      // checkpoint so the scan+explode runs once, not twice
       val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
+        .localCheckpoint()
       val varE = round(col("sxx").cast("double") / col("n").cast("double") -
         col("mean") * col("mean"), 6)
       val stats = comp.groupBy(col("j"))

@@ -678,7 +678,18 @@ object Corpus {
     * which must be UNIQUE across rows (append a tiebreaker id column
     * if it isn't — a non-unique key would make ids nondeterministic).
     */
-  def globalIds(df: DataFrame, orderCols: Seq[String], nParts: Int): DataFrame = {
+  def globalIds(df: DataFrame, orderCols: Seq[String], nParts: Int): DataFrame =
+    globalIdsPinned(df, orderCols, nParts)._1
+
+  /** [[globalIds]] plus its internally pinned range-partitioned frame,
+    * for callers that materialize a SMALL final projection and can then
+    * release the corpus-sized pin (the [[Eval.pinAndRelease]] hygiene).
+    * Callers that hand the ranked relation itself downstream must keep
+    * the pin — releasing it re-samples the range bounds on recompute
+    * and the ids go nondeterministic (see the persist note below).
+    */
+  def globalIdsPinned(df: DataFrame, orderCols: Seq[String],
+                      nParts: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(orderCols.nonEmpty, "globalIds needs at least one order column")
     val oc = orderCols.map(col)
@@ -697,11 +708,12 @@ object Corpus {
     val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(overPids), lit(0L)))
       .select(col("__pid"), col("__off"))
-    parted
+    val out = parted
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("__pid")).orderBy(oc: _*)))
       .join(broadcast(offsets), "__pid")
       .withColumn("global_id", col("__off") + col("__rank") - 1)
       .drop("__pid", "__rank", "__off")
+    (out, parted)
   }
 }

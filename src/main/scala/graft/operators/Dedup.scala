@@ -485,8 +485,8 @@ object Dedup {
     val (tp, tq) = (pRaw / g, q / g)
     // shingle sets are distinct per doc, so count(*) = document frequency
     val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("__df"))
-    val dict = Corpus.globalIds(dfreq, Seq("__df", "t"), nParts)
-      .select(col("t"), col("global_id").as("tid"))
+    val (dictIds, dictPin) = Corpus.globalIdsPinned(dfreq, Seq("__df", "t"), nParts)
+    val dict = dictIds.select(col("t"), col("global_id").as("tid"))
     val ordered = tok.join(dict, "t")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("tid"))).as("toks"))
@@ -506,7 +506,7 @@ object Dedup {
       .agg(count(lit(1)).as("__w"))
       .filter(col("__w") >= witnesses.toLong ||
         col("__w") * (tp + tq) >= (col("na") + col("nb")).cast("long") * tp)
-    cands
+    val out = cands
       .join(ordered.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(ordered.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("__i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
@@ -515,6 +515,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("__i").cast("double") / (col("na") + col("nb") - col("__i")), 6)
           .as("jaccard"))
+    // pin the (dup-set-bounded) pair result, release the corpus-sized
+    // ordered-token and dictionary pins — repeated invocations (bench
+    // passes, lsh_eval's double use) must not accumulate full-corpus
+    // cached relations
+    Eval.pinAndRelease(out, ordered, dictPin)
   }
 
   /** Adaptive cluster count for [[semanticDedup]]:

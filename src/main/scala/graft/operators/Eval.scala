@@ -31,8 +31,8 @@ object Eval {
     * canaries) pay one execution — accepted, because the statistics'
     * callers always materialize anyway and the leak was unbounded.
     */
-  private def pinAndRelease(out: DataFrame,
-                            intermediates: DataFrame*): DataFrame = {
+  private[operators] def pinAndRelease(out: DataFrame,
+                                       intermediates: DataFrame*): DataFrame = {
     val pinned = out.persist(StorageLevel.MEMORY_AND_DISK)
     pinned.count()
     intermediates.foreach(_.unpersist(blocking = false))
@@ -449,16 +449,20 @@ object Eval {
         tiebreak.as("tb"))
       .na.drop(Seq("s"))
       .withColumn("negs", -col("s"))
-    val ranked = Corpus.globalIds(base, Seq("negs", "tb"), nParts)
-      .withColumn("r", col("global_id") + 1).drop("global_id")
+    val (rankedIds, pin1) = Corpus.globalIdsPinned(base, Seq("negs", "tb"), nParts)
+    val ranked = rankedIds.withColumn("r", col("global_id") + 1).drop("global_id")
     val pos = ranked.filter(col("y") === 1)
-    Corpus.globalIds(pos, Seq("negs", "tb"), nParts)
+    val (posIds, pin2) = Corpus.globalIdsPinned(pos, Seq("negs", "tb"), nParts)
+    val out = posIds
       .withColumn("j", col("global_id") + 1)
       .agg(count(lit(1)).as("n_pos"),
         when(count(lit(1)) > 0,
           round(sum(round(col("j").cast("double") / col("r"), 6)
               .cast("decimal(25,12)")).cast("double") / count(lit(1)), 6))
           .as("avg_precision"))
+    // the 1-row result pins; the two corpus-sized range-partition pins
+    // release (repeated calls must not grow the block-manager cache)
+    pinAndRelease(out, pin1, pin2)
   }
 
   /** Mean NDCG@k of `score` ranking binary `rel` within each query

@@ -151,7 +151,10 @@ object Graph {
     var n = alive.count()
     var converged = false
     var it = 0
-    while (!converged && it < maxIters) {
+    // <= maxIters: detecting the fixpoint costs one extra NO-CHANGE
+    // pass, so a peel cascade exactly maxIters deep must still get its
+    // confirming round — maxIters bounds PRODUCTIVE rounds, not passes
+    while (!converged && it <= maxIters) {
       val next = degreesOver(alive).filter(col("deg") >= k)
         .select(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -12,19 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
-  /** Pins the (small) final projection, then releases the given
-    * intermediate persists — same hygiene as Eval.pinAndRelease:
-    * repeated calls in one session must not grow the block-manager
-    * cache with dead subtrees.
+  /** Shared cache hygiene: pin the (small) final projection, release
+    * the intermediate persists — one implementation, [[Eval]]'s.
     */
   private def pinAndRelease(out: DataFrame,
-                            intermediates: DataFrame*): DataFrame = {
-    val pinned = out.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pinned.count()
-    intermediates.foreach(_.unpersist(blocking = false))
-    pinned
-  }
+                            intermediates: DataFrame*): DataFrame =
+    Eval.pinAndRelease(out, intermediates: _*)
 
   /** Exact SQL `NTILE(n) OVER (ORDER BY orderCols)` without a
     * single-partition window. `orderCols` lexicographic must be a
@@ -70,32 +63,50 @@ object Rank {
     * group. One `min(when(cum ≥ target, v))` aggregate per requested
     * percentile finishes it.
     */
-  def exactPercentiles(df: DataFrame, group: Column, value: Column,
-                       ps: Seq[(String, Double)],
-                       nParts: Int = 32): DataFrame = {
+  /** The slice-offset cumulative machinery shared by
+    * [[exactPercentiles]] and [[quantileRank]]: `g` is one row per
+    * (group, value) with count `c`; returns that relation extended with
+    * `cum` (inclusive cumulative count within the group, value order)
+    * and `__n` (group total), plus the internally pinned
+    * range-partitioned frame. The pin is a CORRECTNESS device
+    * (repartitionByRange samples bounds — both branches must see the
+    * same materialization, see [[Corpus.globalIds]]); callers that
+    * reduce to a small projection release it via [[pinAndRelease]],
+    * callers whose output is corpus-sized must keep it.
+    */
+  private def cumCountsByValue(g: DataFrame, gCol: String, vCol: String,
+                               nParts: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    require(ps.nonEmpty, "need at least one percentile")
-    val g = df.select(group.as("g"), value.as("v")).na.drop(Seq("v"))
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val parted = g.repartitionByRange(nParts, col("g"), col("v"))
+    val parted = g.repartitionByRange(nParts, col(gCol), col(vCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ≤ nParts × groups rows: small relation, windows here are the point
-    val pidTotals = parted.groupBy(col("__pid"), col("g"))
+    val pidTotals = parted.groupBy(col("__pid"), col(gCol))
       .agg(sum(col("c")).as("__t"))
     val offs = pidTotals
       .withColumn("__off", coalesce(sum(col("__t")).over(
-        Window.partitionBy(col("g")).orderBy(col("__pid"))
+        Window.partitionBy(col(gCol)).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("g"), col("__off"))
-    val totals = pidTotals.groupBy(col("g")).agg(sum(col("__t")).as("n"))
-    val localW = Window.partitionBy(col("__pid"), col("g")).orderBy(col("v"))
+      .select(col("__pid"), col(gCol), col("__off"))
+    val totals = pidTotals.groupBy(col(gCol)).agg(sum(col("__t")).as("__n"))
+    val localW = Window.partitionBy(col("__pid"), col(gCol)).orderBy(col(vCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = parted
       .withColumn("__loc", sum(col("c")).over(localW))
-      .join(broadcast(offs), Seq("__pid", "g"))
+      .join(broadcast(offs), Seq("__pid", gCol))
       .withColumn("cum", col("__loc") + col("__off"))
-      .join(broadcast(totals), "g")
+      .join(broadcast(totals), gCol)
+    (cum, parted)
+  }
+
+  def exactPercentiles(df: DataFrame, group: Column, value: Column,
+                       ps: Seq[(String, Double)],
+                       nParts: Int = 32): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    val g = df.select(group.as("g"), value.as("v")).na.drop(Seq("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val (cum0, parted) = cumCountsByValue(g, "g", "v", nParts)
+    val cum = cum0.withColumnRenamed("__n", "n")
     val aggs = ps.map { case (name, p) =>
       // ceil(p·n) in plain double arithmetic — the oracle runs the
       // textually identical expression, so the target rank agrees
@@ -166,31 +177,13 @@ object Rank {
     */
   def quantileRank(df: DataFrame, group: Column, value: Column,
                    nParts: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rows = df.withColumn("__g", group).withColumn("__v", value)
       .na.drop(Seq("__v"))
     val g = rows.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("c"))
-    val parted = g.repartitionByRange(nParts, col("__g"), col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pidTotals = parted.groupBy(col("__pid"), col("__g"))
-      .agg(sum(col("c")).as("__t"))
-    // ≤ nParts × groups rows: the single-partition window is the point
-    val offs = pidTotals
-      .withColumn("__off", coalesce(sum(col("__t")).over(
-        Window.partitionBy(col("__g")).orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__g"), col("__off"))
-    val totals = pidTotals.groupBy(col("__g")).agg(sum(col("__t")).as("__n"))
-    val localW = Window.partitionBy(col("__pid"), col("__g"))
-      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
-    val qmap = parted
-      .withColumn("__loc", sum(col("c")).over(localW))
-      .join(broadcast(offs), Seq("__pid", "__g"))
-      .join(broadcast(totals), "__g")
-      .select(col("__g"), col("__v"),
-        round((col("__loc") + col("__off")).cast("double") / col("__n"), 6)
-          .as("qrank"))
+    // the pin inside stays (output is corpus-sized — see cumCountsByValue)
+    val (cum, _) = cumCountsByValue(g, "__g", "__v", nParts)
+    val qmap = cum.select(col("__g"), col("__v"),
+      round(col("cum").cast("double") / col("__n"), 6).as("qrank"))
     rows.join(qmap, Seq("__g", "__v")).drop("__g", "__v")
   }
 

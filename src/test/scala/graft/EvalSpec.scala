@@ -360,6 +360,15 @@ class EvalSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
     mi.unpersist()
     assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // averagePrecision runs globalIds TWICE — both range-partition pins
+    // must release (the round-7 review's leak)
+    val scored = (1 to 200).map(i =>
+      (i.toDouble % 23, i % 3 == 0, i.toLong)).toDF("s", "y", "id")
+    val ap = Eval.averagePrecision(scored, col("s"), col("y"), col("id"))
+    ap.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    ap.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
   test("centroidDrift: orthogonal and identical centroids, exact geometry") {

@@ -69,4 +69,20 @@ class SetSimSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "prefix-filter join must pair via the prefix-token equi-join")
   }
+
+  test("releases the corpus-sized pins, keeping only the pair result") {
+    // a doc set unique to this test — an input shared with earlier
+    // tests would make persist() a cache HIT and the count a no-op
+    val own = (0L until 40L).map(i =>
+      (i, s"pin release probe text number ${i % 7} variant ${i % 3}"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.prefixFilterPairs(own, "text", "doc_id", 5, 0.5)
+    out.collect()
+    // ordered-token and dictionary pins released; the pinned pair
+    // relation is the single survivor (round-7 review's leak)
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    out.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
 }
