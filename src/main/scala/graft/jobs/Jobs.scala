@@ -47,10 +47,17 @@ object Jobs {
     */
   def readDayEvents(spark: SparkSession, spec: TableSpec, ds: LocalDate,
                     lowerNames: Boolean = false): Option[DataFrame] = {
-    val day = Lake.readDay(spark, spec.dataDir, ds.getYear, ds.getMonthValue, ds.getDayOfMonth, spec.format)
-      .drop(Lake.partitionColumns: _*)
-    if (day.isEmpty) None
-    else Some(parseRaw(day, lowerNames))
+    // a raw root that doesn't exist yet (merge scheduled before the
+    // first ingest trigger) is "no new data", not an error — the one
+    // missing-path case the reference's blanket except covered
+    if (!Lake.pathExists(spark, spec.dataDir)) None
+    else {
+      val day = Lake.readDay(spark, spec.dataDir, ds.getYear,
+        ds.getMonthValue, ds.getDayOfMonth, spec.format)
+        .drop(Lake.partitionColumns: _*)
+      if (day.isEmpty) None
+      else Some(parseRaw(day, lowerNames))
+    }
   }
 
   /** Parse a raw `(timestamp, value)` frame: resolve the payload schema
@@ -103,13 +110,17 @@ object Jobs {
             // tombstoned across batches, `daily_data_handler.py:88-101`).
             // A from-scratch rebuild has cleaner correct semantics: the
             // LWW fold of the full event log. Deliberate divergence.
-            val all = Lake.readAll(spark, spec.dataDir, spec.format).drop(Lake.partitionColumns: _*)
-            if (all.isEmpty) false
+            if (!Lake.pathExists(spark, spec.dataDir)) false
             else {
-              val folded = CdcOps.foldMerge(
-                parseRaw(all, lowered).distinct(), spec.primaryKeys, spec.orderColumns)
-              Lake.overwriteTableSafely(folded, spec.historyTable, format = spec.format)
-              true
+              val all = Lake.readAll(spark, spec.dataDir, spec.format)
+                .drop(Lake.partitionColumns: _*)
+              if (all.isEmpty) false
+              else {
+                val folded = CdcOps.foldMerge(
+                  parseRaw(all, lowered).distinct(), spec.primaryKeys, spec.orderColumns)
+                Lake.overwriteTableSafely(folded, spec.historyTable, format = spec.format)
+                true
+              }
             }
           }
         if (wrote && Lake.tableExists(spark, spec.dailyTable))

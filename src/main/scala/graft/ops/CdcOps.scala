@@ -64,12 +64,21 @@ object CdcOps {
     }
     if (lower) {
       // Collision pass: only payload columns (index > 0; index 0 is the
-      // envelope timestamp) may be renamed.
+      // envelope timestamp) may be renamed. Taken-ness is tracked
+      // against the names chosen SO FAR, not the pre-rename list — else
+      // two payload columns both lowercasing to "timestamp" would both
+      // pick "source_timestamp" and the frame gains duplicate columns.
       val envelopeTs = "timestamp"
+      val used = scala.collection.mutable.Set(names: _*)
       names = names.zipWithIndex.map {
         case (`envelopeTs`, i) if i > 0 =>
-          if (!names.contains("source_timestamp")) "source_timestamp"
-          else "timestamp_in_source"
+          val candidate = Seq("source_timestamp", "timestamp_in_source")
+            .find(c => !used.contains(c))
+            .getOrElse(throw new IllegalArgumentException(
+              "cannot sanitize: source_timestamp AND timestamp_in_source " +
+                "both taken alongside a payload `timestamp` column"))
+          used += candidate
+          candidate
         case (n, _) => n
       }
     }

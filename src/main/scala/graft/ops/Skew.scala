@@ -39,6 +39,13 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    // the small side is REPLICATED: a right/full outer join would emit
+    // each unmatched small row once per salt — refuse loudly
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin replicates the small side $salts times — join type " +
+        s"'$joinType' would duplicate unmatched small-side rows; use " +
+        "inner/left variants only")
     val bigSalted = big.withColumn(SaltCol,
       pmod(hash(big.columns.map(col): _*), lit(salts)))
     val smallSalted = small
@@ -54,10 +61,15 @@ object Skew {
     */
   def isolatedSkewJoin(big: DataFrame, small: DataFrame, key: String,
                        hotKeys: Seq[Any], joinType: String = "inner"): DataFrame = {
-    val isHot = col(key).isin(hotKeys: _*)
+    // null-SAFE hot test: isin() evaluates to NULL for null-keyed rows,
+    // which would silently leave the null hot partition — the use case
+    // the doc leads with — in the cold shuffled branch
+    val isHot = hotKeys.map {
+      case null => col(key).isNull
+      case k    => col(key) <=> lit(k)
+    }.reduce(_ || _)
     val hot = big.filter(isHot).join(broadcast(small.filter(isHot)), Seq(key), joinType)
-    val cold = big.filter(!isHot || col(key).isNull)
-      .join(small.filter(!isHot || col(key).isNull), Seq(key), joinType)
+    val cold = big.filter(!isHot).join(small.filter(!isHot), Seq(key), joinType)
     hot.unionByName(cold)
   }
 }

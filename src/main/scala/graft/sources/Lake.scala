@@ -63,10 +63,38 @@ object Lake {
     spark.read.format(format).load(dir)
       .coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
-    fs.rename(path, old)
-    fs.rename(tmp, path)
-    fs.delete(old, true)
+    stagedSwap(fs, path, tmp, old)
     nFiles
+  }
+
+  /** The checked staged-directory swap shared by [[compact]] and
+    * [[graft.streaming.StreamingUpsert.compactLog]]: back the live
+    * `path` up to `old`, move `tmp` in, clean up — with every Hadoop
+    * rename CHECKED (they signal failure by RETURNING FALSE, not
+    * throwing; unchecked, stale `old` debris silently no-ops the swap,
+    * and a failure between the renames deletes the only copy).
+    *
+    * Honest limits, by design: (a) there is an instant between the two
+    * renames where `path` does not exist — a concurrent reader can hit
+    * PATH_NOT_FOUND and must retry; (b) rows appended to `path` after
+    * the rewrite's snapshot read are swept into `old` and deleted.
+    * Without a transaction log a plain directory cannot do better, so
+    * run compaction only on CLOSED partitions (past days) or in a
+    * maintenance window — [[compact]]'s per-day usage satisfies this.
+    */
+  private[graft] def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path,
+                                tmp: org.apache.hadoop.fs.Path,
+                                old: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(old)) // debris from a crashed prior run; path is live
+      require(fs.delete(old, true), s"cannot clear stale $old")
+    require(fs.rename(path, old), s"stagedSwap: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back so readers still see the data
+      throw new IllegalStateException(
+        s"stagedSwap: rename $tmp -> $path failed; rolled back")
+    }
+    require(fs.delete(old, true), s"stagedSwap: cleanup of $old failed")
   }
 
   /** Z-order (Morton) curve value of two non-negative integer keys:
@@ -108,6 +136,17 @@ object Lake {
     * days' files — which also keeps partition columns in the result and
     * composes with predicate pushdown.
     */
+  /** Does the data directory exist yet? First deployments run the merge
+    * schedule before the first ingest trigger ever creates the raw
+    * root — readers use this to treat "no directory" as "no data"
+    * (the case the reference's blanket AnalysisException catch covered,
+    * `daily_data_handler.py:39-41`, without swallowing real errors).
+    */
+  def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def readDay(spark: SparkSession, dir: String, year: Int, month: Int, day: Int,
               format: String = "parquet"): DataFrame =
     spark.read.format(format).load(dir)

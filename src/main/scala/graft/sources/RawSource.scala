@@ -30,6 +30,11 @@ object RawSource {
       "subscribe" -> spec.kafkaTopic,
       "startingOffsets" -> "earliest",
       "failOnDataLoss" -> "false")
+    // one-sided credentials are a misconfiguration (e.g. the password
+    // env var unset) — fail fast rather than silently connecting
+    // without SASL
+    require(saslUser.isDefined == saslPassword.isDefined,
+      "kafkaOptions: saslUser and saslPassword must be supplied together")
     val sasl = for (u <- saslUser; p <- saslPassword) yield Map(
       "kafka.security.protocol" -> "SASL_PLAINTEXT",
       "kafka.sasl.mechanism" -> "SCRAM-SHA-256",

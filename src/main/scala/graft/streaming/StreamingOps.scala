@@ -116,6 +116,20 @@ object StreamingOps {
           case Some(s) if us - s.lastUs > gapMs * 1000L =>
             out ::= emit(key, s)
             Some(SessOpen(us, us, 1L, cents))
+          // cross-batch late arrival BEFORE the open session's start
+          // (in-batch reordering is already handled by the sort above):
+          // within the gap of the start it genuinely merges — extending
+          // the start backward, as full-data sessionization would —
+          // beyond it it belongs to an earlier, already-closed session
+          // and emits alone (the bounded-state best effort: one open
+          // session per key means earlier late siblings can't regroup)
+          case Some(s) if us < s.startUs =>
+            if (s.startUs - us <= gapMs * 1000L)
+              Some(SessOpen(us, s.lastUs, s.n + 1L, s.cents + cents))
+            else {
+              out ::= SessOut(key, us, us, 1L, cents)
+              Some(s)
+            }
           case Some(s) =>
             Some(SessOpen(s.startUs, math.max(s.lastUs, us), s.n + 1L, s.cents + cents))
           case None =>

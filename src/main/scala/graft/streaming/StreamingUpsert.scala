@@ -148,8 +148,13 @@ object StreamingUpsert {
                     orderColumn: String = "timestamp"): Dataset[KeyedEvent] = {
     import df.sparkSession.implicits._
     val payloadCols = df.columns.filterNot(CdcOps.metaColumns.contains)
+    // concat_ws SKIPS null components (and their separator), so
+    // ("x", null) and (null, "x") would both key as "x" — a NUL
+    // marker keeps null a distinct, position-preserving value.
+    // Single non-null PKs keep their plain string key.
     df.select(
-      concat_ws("", primaryKeys.map(c => col(c).cast("string")): _*).as("key"),
+      concat_ws("\u0001", primaryKeys.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*).as("key"),
       unix_micros(col(orderColumn).cast("timestamp")).as("order"),
       col(CdcOps.OpColumn).as("op"),
       to_json(struct(payloadCols.map(col): _*)).as("payload"))
@@ -230,19 +235,9 @@ object StreamingUpsert {
       .toDF().localCheckpoint(true) // materialize before the source dir moves
     val n = compacted.count()
     compacted.write.mode("overwrite").parquet(tmp.toString)
-    // Hadoop rename signals failure by RETURNING FALSE, not throwing —
-    // unchecked, a leftover .compact-old from a crashed run would make
-    // both renames no-ops and silently skip compaction, and a failure
-    // between the two renames must abort loudly (rolling back the
-    // first) rather than leave no directory at dataDir.
-    if (fs.exists(old)) // debris from a crashed prior run; path is live
-      require(fs.delete(old, true), s"cannot clear stale $old")
-    require(fs.rename(path, old), s"compactLog: rename $path -> $old failed")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back so readers still see the log
-      throw new IllegalStateException(s"compactLog: rename $tmp -> $path failed; rolled back")
-    }
-    require(fs.delete(old, true), s"compactLog: cleanup of $old failed")
+    // checked-rename choreography shared with Lake.compact — see
+    // Lake.stagedSwap for the failure modes and honest limits
+    graft.sources.Lake.stagedSwap(fs, path, tmp, old)
     n
   }
 }

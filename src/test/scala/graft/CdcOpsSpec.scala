@@ -104,6 +104,19 @@ class CdcOpsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("timestamp", "source_timestamp", "a_b"))
   }
 
+  test("sanitizeColumnNames: TWO colliding payload timestamps get distinct " +
+      "names; a third fails loudly, never duplicates") {
+    val df = Seq((ts(1), ts(2), ts(3))).toDF("timestamp", "TIMESTAMP", "Timestamp")
+    val out = CdcOps.sanitizeColumnNames(df, lower = true)
+    assert(out.columns.toSeq ==
+      Seq("timestamp", "source_timestamp", "timestamp_in_source"))
+    val threeWay = Seq((ts(1), ts(2), ts(3), "x"))
+      .toDF("timestamp", "TIMESTAMP", "Timestamp", "source_timestamp")
+    intercept[IllegalArgumentException] {
+      CdcOps.sanitizeColumnNames(threeWay, lower = true)
+    }
+  }
+
   test("schema drift: mergeBatch survives a new column appearing (unionByName)") {
     val day1 = frame(script.take(2)) // ID, PRODUCT
     val t1 = CdcOps.mergeBatch(

@@ -112,9 +112,11 @@ class JobsSpec extends AnyFunSuite {
     assert(sasl("kafka.sasl.jaas.config") ==
       "org.apache.kafka.common.security.scram.ScramLoginModule required " +
         """username="svc" password="pw";""")
-    // half-provided credentials must NOT produce a half-configured block
-    assert(RawSource.kafkaOptions(spec, "broker:9092", Some("svc"), None)
-      == plain)
+    // half-provided credentials are a MISCONFIGURATION (password env
+    // var unset) — fail fast, never silently connect without SASL
+    intercept[IllegalArgumentException] {
+      RawSource.kafkaOptions(spec, "broker:9092", Some("svc"), None)
+    }
   }
 
   test("raw ingest streams envelopes into a date-partitioned lake exactly once") {

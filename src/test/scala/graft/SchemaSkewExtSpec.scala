@@ -62,6 +62,26 @@ class SchemaSkewExtSpec extends AnyFunSuite {
     assert(isolated.exceptAll(plain).isEmpty)
   }
 
+  test("saltedJoin refuses outer types that would duplicate small rows; " +
+      "isolatedSkewJoin isolates NULL hot keys") {
+    val big = ((1 to 100).map(_ => Some(1)) ++ Seq(None, None, Some(7)))
+      .toDF("k")
+    val small = Seq(Some(1) -> "a", (None: Option[Int]) -> "n", Some(7) -> "b")
+      .toDF("k", "v")
+    // replicated small side + full outer = each unmatched small row
+    // once per salt — must be refused up front
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "full_outer")
+    }
+    // null hot key: result must still equal the plain join (nulls never
+    // equi-match), and the hot branch must actually select the null rows
+    // (isin() would return NULL and silently skip them)
+    val plain = big.join(small, Seq("k"))
+    val iso = Skew.isolatedSkewJoin(big, small, "k", hotKeys = Seq(null, 1))
+    assert(iso.count() == plain.count())
+    assert(iso.exceptAll(plain).isEmpty && plain.exceptAll(iso).isEmpty)
+  }
+
   test("graft SQL functions register and run through spark.sql") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -174,4 +174,62 @@ class StreamingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sessionizeTws: cross-batch late arrivals extend the session start " +
+      "backward within gap, or emit alone beyond it") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Timestamp, Double)]
+      // gap 1 minute, LONG watermark delay so late rows stay in-watermark
+      val out = StreamingOps.sessionizeTws(
+        input.toDF().toDF("user_id", "ts", "value"), gapMs = 60L * 1000L,
+        watermark = "2 hours")
+      val query = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sess_tws_late").start()
+      try {
+        // batch 1: user 1's open session starts 10:00:00
+        input.addData((1L, ts("2024-01-01 10:00:00"), 1.00))
+        query.processAllAvailable()
+        // batch 2, both LATE but in-watermark: 09:59:30 is within the
+        // gap of the session start → merges, extending the start
+        // BACKWARD (the pre-fix code kept start=10:00:00, emitting a
+        // session 'containing' an event before its own start);
+        // 09:00:00 is >gap before the start → its own completed session
+        input.addData((1L, ts("2024-01-01 09:59:30"), 2.00),
+          (1L, ts("2024-01-01 09:00:00"), 4.00))
+        query.processAllAvailable()
+        val emitted = spark.table("sess_tws_late")
+          .as[StreamingOps.SessOut].collect()
+        assert(emitted.length == 1, s"only the 09:00 orphan emits: ${emitted.toSeq}")
+        assert(emitted(0).start_us == emitted(0).last_us &&
+          emitted(0).n_events == 1L && emitted(0).cents == 400L)
+        // close the open session via the watermark: its start must be
+        // the extended 09:59:30, not the original 10:00:00 (two batches:
+        // the watermark computed FROM batch 3 only gates batch 4)
+        input.addData((9L, ts("2024-01-01 15:00:00"), 0.10))
+        query.processAllAvailable()
+        input.addData((9L, ts("2024-01-01 15:00:01"), 0.10))
+        query.processAllAvailable()
+        val sess1 = spark.table("sess_tws_late").as[StreamingOps.SessOut]
+          .collect().filter(s => s.user_id == 1L && s.n_events > 1L)
+        assert(sess1.length == 1, s"merged session missing: ${sess1.toSeq}")
+        assert(sess1(0).start_us == ts("2024-01-01 09:59:30").getTime * 1000L &&
+          sess1(0).last_us == ts("2024-01-01 10:00:00").getTime * 1000L &&
+          sess1(0).n_events == 2L && sess1(0).cents == 300L,
+          s"start not extended backward: ${sess1(0)}")
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView("sess_tws_late")
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }

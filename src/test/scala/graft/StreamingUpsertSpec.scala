@@ -98,6 +98,19 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(keyed.map(_.key).sorted.toSeq == Seq("1", "2"))
     assert(keyed.forall(_.payload.contains("\"ID\"")))
 
+    // composite keys: null components keep their position — ("x", null)
+    // and (null, "x") must NOT collide (concat_ws silently skips nulls)
+    val comp = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "c", "false",
+        "x", null.asInstanceOf[String]),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "c", "false",
+        null.asInstanceOf[String], "x")
+    ).toDF("timestamp", "__op", "__deleted", "A", "B")
+    val compKeys = StreamingUpsert.toKeyedEvents(comp, Seq("A", "B"))
+      .collect().map(_.key)
+    assert(compKeys.distinct.length == 2,
+      s"null-position collision: ${compKeys.toSeq}")
+
     val states = Seq(
       KeyState("1", 1, "c", """{"ID":"1","PRODUCT":"LOAN"}"""),
       KeyState("2", 2, "d", """{"ID":"2"}""")).toDS()
