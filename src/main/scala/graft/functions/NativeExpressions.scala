@@ -282,6 +282,10 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends UnaryEx
   */
 case class CdcChunkSpans(child: Expression, n: Int, modulus: Int)
     extends UnaryExpression {
+  // fail at construction, not as a per-row ArithmeticException (mod 0)
+  // or constant-hash garbage (n <= 0) deep inside a job
+  require(n >= 1, s"CdcChunkSpans window length must be >= 1, got $n")
+  require(modulus >= 1, s"CdcChunkSpans modulus must be >= 1, got $modulus")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =

@@ -58,6 +58,10 @@ object Cluster {
             (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("__changed"))
           .localCheckpoint(true) // cut lineage: plan stays O(1) per iter
         converged = next.filter(col("__changed")).isEmpty
+        // next is materialized (eager checkpoint) — the previous
+        // round's blocks are dead; without this a maxIter-round run
+        // holds maxIter full label copies in executor storage
+        labels.unpersist(blocking = false)
         labels = next.drop("__changed")
         iter += 1
       }

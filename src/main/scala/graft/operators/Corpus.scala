@@ -81,7 +81,13 @@ object Corpus {
   def hexThreshold(rate: Double): String = {
     require(rate >= 0.0, s"sampling rate must be >= 0, got $rate")
     if (rate >= 1.0) "zzzzzzzz"
-    else f"${math.round(rate * 4294967296.0)}%08x"
+    else {
+      // clamp: rates just under 1.0 round to 2^32, which would render
+      // as NINE hex digits — lexicographically below every prefix
+      // starting ≥ '2', silently keeping ~1/16 instead of ~all
+      val t = math.min(math.round(rate * 4294967296.0), 4294967295L)
+      f"$t%08x"
+    }
   }
 
   /** Deterministic stratified sampling — the domain/language mixing
@@ -272,10 +278,13 @@ object Corpus {
     */
   def tokenRarity(docs: DataFrame, rareDf: Long = 2, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
+    // docTok feeds BOTH the document-frequency table and the join back
+    // — checkpoint so the scan+tokenize+explode runs once, not twice
     val docTok = docs
       .select(col(idCol),
         explode(array_distinct(TextFunctions.nonEmptyTokens(lower(col(textCol)))))
           .as("tok"))
+      .localCheckpoint()
     val dfTable = docTok.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
     docs.select(col(idCol))
@@ -318,12 +327,17 @@ object Corpus {
     // exploded relation — it feeds both the first-occurrence aggregate
     // and the join back
     val grams = docs.repartition(nParts, col(idCol))
+      // stage the token array through a projection (the one-shot
+      // wordShingles form re-runs the split regex once per output gram
+      // — the O(tokens²) trap charShinglesOf's doc warns about)
       .select(col(idCol),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+        TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.wordShinglesOf(col("__toks"), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = grams.groupBy(col("fp")).agg(min(col(idCol)).as("first_doc"))
-    docs.select(col(idCol))
+    val out = docs.select(col(idCol))
       .join(
         grams.join(firsts, "fp")
           .groupBy(col(idCol))
@@ -335,6 +349,9 @@ object Corpus {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         when(col("n_grams") > 0,
           round(col("n_novel").cast("double") / col("n_grams"), 6)).as("novelty"))
+    // pin the per-doc result, release the grams-sized intermediate —
+    // repeated calls must not accumulate corpus-sized cached relations
+    Eval.pinAndRelease(out, grams)
   }
 
   /** Composite corpus filter — the keep/drop decision a training-data
@@ -456,27 +473,31 @@ object Corpus {
     def tfCol(t: String): Column =
       size(filter(TextFunctions.tokens(lower(trim(col(textCol)))),
         x => x === lit(t))).cast("long")
+    // internal columns are addressed by term INDEX, not term text — a
+    // term containing '.' would make col("__tf_u.s.") parse as a nested
+    // field path, and duplicate terms would alias-collide
+    val idx = terms.indices
     val base = docs.select(
       col(idCol) +:
         TextFunctions.tokenCount(col(textCol)).cast("long").as("dl") +:
-        terms.map(t => tfCol(t).as(s"__tf_$t")): _*)
+        idx.map(i => tfCol(terms(i)).as(s"__tf_$i")): _*)
     val statAggs = count(lit(1)).cast("double").as("__n") +:
       sum(col("dl")).cast("double").as("__total_dl") +:
-      terms.map(t =>
-        sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"__df_$t"))
+      idx.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).cast("double").as(s"__df_$i"))
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
     val avgdl = col("__total_dl") / col("__n")
-    def contrib(t: String): Column = {
-      val tf = col(s"__tf_$t").cast("double")
-      val df = col(s"__df_$t")
+    def contrib(i: Int): Column = {
+      val tf = col(s"__tf_$i").cast("double")
+      val df = col(s"__df_$i")
       val idf = log(lit(1.0) + (col("__n") - df + lit(0.5)) / (df + lit(0.5)))
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
     }
     base.crossJoin(broadcast(stats))
       .select(col(idCol), col("dl"),
-        terms.map(t => (col(s"__tf_$t") > 0).cast("long").as(s"hit_$t")).reduce(_ + _).as("n_hit"),
-        round(terms.map(contrib).reduce(_ + _), 6).as("bm25"))
+        idx.map(i => (col(s"__tf_$i") > 0).cast("long").as(s"hit_$i")).reduce(_ + _).as("n_hit"),
+        round(idx.map(contrib).reduce(_ + _), 6).as("bm25"))
   }
 
   /** Bigram language-model quality score — the count-LM document filter
@@ -504,9 +525,13 @@ object Corpus {
                     textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol),
       TextFunctions.nonEmptyTokens(lower(col(textCol))).as("__toks"))
+      .localCheckpoint() // feeds pairs AND the vocab count — one tokenize
+    // pairs feeds the bigram counts, the unigram counts, AND the score
+    // join — checkpoint so the explode runs once, not three times
     val pairs = toks.select(col(idCol),
       explode(TextFunctions.wordShinglesAllOf(col("__toks"), 2)).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .localCheckpoint()
     val c2 = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = toks.select(explode(col("__toks")).as("t"))

@@ -25,6 +25,12 @@ object Profile {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }.toSet
 
+    // duplicate column names would silently report the FIRST column's
+    // stats for every namesake (row.getAs resolves by first match)
+    require(df.columns.distinct.length == df.columns.length,
+      s"profile() needs distinct column names, got duplicates: " +
+        df.columns.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+          .mkString(", "))
     // backquote so names containing dots profile as columns, not as
     // nested-field paths
     def ref(c: String) = col(s"`${c.replace("`", "``")}`")

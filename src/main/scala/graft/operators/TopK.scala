@@ -66,10 +66,21 @@ object TopK {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
                    scoreCol: String, tagCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // the tag must be losslessly castable to long — fail at
+    // construction, not as a mid-job ANSI cast error on the first
+    // non-numeric id (string doc ids belong behind a dictionary)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(tagCol).dataType),
+      s"topKPerGroup tag column '$tagCol' must be an integral type, " +
+        s"got ${df.schema(tagCol).dataType.simpleString}")
     val agg = udaf(new HeapAgg(k))
     // NULL scores are ignored (the tuple encoder would otherwise
-    // fabricate them as 0.0 and give them invented ranks)
-    df.filter(col(scoreCol).isNotNull)
+    // fabricate them as 0.0 and give them invented ranks); NaN too —
+    // under TotalOrdering a NaN would be admitted and emitted at
+    // rank 1, silently crowning a corrupt vector the best match
+    df.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col(scoreCol).cast("double"), col(tagCol).cast("long")).as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__i", "__e")): _*)
