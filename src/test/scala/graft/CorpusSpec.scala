@@ -15,6 +15,17 @@ class CorpusSpec extends AnyFunSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("hexThreshold stays 8 hex digits at the 1.0 boundary") {
+    // rates just under 1.0 used to round to 2^32 = "100000000" (NINE
+    // digits), lexicographically below most md5 prefixes — keeping
+    // ~1/16 of a stratum meant to keep ~all of it
+    assert(Corpus.hexThreshold(1.0 - 1e-11) == "ffffffff")
+    assert(Corpus.hexThreshold(1.0) == "zzzzzzzz")
+    assert(Corpus.hexThreshold(0.0) == "00000000")
+    assert(Corpus.hexThreshold(0.5) == "80000000")
+    assert(Corpus.hexThreshold(1.0 - 1e-11).length == 8)
+  }
+
   test("contamination: planted benchmark overlap is counted, clean docs score 0") {
     val bench = "alpha beta gamma delta epsilon zeta"
     val df = Seq(

@@ -50,4 +50,17 @@ class TopKSpec extends AnyFunSuite {
     assert(got.map(_._2) == Seq(996.0, 996.0, 996.0, 996.0, 996.0))
     assert(got.map(_._1) == Seq(996L, 1993L, 2990L, 3987L, 4984L))
   }
+
+  test("NaN scores are excluded, not crowned rank 1; string tags fail fast") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, Double.NaN), ("a", 3L, 7.0))
+      .toDF("g", "tag", "score")
+    val got = TopK.topKPerGroup(df, Seq("g"), "score", "tag", k = 2)
+      .select($"tag", $"rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(3L -> 1L, 1L -> 2L),
+      s"NaN must not enter the heap (TotalOrdering ranks it FIRST): $got")
+    val strTags = Seq(("a", "doc_1", 5.0)).toDF("g", "tag", "score")
+    intercept[IllegalArgumentException] {
+      TopK.topKPerGroup(strTags, Seq("g"), "score", "tag", k = 1)
+    }
+  }
 }
