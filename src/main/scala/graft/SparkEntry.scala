@@ -2743,7 +2743,7 @@ object SparkEntry {
     // relation, lineage truncated per iter. The oracle unrolls the
     // identical recurrence (one CTE per iteration).
     "graph_pagerank" -> ((s, dir) =>
-      graft.operators.Graph.pageRank(s, {
+      graft.operators.Graph.pageRank({
         val p = purchasePairsCached(s, dir)
         p.select(col("c").as("src"), col("s").as("dst"))
           .union(p.select(col("s").as("src"), col("c").as("dst")))
@@ -2768,8 +2768,7 @@ object SparkEntry {
     // graph (operators.Graph.hits — per-iteration exact-decimal sum
     // normalization; the oracle unrolls the identical recurrence).
     "graph_hits" -> ((s, dir) =>
-      graft.operators.Graph.hits(s,
-        purchasePairsCached(s, dir)
+      graft.operators.Graph.hits(purchasePairsCached(s, dir)
           .select(col("c").as("src"), col("s").as("dst")),
         iters = 3)),
 

@@ -219,10 +219,17 @@ object Dedup {
         .filter(col("__bn") <= maxBucket)
         .select(col("band"), col("bucket")),
       Seq("band", "bucket"))
-    val dupIncoming = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    // admission rule: an incoming doc drops when it shares a bucket
+    // with ANY existing doc (regardless of id order — the corpus was
+    // there first) or with a LOWER-id incoming doc (one canonical
+    // survivor per incoming dup set). A plain id_a < id_b filter would
+    // silently ADMIT a duplicate of an existing doc with a larger id.
+    val dupIncoming = capped.select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("__new").as("__new_a"))
       .join(capped.filter(col("__new")).select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .filter((!col("__new_a") && col("id_a") =!= col("id_b")) ||
+        (col("__new_a") && col("id_a") < col("id_b")))
       .select(col("id_b").as("id")).distinct()
     incoming.select(col(idCol).cast("long").as("doc_id"))
       .join(dupIncoming.withColumn("__dup", lit(true)),
@@ -302,11 +309,14 @@ object Dedup {
       .join(inPairs, Seq("__jid"), "left_semi")
       .select(col("__jid"),
         graft.functions.native.char_shingle_hashes(col(textCol), shingleLen).as("__sh"))
-    cands
+    val out = cands
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // pin the (dup-set-bounded) verified pairs, release the candidate
+    // pin — repeated verify calls must not accumulate cached subtrees
+    Eval.pinAndRelease(out, cands)
   }
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH bucket join, then
@@ -389,12 +399,13 @@ object Dedup {
       .join(inPairs, Seq("__jid"), "left_semi")
       .select(col("__jid"),
         graft.functions.native.char_shingle_hashes(col(textCol), shingleLen).as("__sh"))
-    cands
+    val out = cands
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         overlapCoefficient(col("sh_a"), col("sh_b")).as("containment"))
       .filter(col("containment") >= threshold)
+    Eval.pinAndRelease(out, cands) // same hygiene as jaccardVerify
   }
 
   /** Exact set-similarity self-join via MULTI-WITNESS prefix filtering

@@ -294,9 +294,12 @@ object Eval {
     val pb = col("xb").cast("double") / col("nb").cast("double")
     val pp = (col("xa") + col("xb")).cast("double") /
       (col("na") + col("nb")).cast("double")
+    // an empty arm yields 0/0 = NaN, not NULL — guard the rates like
+    // every other statistic in this file
     g.select(col("na").as("n_a"), col("xa").as("x_a"),
       col("nb").as("n_b"), col("xb").as("x_b"),
-      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      when(col("na") > 0, round(pa, 6)).as("p_a"),
+      when(col("nb") > 0, round(pb, 6)).as("p_b"),
       when(col("na") > 0 && col("nb") > 0 &&
           (col("xa") + col("xb")) > 0 &&
           (col("xa") + col("xb")) < (col("na") + col("nb")),
@@ -551,6 +554,13 @@ object Eval {
     */
   def centroidSums(embs: DataFrame, labelCol: String, vecCol: String,
                    dim: Int): DataFrame = {
+    // a non-numeric label would cast('long') to NULL for EVERY row and
+    // silently collapse all segments into one merged centroid
+    require(Seq("byte", "short", "int", "bigint", "long")
+        .contains(embs.schema(labelCol).dataType.simpleString) ||
+      embs.schema(labelCol).dataType.simpleString.startsWith("decimal"),
+      s"centroidSums label column '$labelCol' must be integral, got " +
+        embs.schema(labelCol).dataType.simpleString)
     val e = embs
       .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
       .select(col(labelCol).cast("long").as("label"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -34,7 +34,7 @@ object Graph {
     * `(node, rank_norm)` with `rank_norm = rank × n` (mean 1.0)
     * rounded to 6 dp.
     */
-  def pageRank(spark: SparkSession, edges: DataFrame,
+  def pageRank(edges: DataFrame,
                iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst"))
@@ -407,28 +407,32 @@ object Graph {
     */
   def modularityOfLabels(edges: DataFrame, labels: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val e = edges.select(col("a"), col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val la = labels.select(col("node").as("a"), col("label").as("ca"))
     val lb = labels.select(col("node").as("b"), col("label").as("cb"))
-    val marked = e.join(la, "a").join(lb, "b")
+    // every statistic — m, intra, AND the community degree sums — comes
+    // from the label-RESTRICTED edge relation, so partial label sets
+    // yield the labeled subgraph's modularity consistently (degrees
+    // from the full edge set would count edges to unlabeled neighbors
+    // that m excludes, producing a Q matching neither graph); with full
+    // label cover this is identical to full-graph degrees
+    val marked = edges.select(col("a"), col("b")).join(la, "a").join(lb, "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = marked.agg(count(lit(1)).as("m"),
       sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("intra"))
-    val degByComm = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      .join(labels, "node")
-      .groupBy(col("label")).agg(sum(col("d")).as("dc"))
+    val degByComm = marked.select(col("ca").as("label"))
+      .union(marked.select(col("cb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("dc"))
     val sq = degByComm.agg(sum(col("dc").cast(dec) * col("dc").cast(dec)).as("sumd2"),
       count(lit(1)).as("n_communities"))
     val nn = labels.agg(count(lit(1)).as("n_nodes"))
-    base.crossJoin(sq).crossJoin(nn)
+    val out = base.crossJoin(sq).crossJoin(nn)
       .select(col("n_nodes"), col("m").as("n_edges"), col("n_communities"),
         col("intra").as("n_intra"),
         round((lit(4).cast(dec) * col("m") * col("intra") - col("sumd2"))
             .cast("double") /
           (lit(4).cast(dec) * col("m") * col("m")).cast("double"), 6)
           .as("modularity"))
+    Eval.pinAndRelease(out, marked) // 1-row result pins; edges release
   }
 
   /** Fixed-iteration HITS (Kleinberg 1999) over directed
@@ -449,7 +453,7 @@ object Graph {
     * is floating point, so the oracle's unrolled replay is
     * bit-identical.
     */
-  def hits(spark: SparkSession, edges: DataFrame, iters: Int = 3): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -491,7 +495,11 @@ object Graph {
       h = halfStep(a, "dst", "src")
     }
     // the last two persisted raws stay pinned — the final projections
-    // read them directly, so no checkpoint is needed
+    // read them directly, so no checkpoint is needed. The edge pin is
+    // NOT needed anymore: every half-step's raw is materialized (the
+    // normalizer collect), so releasing e leaks nothing — without this
+    // each hits() call left one corpus-sized edge relation cached
+    e.unpersist(blocking = false)
     h.select(col("node"), lit("hub").as("kind"), col("score"))
       .unionByName(a.select(col("node"), lit("auth").as("kind"), col("score")))
   }

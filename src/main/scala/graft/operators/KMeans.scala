@@ -42,10 +42,15 @@ object KMeans {
     val session = embs.sparkSession
     import session.implicits._
 
+    // persisted: the init scan, every Lloyd iteration's assignment
+    // aggregate, and the final projection all read this projected/
+    // rounded relation — unpersisted without it each pass re-scans and
+    // re-rounds the source (same rationale as Pca.fitPc's persist)
     val e = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("vec_id"),
         transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic hash-strided init, labeled 0..k-1 in pick order
     val init: Seq[Seq[Double]] = e
@@ -86,8 +91,10 @@ object KMeans {
     }
 
     val fin = best(cents)(col("v"))
-    e.select(col("vec_id"),
+    val out = e.select(col("vec_id"),
       fin.getField("cell").cast("long").as("cell_id"),
       fin.getField("sim").as("cosine"))
+    // pin the slim 3-column result, release the wide vector cache
+    Eval.pinAndRelease(out, e)
   }
 }

@@ -219,7 +219,9 @@ object Sketch {
     val unionRegs = ra.select(col("ga"), col("gb"), col("b"), col("r"))
       .union(rb.select(col("ga"), col("gb"), col("b"), col("r")))
       .groupBy(col("ga"), col("gb"), col("b")).agg(max(col("r")).as("r"))
-      .withColumn("__pk", concat_ws("|", col("ga"), col("gb")))
+      // struct pair key — a '|'-joined string would alias distinct
+      // pairs whenever a segment name itself contains '|'
+      .withColumn("__pk", struct(col("ga"), col("gb")))
     val estU = hllEstimate(unionRegs, "__pk", m)
       .select(col("__pk"), col("approx").as("eu"))
     val estS = hllEstimate(regs, groupCol, m)
@@ -233,7 +235,7 @@ object Sketch {
     pairs
       .join(estS.select(col(groupCol).as("ga"), col("approx").as("ea")), "ga")
       .join(estS.select(col(groupCol).as("gb"), col("approx").as("eb")), "gb")
-      .join(estU, concat_ws("|", col("ga"), col("gb")) === col("__pk"))
+      .join(estU, struct(col("ga"), col("gb")) === col("__pk"))
       .join(exact, Seq("ga", "gb"), "left")
       .select(col("ga").as("seg_a"), col("gb").as("seg_b"),
         coalesce(col("xc"), lit(0L)).as("exact_intersect"),

@@ -43,7 +43,13 @@ object AsOfJoin {
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val rightStruct = StructType(rightPayload.map(c => right.schema(c)))
 
-    val taggedRight = right.select(
+    // a NULL right timestamp has no place on the timeline: backward's
+    // ascending order would sort it FIRST (nulls first) and carry it
+    // into every left row preceding the first real right row, while
+    // forward's descending order makes it inert — drop on both paths
+    // so the directions agree
+    val rightClean = right.filter(col(rightTs).isNotNull)
+    val taggedRight = rightClean.select(
       (keys.map(col) :+ col(rightTs).as("__t") :+ lit(0).as("__side") :+
         struct(rightPayload.map(col): _*).as("__r") :+
         lit(null).cast(StructType(left.schema.fields)).as("__l")): _*)

@@ -22,7 +22,7 @@ object ScratchTime {
         g.count(); g
       }
       t("pageRank on prebuilt edges") {
-        graft.operators.Graph.pageRank(spark, g, iters = 5, damping = 0.85)
+        graft.operators.Graph.pageRank(g, iters = 5, damping = 0.85)
           .write.format("noop").mode("overwrite").save()
       }
       t("full graph_pagerank query") {

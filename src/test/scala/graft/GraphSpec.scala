@@ -18,7 +18,7 @@ class GraphSpec extends AnyFunSuite {
   test("ring: perfect symmetry gives every node rank_norm 1.0") {
     val ring = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a",
       "b" -> "a", "c" -> "b", "d" -> "c", "a" -> "d")
-    val out = Graph.pageRank(spark, ring, iters = 5).collect()
+    val out = Graph.pageRank(ring, iters = 5).collect()
     assert(out.length == 4)
     out.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
   }
@@ -26,7 +26,7 @@ class GraphSpec extends AnyFunSuite {
   test("star: the hub out-ranks the leaves and total mass is conserved") {
     val star = edges(Seq("b", "c", "d", "e").flatMap(l =>
       Seq("hub" -> l, l -> "hub")): _*)
-    val out = Graph.pageRank(spark, star, iters = 8).collect()
+    val out = Graph.pageRank(star, iters = 8).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out("hub") > out("b") * 2, "hub should dominate leaves")
     Seq("b", "c", "d", "e").foreach(l => assert(out(l) == out("b")))
@@ -37,23 +37,23 @@ class GraphSpec extends AnyFunSuite {
   test("pageRank is deterministic across runs") {
     val g = edges((1 to 20).flatMap(i =>
       Seq(s"n$i" -> s"n${i % 7}", s"n${i % 7}" -> s"n$i")): _*)
-    val a = Graph.pageRank(spark, g, iters = 5).collect()
+    val a = Graph.pageRank(g, iters = 5).collect()
       .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
-    val b = Graph.pageRank(spark, g, iters = 5).collect()
+    val b = Graph.pageRank(g, iters = 5).collect()
       .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
     assert(a.sameElements(b))
   }
 
   test("dangling destinations are rejected, not silently drained") {
     val ex = intercept[IllegalArgumentException] {
-      Graph.pageRank(spark, edges("a" -> "b", "b" -> "a", "a" -> "sink"))
+      Graph.pageRank(edges("a" -> "b", "b" -> "a", "a" -> "sink"))
     }
     assert(ex.getMessage.contains("dangling"))
   }
 
   test("contribution-less sources are rejected (closure contract)") {
     val ex = intercept[IllegalArgumentException] {
-      Graph.pageRank(spark, edges("a" -> "b", "b" -> "a", "c" -> "a"))
+      Graph.pageRank(edges("a" -> "b", "b" -> "a", "c" -> "a"))
     }
     assert(ex.getMessage.contains("contribution-less"))
   }
@@ -231,7 +231,7 @@ class GraphSpec extends AnyFunSuite {
     // two hubs share one strong authority; one fringe hub/authority pair
     val edges = Seq("c1" -> "s1", "c1" -> "s2", "c2" -> "s1",
       "c2" -> "s3", "c3" -> "s3")
-    val got = Graph.hits(spark, edges.toDF("src", "dst"), iters = 3)
+    val got = Graph.hits(edges.toDF("src", "dst"), iters = 3)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       .toMap
     val (h, a) = refHits(edges, 3)

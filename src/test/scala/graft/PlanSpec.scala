@@ -223,7 +223,7 @@ class PlanSpec extends AnyFunSuite {
   test("hits: edges joined per half-step without cartesian or corpus-side sort-merge explosion") {
     val edges = (0L until 300L)
       .map(i => (s"c${i % 40}", s"s${i % 17}")).toDF("src", "dst")
-    val plan = executed(graft.operators.Graph.hits(spark, edges, iters = 2))
+    val plan = executed(graft.operators.Graph.hits(edges, iters = 2))
     assert(!plan.contains("CartesianProduct"), s"cartesian in HITS:\n$plan")
   }
 
