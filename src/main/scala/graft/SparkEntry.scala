@@ -241,6 +241,21 @@ object SparkEntry {
       graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The compact-forward (degree, id)-oriented DAG of the co-activity
+    * graph, memoized like the edge relations: `graph_triangles` and
+    * `graph_jaccard_neighbors` both wedge-join it, and the orientation
+    * build (two degree joins) is the shared prefix (round-7 advice
+    * items 2-3).
+    */
+  private def coActivityOrientedCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // resolve the edge relation BEFORE entering computeIfAbsent (see
+    // labelPropCached for the access-order CME trap)
+    val edges = coActivityCached(s, dir)
+    edgeCache.computeIfAbsent((s, dir, "or"), _ =>
+      graft.operators.Graph.orientByDegree(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** The 2-round label-propagation partition over the co-activity
     * graph, memoized like the edge relations: `graph_label_prop`
     * returns it and `graph_modularity` scores it — without sharing,
@@ -2780,34 +2795,30 @@ object SparkEntry {
 
     // Triangle count + global clustering coefficient via the
     // degree-ordered compact-forward wedge join (out-degree O(sqrt m)
-    // per node even on power-law graphs). One summary row.
+    // per node even on power-law graphs). One summary row; the
+    // oriented DAG is memoized and shared with graph_jaccard_neighbors.
     "graph_triangles" -> ((s, dir) =>
-      graft.operators.Graph.triangleStats(coActivityCached(s, dir))),
+      graft.operators.Graph.triangleStatsOriented(
+        coActivityOrientedCached(s, dir))),
 
     // Neighbor-set Jaccard per existing edge — the classic
     // link-strength / link-prediction score: J(a,b) =
-    // |N(a)∩N(b)| / |N(a)∪N(b)|. Common neighbors come from the same
-    // bounded edge×neighbor join shape as the triangle count (never
-    // all-pairs); union size is the exact-integer da+db−common, one
-    // rounded division at the end.
-    "graph_jaccard_neighbors" -> ((s, dir) => {
-      val e = coActivityCached(s, dir)
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
-      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val common = e
-        .join(sym.select(col("u").as("a"), col("v").as("x")), "a")
-        .join(sym.select(col("u").as("b"), col("v").as("x")), Seq("b", "x"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-      e.join(common, Seq("a", "b"), "left")
-        .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
-        .select(col("a"), col("b"),
-          coalesce(col("common"), lit(0L)).as("common_neighbors"),
-          round(coalesce(col("common"), lit(0L)).cast("double") /
-            (col("da") + col("db") - coalesce(col("common"), lit(0L)))
-              .cast("double"), 6).as("jaccard"))
-    }),
+    // |N(a)∩N(b)| / |N(a)∪N(b)|. Common neighbors per edge = triangles
+    // through it, enumerated once each from the shared compact-forward
+    // DAG (O(√m) wedge fan-out) — never the hub-squared
+    // adjacency-vs-adjacency join (round-7 advice item 2).
+    "graph_jaccard_neighbors" -> ((s, dir) =>
+      graft.operators.Graph.edgeJaccard(coActivityOrientedCached(s, dir))),
+
+    // Link prediction over non-adjacent co-activity pairs: top-50 by
+    // Resource-Allocation index (Σ 1/deg over common neighbors) —
+    // transcendental-free so the score replays exactly (DECIMAL sums);
+    // wedge enumeration capped at center degree 64 (a super-hub fans
+    // out deg² candidate pairs while contributing ≈0 score each — the
+    // cap is the operator contract and the oracle replays it).
+    "graph_link_predict" -> ((s, dir) =>
+      graft.operators.Graph.linkPredictRA(coActivityCached(s, dir),
+        maxCenterDegree = 64, topN = 50)),
 
     // Connected components of the co-activity graph — the canonical
     // iterative graph op, surfaced directly (dedup_clusters runs the
@@ -3148,6 +3159,33 @@ object SparkEntry {
     // recall = |IVF ∩ truth| / k. The number SimilaritySpec pins as a
     // floor, surfaced as a driver-checked result (both rankings are
     // deterministic: 6-dp cosine DESC, candidate-id tiebreak).
+    // Matryoshka-style prefix-fidelity audit: rank by the FIRST 16 of
+    // 64 dims and measure recall@5 against the full-dim truth — the
+    // go/no-go check before storing truncated embeddings (MRL-trained
+    // models keep coarse structure in the prefix; this measures whether
+    // THESE vectors do). Same broadcast-probe + bounded-heap shape as
+    // knn_recall_eval; slice happens before the kernel, so the prefix
+    // pass scans 1/4 the floats.
+    "embed_prefix_recall" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(e, probes,
+          "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("candidate_id"))
+      val pre = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val approx = Similarity.bruteForceTopK(pre,
+          pre.filter(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("candidate_id"))
+        .withColumn("__hit", lit(1L))
+      truth.join(approx, Seq("query_id", "candidate_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+    }),
+
     "knn_recall_eval" -> ((s, dir) => {
       val e = ld(s, dir, "embeddings")
       val probes = e.filter(col("vec_id") < 5)
@@ -3696,6 +3734,38 @@ object SparkEntry {
       CdcOps.foldMerge(parsed, Seq("user_id"), Seq("timestamp", "event_id"))
     }),
 
+    // The same e2e pipeline with a COMPACTION maintenance pass between
+    // ingest and read-back: the day's partition directory is rewritten
+    // by Lake.compact (staged swap, coalesce — shuffle-free) and the
+    // merge result must be bit-identical (same oracle as
+    // cdc_pipeline_file). This is the oracle-checked version of what
+    // LakeCompactSpec pins at unit scale: compaction changes file
+    // layout, never content (round-7 advice item 7).
+    "cdc_pipeline_compacted" -> ((s, dir) => {
+      import graft.jobs.Jobs
+      import graft.model.TableSpec
+      import graft.sources.{Lake, RawSource}
+      val root = s"/root/repo/target/tmp/pipeq-cp-${java.util.UUID.randomUUID()}"
+      cdcEvents(s, dir).select(
+        col("timestamp"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"),
+          col(CdcOps.OpColumn), col(CdcOps.DeletedColumn))).as("value"))
+        .write.parquet(s"$root/in")
+      val spec = TableSpec("pipeq_cp", "graft_db", Seq("user_id"),
+        s"$root/lake", s"$root/ckpt", "topic")
+      Jobs.rawIngest(RawSource.fileStream(s, s"$root/in"), spec)
+      val dayDir = s"${spec.dataDir}/op_year=2024/op_month=1/op_day=2"
+      val target = Lake.compact(s, dayDir, targetBytes = 32L * 1024 * 1024)
+      val left = new java.io.File(dayDir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(left <= target,
+        s"compaction left $left files for a $target-file target")
+      val day = Lake.readDay(s, spec.dataDir, 2024, 1, 2)
+        .drop(Lake.partitionColumns: _*)
+      val parsed = Jobs.parseRaw(day)
+      CdcOps.foldMerge(parsed, Seq("user_id"), Seq("timestamp", "event_id"))
+    }),
+
     // The same e2e pipeline on ORC — the reference's actual lake format
     // (`raw_data_handler.py:86`, `daily_data_handler.py:134`). Identical
     // semantics (same oracle); only the columnar container differs.
@@ -3976,6 +4046,15 @@ object SparkEntry {
          |  FROM cdc) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
 
     "cdc_pipeline_file" ->
+      s"""$cdcSql SELECT "timestamp", event_id, props, user_id, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
+         |  FROM cdc
+         |  WHERE year("timestamp") = 2024 AND month("timestamp") = 1
+         |    AND day("timestamp") = 2) WHERE __rn = 1 AND __op <> 'd'""".stripMargin,
+
+    // compaction is a layout rewrite, not a semantic one
+    "cdc_pipeline_compacted" ->
       s"""$cdcSql SELECT "timestamp", event_id, props, user_id, value FROM (
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY "timestamp" DESC, event_id DESC) AS __rn
@@ -6294,6 +6373,32 @@ FROM cand GROUP BY 1""",
         |       FROM l1 LEFT JOIN n2 USING (id))
         |SELECT id AS node, lbl AS label FROM l2""".stripMargin,
 
+    // RA link prediction: wedge enumeration over the capped adjacency,
+    // exact DECIMAL(16,12) score sums (1/d pinned to 12 dp is IEEE-
+    // deterministic in both engines), anti-join against edges, top 50
+    "graph_link_predict" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |e AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |adj AS (SELECT s.u, s.v, deg.d AS du FROM
+        |        (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e) s
+        |        JOIN deg ON deg.node = s.u
+        |        WHERE deg.d BETWEEN 2 AND 64),
+        |wg AS (SELECT a1.v AS v, a2.v AS w, a1.du AS du
+        |       FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v),
+        |sc AS (SELECT v, w, COUNT(*) AS common_neighbors,
+        |       SUM(CAST(round(1.0 / du, 12) AS DECIMAL(16,12))) AS ra
+        |       FROM wg GROUP BY 1, 2),
+        |ne AS (SELECT sc.v, sc.w, sc.common_neighbors, sc.ra FROM sc
+        |       LEFT JOIN e ON e.a = sc.v AND e.b = sc.w WHERE e.a IS NULL)
+        |SELECT v AS a, w AS b, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+        |  round(CAST(ra AS DOUBLE), 6) AS ra_score
+        |FROM ne ORDER BY ra_score DESC, common_neighbors DESC, a, b LIMIT 50""".stripMargin,
+
     // modularity of the same partition: exact integer numerator and
     // denominator, one rounded double division
     "graph_modularity" ->
@@ -6446,6 +6551,37 @@ FROM cand GROUP BY 1""",
 
     // brute-force truth and the IVF ranking composed as nested CTEs;
     // recall = per-query overlap of the two deterministic top-3 lists
+    // prefix recall: the same brute ranking replayed twice — once on
+    // the full 64-dim vector, once on v[1:16] (cast-to-double commutes
+    // with the slice, so both engines score identical prefixes)
+    "embed_prefix_recall" -> {
+      def brute(vExpr: String, alias: String) =
+        s"""${alias}n AS (SELECT vec_id, $vExpr AS v FROM e),
+           |${alias}m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ${alias}n),
+           |${alias}q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM ${alias}m WHERE vec_id < 8),
+           |${alias}s AS (SELECT query_id, ${alias}m.vec_id AS candidate_id,
+           |        CASE WHEN qn * nrm = 0 THEN 0.0
+           |             ELSE list_dot_product(qv, v) / (qn * nrm) END AS cos
+           |      FROM ${alias}m, ${alias}q WHERE ${alias}m.vec_id <> query_id),
+           |${alias}r AS (SELECT query_id, candidate_id,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY round(CAST(cos AS DOUBLE), 6) DESC, candidate_id) AS rnk
+           |      FROM ${alias}s)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${brute("v", "t")},
+         |${brute("v[1:16]", "p")},
+         |h AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN p.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM (SELECT query_id, candidate_id FROM tr WHERE rnk <= 5) t
+         |  LEFT JOIN (SELECT query_id, candidate_id FROM pr WHERE rnk <= 5) p
+         |    ON p.query_id = t.query_id AND p.candidate_id = t.candidate_id
+         |  GROUP BY t.query_id)
+         |SELECT query_id, n_true, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+         |FROM h""".stripMargin
+    },
+
     "knn_recall_eval" -> {
       val brute =
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

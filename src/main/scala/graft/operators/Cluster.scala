@@ -60,8 +60,12 @@ object Cluster {
         converged = next.filter(col("__changed")).isEmpty
         // next is materialized (eager checkpoint) — the previous
         // round's blocks are dead; without this a maxIter-round run
-        // holds maxIter full label copies in executor storage
-        labels.unpersist(blocking = false)
+        // holds maxIter full label copies in executor storage until
+        // the ContextCleaner's periodic GC gets around to them.
+        // Dataset.unpersist() is a NO-OP here (a localCheckpoint
+        // Dataset is not CacheManager-registered) — release the
+        // checkpointed RDD under the LogicalRDD leaf instead.
+        unpersistLocalCheckpoint(labels)
         labels = next.drop("__changed")
         iter += 1
       }
@@ -91,4 +95,18 @@ object Cluster {
         coalesce(col("comp"), col(idCol)).as("canonical_id"))
       .withColumn("keep", (col("canonical_id") === col(idCol)).cast("boolean"))
   }
+
+  /** Deterministically release an eager `localCheckpoint(true)`
+    * frame's storage blocks. The Dataset API can't do it:
+    * `Dataset.unpersist()` consults only the CacheManager, which never
+    * registered a checkpoint. The materialized RDD lives under the
+    * plan's LogicalRDD leaf; frames without one (nothing checkpointed)
+    * are a no-op.
+    */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -555,10 +555,14 @@ object Eval {
   def centroidSums(embs: DataFrame, labelCol: String, vecCol: String,
                    dim: Int): DataFrame = {
     // a non-numeric label would cast('long') to NULL for EVERY row and
-    // silently collapse all segments into one merged centroid
-    require(Seq("byte", "short", "int", "bigint", "long")
-        .contains(embs.schema(labelCol).dataType.simpleString) ||
-      embs.schema(labelCol).dataType.simpleString.startsWith("decimal"),
+    // silently collapse all segments into one merged centroid; compare
+    // DataType objects — simpleString spells these tinyint/smallint/
+    // bigint, so a name list is easy to get wrong (round-7 advice)
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(embs.schema(labelCol).dataType) ||
+      embs.schema(labelCol).dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
       s"centroidSums label column '$labelCol' must be integral, got " +
         embs.schema(labelCol).dataType.simpleString)
     val e = embs

@@ -200,23 +200,44 @@ object Graph {
     * n_triangles, clustering) with clustering = 3·triangles / wedges.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    val oriented = orientByDegree(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val cp = triangleStatsOriented(oriented).localCheckpoint()
+    oriented.unpersist()
+    cp
+  }
+
+  /** Compact-forward orientation of an undirected edge set (`a < b`
+    * canonical, distinct): each edge as (src, dst) structs of
+    * (d: degree, id: node), src < dst in (degree, id) order. Out-degree
+    * in the resulting DAG is O(√m) per node even on power-law graphs —
+    * the relation [[triangleStatsOriented]] and [[edgeJaccard]] share
+    * (memoize it persisted when running both).
+    */
+  def orientByDegree(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     // orient by (degree, id): least/greatest on the struct key gives
     // the DAG edge; structs compare field-by-field, so ties on degree
     // break deterministically by id
-    val keyed = e
-      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+    e.join(deg.select(col("node").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
       .select(struct(col("da").as("d"), col("a").as("id")).as("ka"),
         struct(col("db").as("d"), col("b").as("id")).as("kb"))
-    val oriented = keyed
       .select(least(col("ka"), col("kb")).as("src"),
         greatest(col("ka"), col("kb")).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[triangleStats]] body over a pre-built (ideally persisted)
+    * [[orientByDegree]] relation — node count, degrees, and wedge
+    * totals all come from the struct endpoints, so nothing else is
+    * scanned.
+    */
+  def triangleStatsOriented(oriented: DataFrame): DataFrame = {
+    val deg = oriented.select(col("src.id").as("node"), col("src.d").as("d"))
+      .union(oriented.select(col("dst.id").as("node"), col("dst.d").as("d")))
+      .distinct()
     val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
       .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
       .filter(col("v") < col("w"))
@@ -228,15 +249,94 @@ object Graph {
     // second pass over the wedge join
     val stats = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
       sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
-    val edgeCount = e.agg(count(lit(1)).cast("long").as("n_edges"))
-    val out = stats.crossJoin(edgeCount).crossJoin(triangles)
+    val edgeCount = oriented.agg(count(lit(1)).cast("long").as("n_edges"))
+    stats.crossJoin(edgeCount).crossJoin(triangles)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         when(col("n_wedges") === 0, lit(0.0))
           .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("clustering"))
-    val cp = out.localCheckpoint()
-    e.unpersist(); oriented.unpersist()
-    cp
+  }
+
+  /** Neighbor-set Jaccard per existing edge — J(a,b) =
+    * |N(a)∩N(b)| / |N(a)∪N(b)| with |N(a)∩N(b)| = the number of
+    * triangles through the edge. A naive common-neighbor join keyed on
+    * a node materializes Σ deg² rows (hub-squared on power-law
+    * graphs); here triangles are enumerated once each from the
+    * compact-forward DAG — O(√m) wedge fan-out per node — and each
+    * triangle credits its three edges, so the intermediate is
+    * O(m^1.5) worst-case instead. Degrees ride the endpoint structs;
+    * union size is the exact-integer da+db−common.
+    */
+  def edgeJaccard(oriented: DataFrame): DataFrame = {
+    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
+      .filter(col("v") < col("w"))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+    val commonPerEdge = triangles
+      .select(explode(array(
+        struct(col("u").as("x"), col("v").as("y")),
+        struct(col("u").as("x"), col("w").as("y")),
+        struct(col("v").as("x"), col("w").as("y")))).as("e"))
+      .groupBy(col("e.x").as("src"), col("e.y").as("dst"))
+      .agg(count(lit(1)).as("common"))
+    oriented.join(commonPerEdge, Seq("src", "dst"), "left")
+      .select(
+        least(col("src.id"), col("dst.id")).as("a"),
+        greatest(col("src.id"), col("dst.id")).as("b"),
+        coalesce(col("common"), lit(0L)).as("common_neighbors"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("src.d") + col("dst.d") - coalesce(col("common"), lit(0L)))
+            .cast("double"), 6).as("jaccard"))
+  }
+
+  /** Link prediction over NON-adjacent pairs by the Resource-Allocation
+    * index (Zhou, Lü & Zhang 2009): RA(v,w) = Σ_{u ∈ N(v)∩N(w)} 1/deg(u),
+    * the top link-prediction score on co-occurrence graphs and — unlike
+    * Adamic-Adar's 1/ln(deg) — free of libm transcendentals, so the
+    * score replays bit-for-bit in any engine: 1/d is IEEE
+    * correctly-rounded, pinned to 12 dp, summed as DECIMAL(16,12)
+    * (exact, order-free), rounded to 6 dp once at the end.
+    *
+    * The candidate space of exact common-neighbor scoring IS the wedge
+    * set (every scored pair must surface), so the join is inherently
+    * Σ deg² — `maxCenterDegree` caps the centers enumerated, standard
+    * practice because a super-hub contributes ≈0 per pair
+    * (1/deg) while fanning out deg² pairs. The cap is part of the
+    * operator's contract (the oracle replays it); wedge rows aggregate
+    * map-side immediately, and the final cut is TakeOrdered (per-
+    * partition top-N, no global sort).
+    *
+    * @return top-N rows (a, b, common_neighbors, ra_score), a < b,
+    *         score desc, ties by (common desc, a, b).
+    */
+  def linkPredictRA(edges: DataFrame, maxCenterDegree: Int, topN: Int): DataFrame = {
+    // re-canonicalize a < b: the anti-join against existing edges is
+    // silently wrong on a reversed edge, so don't trust the contract
+    val e = edges.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b"))
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .filter(col("du") >= 2 && col("du") <= maxCenterDegree)
+    val wedges = adj.select(col("u"), col("du"), col("v"))
+      .join(adj.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") < col("w"))
+    val scored = wedges
+      .groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round(lit(1.0) / col("du"), 12).cast("decimal(16,12)")).as("ra"))
+    scored
+      .join(e, scored("v") === e("a") && scored("w") === e("b"), "left_anti")
+      .select(col("v").as("a"), col("w").as("b"), col("common_neighbors"),
+        round(col("ra").cast("double"), 6).as("ra_score"))
+      .orderBy(col("ra_score").desc, col("common_neighbors").desc,
+        col("a"), col("b"))
+      .limit(topN)
   }
 
   /** Minimum-hop BFS distances from a seed node set, bounded to

@@ -76,6 +76,13 @@ object TopK {
       s"topKPerGroup tag column '$tagCol' must be an integral type, " +
         s"got ${df.schema(tagCol).dataType.simpleString}")
     val agg = udaf(new HeapAgg(k))
+    // the heap works in double, but the caller's score column keeps
+    // its declared type on output: a COUNT(*) score must come back as
+    // BIGINT, not 20.0 — emitting the heap's double leaks the internal
+    // representation into the result schema (and an integral score up
+    // to 2^53 round-trips through double losslessly)
+    val scoreType = df.schema(scoreCol).dataType
+    val tagType = df.schema(tagCol).dataType
     // NULL scores are ignored (the tuple encoder would otherwise
     // fabricate them as 0.0 and give them invented ranks); NaN too —
     // under TotalOrdering a NaN would be admitted and emitted at
@@ -85,7 +92,8 @@ object TopK {
       .agg(agg(col(scoreCol).cast("double"), col(tagCol).cast("long")).as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__i", "__e")): _*)
       .select(groupCols.map(col) ++ Seq(
-        col("__e._2").as(tagCol), col("__e._1").as(scoreCol),
+        col("__e._2").cast(tagType).as(tagCol),
+        col("__e._1").cast(scoreType).as(scoreCol),
         (col("__i") + 1).cast("long").as("rank")): _*)
   }
 }

@@ -119,14 +119,26 @@ object Sessions {
     common.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietCheckpointRelease()
     spark
   }
+
+  /** Iterative operators (Cluster.connectedComponents) deterministically
+    * release dead localCheckpoint blocks each round; Spark logs a WARN
+    * per release ("lineage has been truncated...") aimed at accidental
+    * unpersists. Ours are intentional — the frames are provably dead —
+    * so silence that one logger rather than spamming every run.
+    */
+  def quietCheckpointRelease(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
 
   /** Apply graft defaults to an externally-created session builder —
     * the path a spark-submit cluster deployment uses.
     */
   def tuned(b: SparkSession.Builder): SparkSession.Builder = {
     common.foreach { case (k, v) => b.config(k, v) }
+    quietCheckpointRelease() // logger config, session-independent
     b
   }
 }

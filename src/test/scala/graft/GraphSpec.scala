@@ -95,6 +95,66 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 0.6) < 1e-9)
   }
 
+  test("edgeJaccard: triangle plus pendant edge, exact scores") {
+    // triangle {1,2,3} + pendant 2-4: edge (1,2) shares neighbor 3,
+    // deg(1)=2 deg(2)=3 -> J = 1/(2+3-1) = 0.25; (1,3) has deg 2+2 ->
+    // 1/3; (2,4) shares none
+    val g = und(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L)
+    val r = Graph.edgeJaccard(Graph.orientByDegree(g)).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(r((1L, 2L)) == ((1L, 0.25)))
+    assert(r((1L, 3L)) == ((1L, 0.333333)))
+    assert(r((2L, 3L)) == ((1L, 0.25)))
+    assert(r((2L, 4L)) == ((0L, 0.0)))
+  }
+
+  test("edgeJaccard equals the brute-force neighbor-set computation") {
+    // deterministic pseudo-random graph, enough hubs to exercise the
+    // degree orientation's tie-breaks
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 120).map { _ =>
+      val a = rnd.nextInt(18).toLong; val b = rnd.nextInt(18).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val g = und(pairs: _*)
+    val nbrs = pairs.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val got = Graph.edgeJaccard(Graph.orientByDegree(g)).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(got.keySet == pairs.toSet)
+    pairs.foreach { case (a, b) =>
+      val common = (nbrs(a) intersect nbrs(b)).size.toLong
+      val j = BigDecimal(common.toDouble / (nbrs(a).size + nbrs(b).size - common))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((a, b)) == ((common, j)), s"edge ($a,$b)")
+    }
+  }
+
+  test("linkPredictRA: exact RA scores, edges excluded, ordered") {
+    // path 1-2-3-4 plus spur 2-5; non-edges with common neighbors:
+    // (2,4) via 3 (deg 2) -> 0.5; (1,3),(1,5),(3,5) via 2 (deg 3) -> 1/3
+    val g = und(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L)
+    val got = Graph.linkPredictRA(g, maxCenterDegree = 64, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(got == List(
+      (2L, 4L, 1L, 0.5), (1L, 3L, 1L, 0.333333),
+      (1L, 5L, 1L, 0.333333), (3L, 5L, 1L, 0.333333)))
+  }
+
+  test("linkPredictRA: the center-degree cap drops hub-mediated pairs") {
+    // star centered at 9 (deg 4) + edge 1-2; with cap 3 the star hub
+    // can't mediate, so only wedges through nodes of degree <= 3 remain
+    // (edges deliberately reversed: the op must re-canonicalize)
+    val g = und(9L -> 1L, 9L -> 2L, 9L -> 3L, 9L -> 4L, 1L -> 2L)
+    val capped = Graph.linkPredictRA(g, maxCenterDegree = 3, topN = 10).collect()
+    // candidates via center 1 (deg 2): (2,9) is an EDGE; via center 2:
+    // (1,9) is an EDGE -> nothing survives
+    assert(capped.isEmpty)
+    val uncapped = Graph.linkPredictRA(g, maxCenterDegree = 64, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("degreeHistogram counts both endpoints") {
     val g = und(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L)
     val h = Graph.degreeHistogram(g).collect()

@@ -9,6 +9,37 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class InventorySpec extends AnyFunSuite {
 
+  private val sfDir = "/root/testdata/sf0.001"
+  private def sfPresent = new java.io.File(s"$sfDir/lineitem.parquet").exists()
+
+  // One schema pass shared by the array and type-parity canaries:
+  // building a query's DataFrame is cheap for batch plans but runs the
+  // stream for stream_* entries, so don't pay it twice.
+  private lazy val querySchemas: Map[String, org.apache.spark.sql.types.StructType] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(TestSpark.spark, sfDir).schema
+    }
+
+  // Oracle result schemas via Spark's own analyzer (no execution):
+  // register the sf tables as temp views and analyze each oracle SQL.
+  // DuckDB and Spark agree on the numeric kinds this canary compares
+  // (COUNT/row_number → bigint, avg/round → double); oracles Spark
+  // can't parse are collected as Left and pinned by the allowlist test.
+  private lazy val oracleSchemas: Map[String, Either[String, org.apache.spark.sql.types.StructType]] = {
+    val spark = TestSpark.spark
+    for (f <- new java.io.File(sfDir).listFiles(); if f.getName.endsWith(".parquet"))
+      spark.read.parquet(f.getPath)
+        .createOrReplaceTempView(f.getName.stripSuffix(".parquet"))
+    TypeParity.registerOracleStubs(spark)
+    // oracles quote reserved words DuckDB-style ("timestamp")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try SparkEntry.oracleSql.map { case (name, sql) =>
+      name -> (try Right(spark.sql(TypeParity.duckdbToSpark(sql)).schema)
+               catch { case e: Exception =>
+                 Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(160)) })
+    } finally spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+  }
+
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
@@ -44,11 +75,9 @@ class InventorySpec extends AnyFunSuite {
   // join/sort/explode or string-join any collection before returning.
   test("gate shape: no declared query returns a top-level array or map column") {
     import org.apache.spark.sql.types.{ArrayType, MapType}
-    val sf = "/root/testdata/sf0.001"
-    assume(new java.io.File(s"$sf/lineitem.parquet").exists())
-    val spark = TestSpark.spark
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      fn(spark, sf).schema.fields.collect {
+    assume(sfPresent)
+    val bad = querySchemas.toSeq.sortBy(_._1).flatMap { case (name, schema) =>
+      schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
           f.dataType.isInstanceOf[MapType] =>
           s"$name.${f.name}: ${f.dataType.simpleString}"
@@ -58,6 +87,49 @@ class InventorySpec extends AnyFunSuite {
       s"array/map-typed output columns crash the driver's pandas " +
         s"comparator (sort_values on ndarray) — flatten or string-join " +
         s"them: ${bad.mkString(", ")}")
+  }
+
+  // The rounds-4/6/7 failure mode, pinned: the driver's hasher
+  // stringifies values, so an engine column emitted as DOUBLE (20.0)
+  // hash-mismatches an oracle COUNT(*) BIGINT (20) even when every
+  // value is numerically identical (cdc_churn_stats r4, q12_ship_delay
+  // r6, stream_topk r7). Compare integral-vs-floating kind per shared
+  // column between the engine schema and the oracle SQL analyzed by
+  // Spark itself.
+  test("gate types: integral-vs-floating kind parity with each oracle") {
+    assume(sfPresent)
+    val bad = SparkEntry.queries.keySet.toSeq.sorted.flatMap { name =>
+      oracleSchemas(name) match {
+        case Right(oschema) => TypeParity.mismatches(querySchemas(name), oschema)
+          .map(m => s"$name.$m")
+        case Left(_) => Nil // pinned by the allowlist test below
+      }
+    }
+    assert(bad.isEmpty,
+      s"integral-vs-floating output kind mismatch vs oracle — the " +
+        s"driver's hasher stringifies (20.0 != 20), cast the engine " +
+        s"column to the oracle's kind: ${bad.mkString(", ")}")
+  }
+
+  // Oracles Spark's analyzer rejects get no type-parity coverage; pin
+  // them so a new DuckDB-only construct can't silently opt a query out.
+  test("gate types: Spark-unanalyzable oracles match the pinned allowlist") {
+    assume(sfPresent)
+    val skipped = oracleSchemas.collect { case (n, Left(_)) => n }.toSet
+    assert(skipped == TypeParity.duckdbOnlyOracles,
+      s"unexpected new unanalyzable oracles ${(skipped -- TypeParity.duckdbOnlyOracles).toSeq.sorted} " +
+        s"or stale allowlist entries ${(TypeParity.duckdbOnlyOracles -- skipped).toSeq.sorted}; " +
+        s"details: ${oracleSchemas.collect { case (n, Left(e)) if !TypeParity.duckdbOnlyOracles(n) => s"$n: $e" }.mkString("; ")}")
+  }
+
+  // Self-test: the canary must actually fire on the class it guards —
+  // a planted COUNT(*) oracle (bigint) vs an engine double.
+  test("gate types: canary fires on a planted double-vs-bigint query") {
+    import org.apache.spark.sql.types._
+    val engine = StructType(Seq(StructField("g", StringType), StructField("n", DoubleType)))
+    val oracle = StructType(Seq(StructField("g", StringType), StructField("n", LongType)))
+    assert(TypeParity.mismatches(engine, oracle).nonEmpty)
+    assert(TypeParity.mismatches(oracle, oracle).isEmpty)
   }
 
   test("README's query count matches the declared inventory") {

@@ -12,6 +12,11 @@ class OracleAssumptionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // The guard's NULL-text row also underwrites mm_manifest (whose
+  // concat_ws pair_fp would skip a NULL blob hex while the oracle's ||
+  // propagates NULL) and corpus_curriculum (whose NTILE over a
+  // text-derived quality would order Spark-nulls-first vs
+  // DuckDB-nulls-last) — round-7 advice.
   test("guard passes on the driver testdata corpus") {
     assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
     assert(OracleGen.guardViolations(spark, "/root/testdata/sf0.001") == Seq.empty)
@@ -74,8 +79,10 @@ class OracleAssumptionsSpec extends AnyFunSuite {
       val dir = s"/root/testdata/$sf"
       assume(new java.io.File(s"$dir/events.parquet").exists())
       val ev = graft.sources.Tables.load(spark, dir, "events")
-      // hllOverlapReport keys the pair estimate on ga|gb — a '|' inside
-      // a segment name would alias two different pairs
+      // hllOverlapReport keys the pair estimate on a (ga, gb) STRUCT
+      // precisely so a '|' inside a segment name can't alias two
+      // different pairs; this data check is belt-and-braces for any
+      // string-joined pair key a future query might add
       val piped = ev.filter(col("event_type").contains("|")).count()
       assert(piped == 0, s"$sf: event_type contains the '|' pair separator")
       // graph_closeness picks landmarks as user_id % 13 == 0 — negative

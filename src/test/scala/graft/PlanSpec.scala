@@ -240,6 +240,55 @@ class PlanSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("connectedComponents: propagation is joins + aggregates only — " +
+      "no cartesian, no window") {
+    val edges = (0L until 200L)
+      .map(i => (i % 50, (i * 11 + 3) % 50))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("a", "b")
+    // the circulant test graph is one long cycle — diameter ~25, so
+    // min-label needs more than the default 20 rounds
+    val out = graft.operators.Cluster.connectedComponents(edges, "a", "b",
+      maxIter = 60)
+    val plan = executed(out)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in components:\n$plan")
+    assert(!plan.contains("Window"), s"window in components:\n$plan")
+  }
+
+  test("landmarkDistances: frontier BFS is joins + aggregates only — " +
+      "no cartesian, no window") {
+    val edges = (0L until 200L)
+      .map(i => (i % 50, (i * 11 + 3) % 50))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("a", "b")
+    val out = graft.operators.Graph.landmarkDistances(
+      edges, Seq(0L, 13L, 26L).toDF("lm"), maxHops = 4)
+    val plan = executed(out)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in landmark BFS:\n$plan")
+    assert(!plan.contains("Window"), s"window in landmark BFS:\n$plan")
+  }
+
+  test("edgeJaccard: wedge join rides the degree-oriented DAG — " +
+      "no cartesian, no window, no symmetric-adjacency self-join") {
+    val edges = (0L until 300L)
+      .map(i => (i % 40, (i * 7 + 1) % 40))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("a", "b")
+    val out = graft.operators.Graph.edgeJaccard(
+      graft.operators.Graph.orientByDegree(edges))
+    val plan = executed(out)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in edgeJaccard:\n$plan")
+    assert(!plan.contains("Window"), s"window in edgeJaccard:\n$plan")
+    // the hub-squared shape joined the raw symmetrized adjacency to
+    // itself; the oriented build instead keys every wedge join on
+    // (degree, id) STRUCTS — assert the struct key survived analysis
+    assert(plan.contains("least") && plan.contains("greatest"),
+      s"degree orientation (least/greatest struct keys) missing:\n$plan")
+  }
+
   test("quantileRank: every window is slice- or group-local, offsets broadcast") {
     val rows = (0 until 400).map(i => (s"g${i % 3}", (i % 37).toDouble))
       .toDF("g", "v")

@@ -51,6 +51,39 @@ class TopKSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq(996L, 1993L, 2990L, 3987L, 4984L))
   }
 
+  // The subtle boundary is `ord.lt(e, h.head)` replace-on-tie inside
+  // push(): a tie with the heap's weakest entry must replace iff the
+  // newcomer's TAG is smaller, and the property must survive heap
+  // MERGES at partition boundaries (round-7 advice) — hence many
+  // partitions and heavy score ties.
+  test("property: heap top-k equals window top-k for tie-heavy multisets, all k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        s <- Gen.choose(0, 4) // 5 distinct scores => constant ties
+        t <- Gen.choose(0L, 500L)
+      } yield (g, t, s.toDouble))
+    } yield rows.distinctBy(r => (r._1, r._2)) // tag unique per group
+    val prop = Prop.forAll(gen.suchThat(_.nonEmpty), Gen.choose(1, 6)) { (rows, k) =>
+      {
+        val df = rows.toDF("g", "tag", "score").repartition(7)
+        val got = TopK.topKPerGroup(df, Seq("g"), "score", "tag", k)
+          .select($"g", $"tag", $"score", $"rank")
+          .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+        val w = Window.partitionBy($"g").orderBy($"score".desc, $"tag".asc)
+        val want = df.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= k)
+          .select($"g", $"tag", $"score", $"rank")
+          .as[(String, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+        got == want
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("NaN scores are excluded, not crowned rank 1; string tags fail fast") {
     val df = Seq(("a", 1L, 5.0), ("a", 2L, Double.NaN), ("a", 3L, 7.0))
       .toDF("g", "tag", "score")
