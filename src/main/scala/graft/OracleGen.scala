@@ -561,6 +561,40 @@ SELECT query_id, candidate_id, approx_ip, "rank" FROM (
   FROM scored) WHERE "rank" <= $k""")
   }
 
+  /** Oracle for `embed_pq_distortion` — replays
+    * [[graft.operators.Similarity.pqDistortion]]: the same hash-strided
+    * sub-centroid codebooks and 6-dp argmin encoding as [[knnPq]], then
+    * per-subspace count / exact-decimal mean / max of each vector's
+    * chosen-centroid L2².
+    */
+  def embedPqDistortion(m: Int = 8, subK: Int = 16, dim: Int = 64): String = {
+    val sub = dim / m
+    val h = fnvToken("CAST(vec_id AS VARCHAR)")
+    val signedH =
+      s"CAST(CASE WHEN $h >= $Pow63::HUGEINT THEN $h - $M64::HUGEINT ELSE $h END AS BIGINT)"
+    val diff = s"list_transform(range(1, $sub + 1), " +
+      s"i -> e.v[CAST(c.j * $sub + i AS INT)] - c.cv[CAST(i AS INT)])"
+    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+  FROM embeddings),
+tr AS (SELECT (row_number() OVER (ORDER BY $signedH, vec_id)) - 1 AS t, v
+  FROM e ORDER BY $signedH, vec_id LIMIT $subK),
+cents AS (SELECT tr.t, u.j,
+    tr.v[CAST(u.j * $sub + 1 AS INT):CAST(u.j * $sub + $sub AS INT)] AS cv
+  FROM tr, LATERAL unnest(range(0, $m)) AS u(j)),
+dists AS (SELECT e.vec_id, c.j, c.t,
+    round(list_dot_product($diff, $diff), 6) AS dd
+  FROM e CROSS JOIN cents c),
+best AS (SELECT vec_id, j, dd FROM (
+    SELECT vec_id, j, dd,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, t) AS rn
+  FROM dists) WHERE rn = 1)
+SELECT CAST(j AS BIGINT) AS subspace, CAST(COUNT(*) AS BIGINT) AS n,
+  round(CAST(SUM(CAST(dd AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mse,
+  round(MAX(dd), 6) AS max_err
+FROM best GROUP BY j"""
+  }
+
   /** Oracle for `embed_kmeans` — mirrors
     * [[graft.operators.KMeans.sphericalKMeans]] (k=8, 2 Lloyd
     * iterations, 64 dims): 6-dp-rounded components, hash-strided init

@@ -184,9 +184,16 @@ object SparkEntry {
     * microbatch — a stream-stream join keeps FOUR stores per
     * partition), so state partitioning should track expected state
     * volume, not the batch default. At these fixture scales 8
-    * partitions cuts the fixed per-batch store overhead ~3× (measured
-    * 7.9 s → 2.8 s on the staged semi join); a production deployment
-    * sizes it to executors × cores like any other stream. The conf is
+    * partitions cut the fixed per-batch store overhead ~3× vs 200
+    * (measured 7.9 s → 2.8 s on the staged semi join). A round-8
+    * profile (StreamProfile) split a stream query into ~0.4 s
+    * StreamExecution floor + ~0.3 s state stores + compute; dropping
+    * to 4 partitions won ~0.1 s/query at sf0.01 but LOST it back at
+    * sf0.1 (state 10× larger → fewer stores means fatter commits), so
+    * 8 stays the default — the floor is the stream machinery itself,
+    * which a long-running production stream amortizes across
+    * micro-batches anyway. A production deployment sizes it to
+    * executors × cores like any other stream. The conf is
     * set/restored around the body — every streaming builder runs its
     * query to completion inside, so the scope is exact — and
     * synchronized because the conf is session-global; results cannot
@@ -347,12 +354,28 @@ object SparkEntry {
   /** Streaming read of the events table (file source — the scale path;
     * `ts` normalized to a UTC timestamp exactly like Tables.load).
     */
+  // footer-probe result for eventsStream, memoized per (session, dir):
+  // 19 stream_* queries each paid a ~70 ms driver-side parquet footer
+  // read for a value that cannot change within a session. Bounded LRU
+  // for the same reason as edgeCache: an unbounded map keyed by
+  // SparkSession pins stopped sessions' object graphs forever.
+  private val tsTypeCache: java.util.Map[(SparkSession, String),
+      org.apache.spark.sql.types.DataType] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String),
+          org.apache.spark.sql.types.DataType](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String),
+              org.apache.spark.sql.types.DataType]): Boolean = size() > 16
+      })
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // the stream schema must be declared up front, so the batch reader's
     // footer-derived `ts` type (nanos-as-long on older testdata,
     // TIMESTAMP_NTZ on newer) decides what we declare; normalization to
     // a UTC timestamp then matches Tables.load exactly
-    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val tsType = tsTypeCache.computeIfAbsent((s, dir), _ =>
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -3122,6 +3145,14 @@ object SparkEntry {
         "embedding", "vec_id", k = 3, refine = 96)
         .withColumn("rank", col("rank").cast("long"))
     }),
+
+    // PQ quantization-quality audit: per subspace, count / exact-decimal
+    // mean / max of each vector's chosen-centroid L2² — the distortion
+    // report checked before trusting ADC scores. One corpus scan
+    // (pq_encode kernel), 8 rows out.
+    "embed_pq_distortion" -> ((s, dir) =>
+      Similarity.pqDistortion(ld(s, dir, "embeddings"),
+        "embedding", "vec_id")),
 
     // Multi-probe LSH: 4 hyperplane tables, each probing all buckets
     // within Hamming distance 2 of the query's bucket (query-side
@@ -6323,6 +6354,7 @@ object SparkEntry {
 
     "embed_outliers" -> OracleGen.embedOutliers(),
     "knn_pq" -> OracleGen.knnPq(),
+    "embed_pq_distortion" -> OracleGen.embedPqDistortion(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
 
     "dedup_candidate_hist" ->

@@ -146,9 +146,13 @@ object Similarity {
     * 32× I/O cut on the scan is kept while recall recovers to
     * P(truth ∈ shortlist).
     */
-  def pqTopK(candidates: DataFrame, queries: DataFrame,
-             vecCol: String, idCol: String, k: Int,
-             m: Int = 8, subK: Int = 16, refine: Int = 0): DataFrame = {
+  /** The rounded corpus projection + hash-strided sub-centroid
+    * codebooks shared by [[pqTopK]] and [[pqDistortion]]: returns
+    * (rounded (candidate_id, v) frame, cents(j)(t) = subvector j of
+    * training vector t, subspace width).
+    */
+  private def pqCodebooks(candidates: DataFrame, vecCol: String, idCol: String,
+                          m: Int, subK: Int): (DataFrame, Seq[Seq[Seq[Double]]], Int) = {
     val session = candidates.sparkSession
     import session.implicits._
     val e = candidates
@@ -166,9 +170,13 @@ object Similarity {
     val dim = train.head.size
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // cents(j)(t) = subvector j of training vector t
-    val cents: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(j => train.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
+    (e, (0 until m).map(j => train.toSeq.map(_.slice(j * sub, (j + 1) * sub))), sub)
+  }
+
+  def pqTopK(candidates: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int,
+             m: Int = 8, subK: Int = 16, refine: Int = 0): DataFrame = {
+    val (e, cents, sub) = pqCodebooks(candidates, vecCol, idCol, m, subK)
 
     // encode: per subspace, argmin of 6-dp-rounded L2² with lowest-index
     // tie-break — ONE native codegen'd kernel call per row (the
@@ -199,6 +207,40 @@ object Similarity {
       TopK.topKPerGroup(scored, Seq("query_id"), "approx_ip", "candidate_id", k)
         .select(col("query_id"), col("candidate_id"), col("approx_ip"), col("rank"))
     else refineExact(candidates, queries, vecCol, idCol, scored, "approx_ip", refine, k)
+  }
+
+  /** PQ reconstruction-error audit: per subspace, the count / mean /
+    * max of the 6-dp-rounded squared L2 distance between every vector's
+    * subvector and its CHOSEN centroid — the quantization-quality gate
+    * a retrieval pipeline checks before swapping ADC scoring in (a
+    * subspace whose distortion dwarfs the others wants more codebook
+    * bits or a rotation). Shares [[pqCodebooks]]' deterministic
+    * hash-strided training set and [[pqTopK]]'s encoding tie-breaks;
+    * means ride exact DECIMAL(18,6) sums (order-free), one rounded
+    * division at the end. One corpus scan, m rows out, no shuffle
+    * beyond the m-group aggregate.
+    */
+  def pqDistortion(candidates: DataFrame, vecCol: String, idCol: String,
+                   m: Int = 8, subK: Int = 16): DataFrame = {
+    val (e, cents, sub) = pqCodebooks(candidates, vecCol, idCol, m, subK)
+    val centsArr: Array[Array[Array[Double]]] =
+      cents.map(_.map(_.toArray).toArray).toArray
+    val coded = e.select(col("v"),
+      graft.functions.vecnative.pq_encode(col("v"), centsArr).as("__codes"))
+    val ddCols = (0 until m).map { j =>
+      val subv = slice(col("v"), j * sub + 1, sub)
+      val cv = element_at(typedlit(cents(j)), element_at(col("__codes"), j + 1) + 1)
+      round(graft.functions.VectorFunctions.l2DistanceSq(subv, cv), 6)
+    }
+    coded
+      .select(posexplode(array(ddCols: _*)).as(Seq("j", "dd")))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dd").cast("decimal(18,6)")).as("__sum"),
+        max(col("dd")).as("__max"))
+      .select(col("j").cast("long").as("subspace"), col("n"),
+        round(col("__sum").cast("double") / col("n"), 6).as("mse"),
+        round(col("__max"), 6).as("max_err"))
   }
 
   /** Exact re-rank shared by the PQ paths: shortlist the top `refine`

@@ -34,6 +34,39 @@ object StreamProfile {
         graft.operators.TopK.topKPerGroup(
           counts, Seq("event_type"), "n", "user_id", k = 3).count()
       }
+      // bare streaming machinery: stateless pass-through to a memory
+      // sink — no aggregation, no state stores
+      t("bare stateless stream") {
+        import org.apache.spark.sql.functions._
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_id") % 100000 === 0)
+        val sink = s"prof_bare_${System.nanoTime()}"
+        val q = src.writeStream.outputMode("append").format("memory")
+          .queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(); spark.table(sink).count()
+        spark.catalog.dropTempView(sink)
+      }
+      // stateful agg at different state-partition counts
+      for (parts <- Seq(8, 4, 2)) t(s"stateful agg parts=$parts") {
+        import org.apache.spark.sql.functions._
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try {
+          val schema = spark.read.parquet(s"$dir/events.parquet").schema
+          val src = spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          val agg = src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          val sink = s"prof_agg_${System.nanoTime()}"
+          val q = agg.writeStream.outputMode("complete").format("memory")
+            .queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination(); spark.table(sink).count()
+          spark.catalog.dropTempView(sink)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     }
     spark.stop()
   }
