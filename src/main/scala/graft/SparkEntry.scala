@@ -3102,6 +3102,29 @@ object SparkEntry {
       graft.operators.KMeans.sphericalKMeans(
         ld(s, dir, "embeddings"), "embedding", "vec_id")),
 
+    // Clustering-quality readout: per k-means cell, how pure is it
+    // against the ground-truth label column — n, the dominant label
+    // (ties to the smallest), its count, and purity = top/n. All-
+    // integer until the single final division, so the oracle replays
+    // exactly; one groupBy after the assignment, nothing else touches
+    // the corpus. The per-cell max rides a (count, -label) struct max —
+    // map-side combinable, no window.
+    "embed_cluster_purity" -> ((s, dir) => {
+      val e = ld(s, dir, "embeddings")
+      val cells = graft.operators.KMeans.sphericalKMeans(e, "embedding", "vec_id")
+        .select(col("vec_id"), col("cell_id"))
+      cells.join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cell_id"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("cell_id"))
+        .agg(sum(col("n")).as("n_vecs"),
+          max(struct(col("n"), (-col("label")).as("negl"))).as("__top"))
+        .select(col("cell_id"),
+          col("n_vecs").cast("long").as("n_vecs"),
+          (-col("__top.negl")).cast("long").as("top_label"),
+          col("__top.n").cast("long").as("top_label_n"),
+          round(col("__top.n").cast("double") / col("n_vecs"), 6).as("purity"))
+    }),
+
     // Embedding-space drift between labeled segments: one wide decimal
     // aggregate collapses the corpus to |labels| centroid rows, then a
     // broadcast self-join scores every segment pair by centroid cosine
@@ -6340,6 +6363,21 @@ object SparkEntry {
     },
 
     "embed_kmeans" -> OracleGen.embedKmeans(),
+
+    // purity: integer counts all the way down, dominant label ties to
+    // the smallest, one rounded division per cell
+    "embed_cluster_purity" ->
+      s"""WITH km AS (SELECT vec_id, cell_id FROM (${OracleGen.embedKmeans()})),
+         |lab AS (SELECT km.cell_id, e.label FROM km
+         |        JOIN embeddings e ON e.vec_id = km.vec_id),
+         |cnt AS (SELECT cell_id, label, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+         |top AS (SELECT cell_id, label, n, row_number() OVER (
+         |          PARTITION BY cell_id ORDER BY n DESC, label) AS rn FROM cnt),
+         |tot AS (SELECT cell_id, SUM(n) AS n_vecs FROM cnt GROUP BY 1)
+         |SELECT t.cell_id, CAST(tot.n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(t.label AS BIGINT) AS top_label, CAST(t.n AS BIGINT) AS top_label_n,
+         |  round(CAST(t.n AS DOUBLE) / tot.n_vecs, 6) AS purity
+         |FROM top t JOIN tot ON tot.cell_id = t.cell_id WHERE t.rn = 1""".stripMargin,
 
     // mirrors Eval.centroidDrift arithmetic: 6-dp inputs recovered
     // exactly as DECIMAL(12,6), exact component SUMS (centroids never
