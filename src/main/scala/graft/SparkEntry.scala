@@ -2185,10 +2185,11 @@ object SparkEntry {
       val norm = ld(s, dir, "documents")
         .select(col("doc_id"), TF.normalizeWs(col("text")).as("t"))
         .filter(length(col("t")) > 0)
+      // split("") chars out in ONE pass — the position-explode +
+      // substring(t, i, 1) form re-seeks from the string head per char
+      // (O(n²) per doc; at sf0.1 this was the whole query's cost)
       val g = norm
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("t")))).as("i"), col("t"))
-        .select(col("doc_id"), substring(col("t"), col("i"), lit(1)).as("c"))
+        .select(col("doc_id"), explode(split(col("t"), "")).as("c"))
         .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
         // g feeds both the per-doc length aggregate and the entropy
         // join; checkpointing runs the dominant per-char explode ONCE
@@ -2596,6 +2597,14 @@ object SparkEntry {
     // distributed TakeOrdered — the vocabulary never globally sorts.
     "corpus_ngram_counts" -> ((s, dir) =>
       Corpus.ngramCounts(ld(s, dir, "documents"))),
+
+    // T5-style span-corruption masks, deterministic end to end: md5
+    // coins pick span starts (1-in-20) and lengths (1..5, mean 3 →
+    // ~15% coverage), overlaps union — the same doc gets the same
+    // spans in any engine, which is what makes the masking auditable
+    // across the training stack.
+    "corpus_span_corruption" -> ((s, dir) =>
+      Corpus.spanCorruptionPlan(ld(s, dir, "documents"))),
 
     // Sharded inverted index: term → sorted posting list per doc-id
     // shard, so no term's corpus-wide list ever sits in one buffer —
@@ -5920,6 +5929,28 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
         |  FROM k)
         |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 40""".stripMargin,
+
+    // span corruption: integer md5 coins for starts and lengths,
+    // positions unioned via DISTINCT, one rounded ratio at the end
+    "corpus_span_corruption" ->
+      """WITH toks AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, n, u.i FROM toks, LATERAL unnest(range(0, n)) AS u(i)),
+        |h AS (SELECT doc_id, n, i,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 9, 4) AS BIGINT) AS h2
+        |  FROM pos),
+        |st AS (SELECT doc_id, n, i, 1 + h2 % 5 AS len FROM h WHERE h1 % 20 = 0),
+        |mk AS (SELECT DISTINCT doc_id, u.j FROM st,
+        |    LATERAL unnest(range(i, least(i + len - 1, n - 1) + 1)) AS u(j)),
+        |sa AS (SELECT doc_id, COUNT(*) AS n_spans FROM st GROUP BY 1),
+        |ma AS (SELECT doc_id, COUNT(*) AS n_masked FROM mk GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(sa.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(ma.n_masked, 0) AS BIGINT) AS n_masked,
+        |  round(CAST(COALESCE(ma.n_masked, 0) AS DOUBLE) / t.n, 6) AS mask_ratio
+        |FROM toks t LEFT JOIN sa ON sa.doc_id = t.doc_id
+        |LEFT JOIN ma ON ma.doc_id = t.doc_id""".stripMargin,
 
     "corpus_temperature_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),

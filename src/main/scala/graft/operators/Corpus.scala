@@ -741,4 +741,51 @@ object Corpus {
       .drop("__pid", "__rank", "__off")
     (out, parted)
   }
+
+  /** T5-style span-corruption mask plan, fully deterministic and
+    * replayable: a span STARTS at token i when an md5 coin on
+    * (doc id, i) hits 1-in-`startOdds`; it runs `1 + coin₂ % maxLen`
+    * tokens (mean (maxLen+1)/2), clipped to the document; overlapping
+    * spans union. Defaults ≈ the T5 recipe (≈15% of tokens masked,
+    * mean span 3). Per doc: token count, span count, masked-token
+    * count, mask ratio — all integers until the single final division,
+    * so any engine replays it bit-for-bit (this is the property that
+    * makes the masking auditable ACROSS the training stack: the same
+    * doc gets the same spans in Spark, in the trainer, anywhere).
+    *
+    * Scale: one linear per-token explode that aggregates immediately
+    * (no corpus-wide state), one per-span explode bounded by maxLen.
+    */
+  def spanCorruptionPlan(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", startOdds: Int = 20,
+                         maxLen: Int = 5): DataFrame = {
+    require(startOdds >= 1 && maxLen >= 1, "startOdds and maxLen must be >= 1")
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), size(split(trim(col(textCol)), "\\s+"))
+        .cast("long").as("n"))
+    val coin = md5(concat(col(idCol).cast("string"), lit(":"),
+      col("i").cast("string")))
+    val pos = toks
+      .select(col(idCol), col("n"),
+        explode(sequence(lit(0L), col("n") - 1)).as("i"))
+      .select(col(idCol), col("n"), col("i"),
+        conv(substring(coin, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(coin, 9, 4), 16, 10).cast("long").as("h2"))
+    val starts = pos.filter(col("h1") % startOdds === 0)
+      .select(col(idCol), col("n"), col("i"),
+        (lit(1L) + col("h2") % maxLen).as("len"))
+    val masked = starts
+      .select(col(idCol), explode(sequence(col("i"),
+        least(col("i") + col("len") - 1, col("n") - 1))).as("j"))
+      .distinct()
+    val spanAgg = starts.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val maskAgg = masked.groupBy(col(idCol)).agg(count(lit(1)).as("n_masked"))
+    toks.join(spanAgg, Seq(idCol), "left").join(maskAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        round(coalesce(col("n_masked"), lit(0L)).cast("double") / col("n"), 6)
+          .as("mask_ratio"))
+  }
 }

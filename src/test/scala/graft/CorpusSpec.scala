@@ -329,4 +329,30 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("spanCorruptionPlan: invariants, bounds, and cross-run determinism") {
+    val docs = (1L to 60L).map(i => (i, Seq.fill((i % 17 + 1).toInt)("tok")
+      .zipWithIndex.map { case (t, j) => s"$t$j" }.mkString(" ")))
+      .toDF("doc_id", "text")
+    def run() = Corpus.spanCorruptionPlan(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val m = run()
+    assert(m.size == 60) // every non-empty doc appears
+    m.foreach { case (id, (n, spans, masked, ratio)) =>
+      assert(n == id % 17 + 1, s"doc $id token count")
+      assert(masked <= n, s"doc $id masked > tokens")
+      assert((spans == 0) == (masked == 0), s"doc $id span/mask consistency")
+      assert(masked >= spans, s"doc $id spans cover at least one token each")
+      assert(ratio == BigDecimal(masked.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id ratio")
+    }
+    assert(m == run(), "mask plan must be deterministic across runs")
+    // the corpus-level mask rate should sit near the T5 operating
+    // point (1/20 starts x mean len 3 ~ 15%, minus clip/overlap)
+    val totalMasked = m.values.map(_._3).sum.toDouble
+    val totalToks = m.values.map(_._1).sum.toDouble
+    assert(totalMasked / totalToks > 0.02 && totalMasked / totalToks < 0.40,
+      s"corpus mask rate ${totalMasked / totalToks} out of plausible band")
+  }
 }
