@@ -500,6 +500,34 @@ object SparkEntry {
         .withColumn("net_delta", col("n_creates") - col("n_deletes"))
     }),
 
+    // Dead-letter routing: serialize each event to its JSON envelope,
+    // deterministically corrupt every 17th payload (truncation — the
+    // torn-message shape Kafka consumers actually see), then REALLY
+    // parse with from_json and route on the parse outcome. The oracle
+    // states the expected routing; the engine must discover it through
+    // the parser, so this pins Spark's malformed-JSON null contract
+    // end to end. In production the dlq branch carries (offset, raw
+    // payload) to a quarantine topic; here the pre-serialization id
+    // stands in for the offset.
+    "cdc_dlq_routing" -> ((s, dir) => {
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      ld(s, dir, "events")
+        .select(col("event_id").as("src_id"),
+          to_json(struct(col("event_id"), col("user_id"), col("value")))
+            .as("payload"))
+        .select(col("src_id"),
+          when(col("src_id") % 17 === 0,
+            expr("substring(payload, 1, length(payload) - 3)"))
+            .otherwise(col("payload")).as("payload"))
+        .select(col("src_id").as("event_id"),
+          from_json(col("payload"), payloadSchema).as("p"))
+        .select(col("event_id"),
+          when(col("p").isNull || col("p.event_id").isNull, lit("dlq"))
+            .otherwise(lit("ok")).as("route"))
+    }),
+
     // Replica reconciliation: LWW snapshot of the first half of the
     // log vs the full log, full-outer diff per key — the validation
     // pass a replication pipeline runs to prove replica == source
@@ -2598,6 +2626,28 @@ object SparkEntry {
     "corpus_ngram_counts" -> ((s, dir) =>
       Corpus.ngramCounts(ld(s, dir, "documents"))),
 
+    // Tokenizer fertility per language — the tokenizer-eval readout
+    // (BPE-ish tokens per word, chars per token) that decides whether a
+    // tokenizer underserves a language. Integer sums (exact), two
+    // rounded divisions at the end; one map-side-combined groupBy.
+    "corpus_tokenizer_fertility" -> ((s, dir) =>
+      ld(s, dir, "documents")
+        .select(col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("w"),
+          TF.bpeTokenCount(col("text")).cast("long").as("b"),
+          length(col("text")).cast("long").as("c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("b")).as("n_bpe_tokens"), sum(col("c")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"), col("n_chars"),
+          when(col("n_words") > 0,
+            round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+            .as("fertility"),
+          when(col("n_bpe_tokens") > 0,
+            round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+            .as("chars_per_token"))),
+
     // T5-style span-corruption masks, deterministic end to end: md5
     // coins pick span starts (1-in-20) and lengths (1..5, mean 3 →
     // ~15% coverage), overlaps union — the same doc gets the same
@@ -4181,6 +4231,13 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN __op = 'c' THEN 1 ELSE 0 END)
          |    - SUM(CASE WHEN __op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS net_delta
          |FROM cdc GROUP BY 1""".stripMargin,
+
+    // the oracle states the routing contract; the engine must reach it
+    // through an actual from_json parse of the corrupted payload
+    "cdc_dlq_routing" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 17 = 0 THEN 'dlq' ELSE 'ok' END AS route
+        |FROM events""".stripMargin,
 
     "cdc_reconcile" ->
       s"""$cdcSql, o AS (SELECT user_id, value, props FROM (
@@ -5929,6 +5986,23 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
         |  FROM k)
         |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 40""".stripMargin,
+
+    // fertility: exact integer sums per language, two rounded divisions
+    "corpus_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS w,
+        |    len(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS b,
+        |    length(text) AS c
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(c) AS BIGINT) AS n_chars,
+        |  CASE WHEN SUM(w) > 0
+        |    THEN round(CAST(SUM(b) AS DOUBLE) / SUM(w), 6) END AS fertility,
+        |  CASE WHEN SUM(b) > 0
+        |    THEN round(CAST(SUM(c) AS DOUBLE) / SUM(b), 6) END AS chars_per_token
+        |FROM t GROUP BY lang""".stripMargin,
 
     // span corruption: integer md5 coins for starts and lengths,
     // positions unioned via DISTINCT, one rounded ratio at the end
