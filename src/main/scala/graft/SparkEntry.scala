@@ -1593,6 +1593,32 @@ object SparkEntry {
     // weighting a sampling pipeline applies before drawing training
     // rows. Anchor = max ts (one broadcast row); each term rounded to
     // 6 dp, totals exact decimal sums.
+    // CUSUM changepoint score over the daily error-event series. The
+    // textbook recursion Cₜ = max(0, Cₜ₋₁ + (xₜ − μ)) is not window-
+    // expressible, but its closed form is: with Sₜ the prefix sum of
+    // (xₜ − μ), Cₜ = Sₜ − min_{i≤t} Sᵢ — two windows over the DAILY
+    // relation (bounded: one row per day, never the event log), and
+    // scaling by n_days keeps every intermediate an exact integer
+    // (n·x − total), so the score replays bit-for-bit; one division
+    // at the end.
+    "q_changepoint_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ld(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.agg(sum(col("x")).as("tx"), count(lit(1)).as("nd"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("dev", col("x") * col("nd") - col("tx"))
+        .withColumn("s", sum(col("dev")).over(w))
+        .withColumn("smin", min(col("s")).over(w))
+        .select(col("day"), col("x").as("n_events"),
+          round((col("s") - col("smin")).cast("double") / col("nd"), 6)
+            .as("cusum"))
+    }),
+
     "q_time_decay" -> ((s, dir) => {
       val ev = ld(s, dir, "events").filter(col("value").isNotNull)
       val anchor = ev.agg(max(col("ts")).as("t0"))
@@ -2891,6 +2917,16 @@ object SparkEntry {
     // adjacency-vs-adjacency join (round-7 advice item 2).
     "graph_jaccard_neighbors" -> ((s, dir) =>
       graft.operators.Graph.edgeJaccard(coActivityOrientedCached(s, dir))),
+
+    // Component-size histogram — the connectivity readout (is the
+    // graph one giant component or fragments?). Two map-side-combined
+    // groupBys on top of the memoized component labels.
+    "graph_component_sizes" -> ((s, dir) =>
+      graft.operators.Cluster.connectedComponents(
+          coActivityCached(s, dir), "a", "b")
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("size"))
+        .agg(count(lit(1)).as("n_components"))),
 
     // Link prediction over non-adjacent co-activity pairs: top-50 by
     // Resource-Allocation index (Σ 1/deg over common neighbors) —
@@ -5075,6 +5111,24 @@ object SparkEntry {
         |FROM d JOIN mad USING (g)
         |WHERE mad.mad > 0 AND d.absdev > 3.5 * mad.mad""".stripMargin,
 
+    // CUSUM closed form: prefix sum minus running min, integers scaled
+    // by n_days until the one rounded division
+    "q_changepoint_cusum" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT SUM(x) AS tx, COUNT(*) AS nd FROM d),
+        |s AS (SELECT day, x, nd,
+        |    SUM(x * nd - tx) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sacc
+        |  FROM d CROSS JOIN t),
+        |m AS (SELECT day, x, nd, sacc,
+        |    MIN(sacc) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+        |  FROM s)
+        |SELECT day, CAST(x AS BIGINT) AS n_events,
+        |  round(CAST(sacc - smin AS DOUBLE) / nd, 6) AS cusum
+        |FROM m""".stripMargin,
+
     // discrete (lower) percentile: smallest value whose inclusive
     // cumulative count reaches ceil(p*n) — identical target-rank
     // arithmetic on both engines
@@ -6530,6 +6584,24 @@ FROM cand GROUP BY 1""",
         |  UNION
         |  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
         |SELECT id AS node, MIN(comp) AS component FROM cc GROUP BY id""".stripMargin,
+
+    // same recursive closure, aggregated to the size histogram
+    "graph_component_sizes" ->
+      """WITH RECURSIVE u AS (SELECT DISTINCT date_trunc('hour', ts) AS h,
+        |    event_type AS et, user_id FROM events),
+        |ed AS (SELECT a.user_id AS a, b.user_id AS b
+        |  FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT a AS src, b AS dst FROM ed
+        |          UNION SELECT b, a FROM ed),
+        |cc AS (
+        |  SELECT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+        |lbl AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+        |szs AS (SELECT comp, COUNT(*) AS sz FROM lbl GROUP BY comp)
+        |SELECT sz AS size, CAST(COUNT(*) AS BIGINT) AS n_components
+        |FROM szs GROUP BY sz""".stripMargin,
 
     // two unrolled sync min-label rounds over the co-activity graph
     "graph_label_prop" ->

@@ -325,8 +325,9 @@ object TypeParity {
     * justified: each entry should name the construct.
     */
   val duckdbOnlyOracles: Set[String] = Set(
-    "dedup_clusters",   // WITH RECURSIVE ... UNION (Spark: UNION unsupported in recursion)
-    "graph_components", // WITH RECURSIVE ... UNION
-    "q_dq_checks"       // inline VALUES table referencing an outer column
+    "dedup_clusters",        // WITH RECURSIVE ... UNION (Spark: UNION unsupported in recursion)
+    "graph_components",      // WITH RECURSIVE ... UNION
+    "graph_component_sizes", // WITH RECURSIVE ... UNION
+    "q_dq_checks"            // inline VALUES table referencing an outer column
   )
 }
