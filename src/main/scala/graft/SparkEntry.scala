@@ -1619,6 +1619,33 @@ object SparkEntry {
             .as("cusum"))
     }),
 
+    // Autocorrelation of the daily event count series at lags 1..7 —
+    // the seasonality screen behind "is this weekly-periodic". Same
+    // exactness trick as the CUSUM: deviations scaled by n_days
+    // (n·x − total) are integers, so the lag-k autocovariance
+    // Σ devₜ·devₜ₊ₖ is an exact DECIMAL sum in any engine; r_k =
+    // C_k/C_0 is the single rounded division. Windows ride the
+    // bounded daily relation, never the event log.
+    "q_acf_lags" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ld(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.agg(sum(col("x")).as("tx"), count(lit(1)).as("nd"))
+      val w = Window.orderBy(col("day"))
+      val dev = daily.crossJoin(broadcast(tot))
+        .withColumn("dev", (col("x") * col("nd") - col("tx"))
+          .cast("decimal(38,0)"))
+      val lagged = dev.select(Seq(col("day"), col("dev")) ++
+        (1 to 7).map(k => lag(col("dev"), k).over(w).as(s"l$k")): _*)
+      val c0 = sum(col("dev") * col("dev"))
+      lagged.select(Seq(c0.as("c0")) ++
+          (1 to 7).map(k => sum(col("dev") * col(s"l$k")).as(s"c$k")): _*)
+        .select((1 to 7).map(k =>
+          round(col(s"c$k").cast("double") / col("c0").cast("double"), 6)
+            .as(s"r$k")): _*)
+    }),
+
     "q_time_decay" -> ((s, dir) => {
       val ev = ld(s, dir, "events").filter(col("value").isNotNull)
       val anchor = ev.agg(max(col("ts")).as("t0"))
@@ -5110,6 +5137,27 @@ object SparkEntry {
         |  round(d.absdev / mad.mad, 6) AS score
         |FROM d JOIN mad USING (g)
         |WHERE mad.mad > 0 AND d.absdev > 3.5 * mad.mad""".stripMargin,
+
+    // ACF: integer-scaled deviations, exact HUGEINT lag products,
+    // seven rounded divisions by c0
+    "q_acf_lags" -> {
+      val lags = (1 to 7).map(k =>
+        s"lag(dev, $k) OVER (ORDER BY day) AS l$k").mkString(",\n    ")
+      val sums = (1 to 7).map(k => s"SUM(dev * l$k) AS c$k").mkString(", ")
+      val outs = (1 to 7).map(k =>
+        s"round(CAST(c$k AS DOUBLE) / CAST(c0 AS DOUBLE), 6) AS r$k").mkString(",\n  ")
+      s"""WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT SUM(x) AS tx, COUNT(*) AS nd FROM d),
+         |v AS (SELECT day, CAST(x * nd - tx AS HUGEINT) AS dev
+         |  FROM d CROSS JOIN t),
+         |l AS (SELECT day, dev,
+         |    $lags
+         |  FROM v),
+         |c AS (SELECT SUM(dev * dev) AS c0, $sums FROM l)
+         |SELECT $outs
+         |FROM c""".stripMargin
+    },
 
     // CUSUM closed form: prefix sum minus running min, integers scaled
     // by n_days until the one rounded division
