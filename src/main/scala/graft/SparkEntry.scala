@@ -1995,6 +1995,42 @@ object SparkEntry {
       }
     }),
 
+    // CUSUM changepoint monitor as a stream: daily error counts ride a
+    // complete-mode aggregate (state = one row per day), and the
+    // prefix-sum/running-min tail replays the batch q_changepoint_cusum
+    // arithmetic on the materialized state — additive counts make the
+    // final state equal the batch build, so the SAME oracle checks
+    // both (the state-vs-tail contract of stream_psi_drift).
+    "stream_changepoint" -> ((s, dir) => withStateParts(s) {
+      import org.apache.spark.sql.expressions.Window
+      val daily = eventsStream(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val sinkName = s"graft_scusum_${System.nanoTime()}"
+      val q = daily.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val d = s.table(sinkName).localCheckpoint(true)
+        val tot = d.agg(sum(col("x")).as("tx"), count(lit(1)).as("nd"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.crossJoin(broadcast(tot))
+          .withColumn("dev", col("x") * col("nd") - col("tx"))
+          .withColumn("s", sum(col("dev")).over(w))
+          .withColumn("smin", min(col("s")).over(w))
+          .select(col("day"), col("x").as("n_events"),
+            round((col("s") - col("smin")).cast("double") / col("nd"), 6)
+              .as("cusum"))
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
     // Embedding-drift monitor as a stream: the per-label count + exact
     // decimal component sums ride a complete-mode aggregate (|labels|
     // rows of state — the sums are additive, so the final state equals
@@ -5393,6 +5429,24 @@ object SparkEntry {
     // the streaming CMS must agree with the batch definition —
     // identical oracle by construction
     "stream_heavy_hitters" -> heavyHittersOracle,
+
+    // complete-mode daily counts after AvailableNow equal the batch
+    // daily aggregate, so the batch CUSUM oracle checks the stream
+    "stream_changepoint" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT SUM(x) AS tx, COUNT(*) AS nd FROM d),
+        |s AS (SELECT day, x, nd,
+        |    SUM(x * nd - tx) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sacc
+        |  FROM d CROSS JOIN t),
+        |m AS (SELECT day, x, nd, sacc,
+        |    MIN(sacc) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+        |  FROM s)
+        |SELECT day, CAST(x AS BIGINT) AS n_events,
+        |  round(CAST(sacc - smin AS DOUBLE) / nd, 6) AS cusum
+        |FROM m""".stripMargin,
 
     // the complete-mode fixpoint after AvailableNow equals the batch
     // aggregate over the same rows
