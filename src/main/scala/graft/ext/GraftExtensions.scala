@@ -21,11 +21,15 @@ import graft.functions.{CharShingleHashes, MinHashes, SimHash64, TokenHashes}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), asFunctionBuilder(builder)))
     }
+    // scale lint: fail on global windows over unbounded relations
+    // (conf-gated — see GlobalWindowGuard)
+    e.injectOptimizerRule(_ => graft.plans.GlobalWindowGuard)
+  }
 
   private def asFunctionBuilder(b: Seq[Expression] => Expression): Seq[Expression] => Expression = b
 }

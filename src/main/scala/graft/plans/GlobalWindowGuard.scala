@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Conf-gated scale lint, installed through `SparkSessionExtensions`
+  * (see [[graft.ext.GraftExtensions]]): a window with an EMPTY
+  * partition spec moves every input row into one task — the classic
+  * 100 TB scale-killer, and the reason this engine's ranking operators
+  * (Rank, TopK, Corpus.globalIds) are built from per-partition
+  * aggregates + broadcast offsets instead of `row_number() OVER
+  * (ORDER BY …)`. The engine's standing discipline is that every
+  * remaining global window sits above a relation already bounded to a
+  * handful of rows; this rule enforces that discipline mechanically at
+  * optimization time instead of leaving it to code review.
+  *
+  * "Provably bounded" here means the window's subtree contains a
+  * cardinality-collapsing operator: an Aggregate (grouped relations
+  * here are day/label/partition-count sized), a GlobalLimit (top-N
+  * lists), a LocalRelation/OneRowRelation/Range literal, or a
+  * checkpointed LogicalRDD (this engine only checkpoints small
+  * materialized state — stream sinks, label fixpoints). It is a lint,
+  * not a proof: a join against an unbounded side below an Aggregate
+  * still passes. What it catches is the naive window-over-raw-scan
+  * class — exactly the mistake that silently works at sf0.01 and
+  * falls over on a cluster.
+  *
+  * Gated by `spark.graft.failOnGlobalWindow` (the graft session
+  * factory turns it ON, so every Verify/Bench/test run re-proves the
+  * discipline; spark-submit users opt in per job).
+  */
+object GlobalWindowGuard extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.failOnGlobalWindow"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(ConfKey, "false") == "true") {
+      plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty && !provablyBounded(w.child) =>
+          throw new IllegalStateException(
+            "GlobalWindowGuard: window with empty PARTITION BY over a " +
+              "relation not provably bounded (no Aggregate/Limit/" +
+              "checkpoint below) — this moves every row into one task " +
+              "at scale. Partition the window, pre-aggregate, or set " +
+              s"$ConfKey=false to override. Offending window:\n$w")
+        case _ => ()
+      }
+    }
+    plan
+  }
+
+  private def provablyBounded(p: LogicalPlan): Boolean = p.exists {
+    case _: Aggregate | _: GlobalLimit | _: LocalRelation | _: OneRowRelation |
+        _: Range => true
+    // checkpointed/materialized state (LogicalRDD lives in a
+    // non-catalyst package; match by name to avoid the dependency)
+    case r if r.getClass.getSimpleName == "LogicalRDD" => true
+    case _ => false
+  }
+}

@@ -23,6 +23,12 @@ object Sessions {
     */
   private val common: Seq[(String, String)] = Seq(
     "spark.sql.session.timeZone" -> "UTC",
+    // native-kernel SQL functions + the GlobalWindowGuard scale lint;
+    // the guard conf is ON for every graft-built session so each
+    // Verify/Bench/test run re-proves the "no unbounded global
+    // windows" discipline (GlobalWindowGuard scaladoc)
+    "spark.sql.extensions" -> "graft.ext.GraftExtensions",
+    "spark.graft.failOnGlobalWindow" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
