@@ -1596,11 +1596,13 @@ object SparkEntry {
     // CUSUM changepoint score over the daily error-event series. The
     // textbook recursion Cₜ = max(0, Cₜ₋₁ + (xₜ − μ)) is not window-
     // expressible, but its closed form is: with Sₜ the prefix sum of
-    // (xₜ − μ), Cₜ = Sₜ − min_{i≤t} Sᵢ — two windows over the DAILY
-    // relation (bounded: one row per day, never the event log), and
-    // scaling by n_days keeps every intermediate an exact integer
-    // (n·x − total), so the score replays bit-for-bit; one division
-    // at the end.
+    // (xₜ − μ), Cₜ = Sₜ − min(0, min_{i≤t} Sᵢ) — the 0 stands for the
+    // empty prefix and matters exactly when every early Sᵢ is positive
+    // (EvalPropertySpec pins the identity against the recursion). Two
+    // windows over the DAILY relation (bounded: one row per day, never
+    // the event log); scaling by n_days keeps every intermediate an
+    // exact integer (n·x − total), so the score replays bit-for-bit;
+    // one division at the end.
     "q_changepoint_cusum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = ld(s, dir, "events")
@@ -1613,7 +1615,7 @@ object SparkEntry {
       daily.crossJoin(broadcast(tot))
         .withColumn("dev", col("x") * col("nd") - col("tx"))
         .withColumn("s", sum(col("dev")).over(w))
-        .withColumn("smin", min(col("s")).over(w))
+        .withColumn("smin", least(lit(0L), min(col("s")).over(w)))
         .select(col("day"), col("x").as("n_events"),
           round((col("s") - col("smin")).cast("double") / col("nd"), 6)
             .as("cusum"))
@@ -2021,7 +2023,7 @@ object SparkEntry {
         d.crossJoin(broadcast(tot))
           .withColumn("dev", col("x") * col("nd") - col("tx"))
           .withColumn("s", sum(col("dev")).over(w))
-          .withColumn("smin", min(col("s")).over(w))
+          .withColumn("smin", least(lit(0L), min(col("s")).over(w)))
           .select(col("day"), col("x").as("n_events"),
             round((col("s") - col("smin")).cast("double") / col("nd"), 6)
               .as("cusum"))
@@ -5206,8 +5208,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sacc
         |  FROM d CROSS JOIN t),
         |m AS (SELECT day, x, nd, sacc,
-        |    MIN(sacc) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+        |    LEAST(0, MIN(sacc) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS smin
         |  FROM s)
         |SELECT day, CAST(x AS BIGINT) AS n_events,
         |  round(CAST(sacc - smin AS DOUBLE) / nd, 6) AS cusum
@@ -5441,8 +5443,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sacc
         |  FROM d CROSS JOIN t),
         |m AS (SELECT day, x, nd, sacc,
-        |    MIN(sacc) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+        |    LEAST(0, MIN(sacc) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS smin
         |  FROM s)
         |SELECT day, CAST(x AS BIGINT) AS n_events,
         |  round(CAST(sacc - smin AS DOUBLE) / nd, 6) AS cusum

@@ -113,4 +113,26 @@ class EvalPropertySpec extends AnyFunSuite {
         base.getDouble(1) > 0.0 && base.getDouble(1) <= 1.0
     })
   }
+
+  // q_changepoint_cusum computes the one-sided CUSUM through its
+  // window-expressible closed form Cₜ = Sₜ − min(0, min_{i≤t} Sᵢ); the
+  // textbook definition is the recursion Cₜ = max(0, Cₜ₋₁ + devₜ).
+  // The leading 0 (the empty prefix) is load-bearing: without it the
+  // two differ exactly when every early prefix sum is positive —
+  // writing this property test is what caught that omission in the
+  // query's first version. The identity must hold for every series,
+  // including all-negative and alternating deviations (scaled
+  // integers, as the query uses).
+  test("property: CUSUM closed form equals the max(0, ...) recursion") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-50, 50))) { xs =>
+      val n = xs.length.toLong
+      val total = xs.map(_.toLong).sum
+      val devs = xs.map(x => x * n - total) // the query's scaling
+      val s = devs.scanLeft(0L)(_ + _).tail // prefix sums S_t
+      val sminWithZero = s.scanLeft(0L)(math.min).tail
+      val closedForm = s.zip(sminWithZero).map { case (a, b) => a - b }
+      val recursion = devs.scanLeft(0L)((c, d) => math.max(0L, c + d)).tail
+      closedForm == recursion
+    })
+  }
 }
