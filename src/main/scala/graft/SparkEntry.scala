@@ -37,6 +37,26 @@ object SparkEntry {
     */
   // shared by q_heavy_hitters and stream_heavy_hitters: the streamed
   // sketch cells are additive, so the final state equals the batch build
+  // shared by q_changepoint_cusum and stream_changepoint (the stream's
+  // complete-mode daily counts equal the batch aggregate, so one oracle
+  // checks both); the LEAST(0, ...) empty prefix is load-bearing --
+  // EvalPropertySpec pins the closed form against the recursion
+  private val changepointOracle: String =
+    """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT SUM(x) AS tx, COUNT(*) AS nd FROM d),
+        |s AS (SELECT day, x, nd,
+        |    SUM(x * nd - tx) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sacc
+        |  FROM d CROSS JOIN t),
+        |m AS (SELECT day, x, nd, sacc,
+        |    LEAST(0, MIN(sacc) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS smin
+        |  FROM s)
+        |SELECT day, CAST(x AS BIGINT) AS n_events,
+        |  round(CAST(sacc - smin AS DOUBLE) / nd, 6) AS cusum
+        |FROM m""".stripMargin
+
   private val heavyHittersOracle: String =
     """WITH cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
       |buck AS (SELECT js.j, user_id, c,
@@ -351,21 +371,84 @@ object SparkEntry {
   private def routed(s: SparkSession, dir: String): CdcOps.Routed =
     CdcOps.routeOps(cdcEvents(s, dir), Seq("user_id"))
 
+  /** Shared preamble of the three cdc_pipeline_* e2e queries:
+    * synthesize the raw Kafka envelope from the events table, write it
+    * as the file-source input, and stream-ingest it (AvailableNow +
+    * checkpoint) into a fresh date-partitioned lake. Returns the spec
+    * whose dataDir now holds the ingested days.
+    */
+  private def stagePipelineIngest(s: SparkSession, dir: String, name: String,
+                                  format: String = "parquet"): graft.model.TableSpec = {
+    import graft.jobs.Jobs
+    import graft.sources.RawSource
+    val root = s"/root/repo/target/tmp/$name-${java.util.UUID.randomUUID()}"
+    cdcEvents(s, dir).select(
+      col("timestamp"),
+      to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"),
+        col(CdcOps.OpColumn), col(CdcOps.DeletedColumn))).as("value"))
+      .write.parquet(s"$root/in")
+    val spec = graft.model.TableSpec(name, "graft_db", Seq("user_id"),
+      s"$root/lake", s"$root/ckpt", "topic", format = format)
+    Jobs.rawIngest(RawSource.fileStream(s, s"$root/in"), spec)
+    spec
+  }
+
+  /** Shared tail of the cdc_pipeline_* queries: partition-prune one day
+    * back out of the lake, infer + parse the payload, fold-merge.
+    */
+  private def pipelineMergeDay(s: SparkSession, spec: graft.model.TableSpec): org.apache.spark.sql.DataFrame = {
+    import graft.jobs.Jobs
+    import graft.sources.Lake
+    val day = Lake.readDay(s, spec.dataDir, 2024, 1, 2, spec.format)
+      .drop(Lake.partitionColumns: _*)
+    CdcOps.foldMerge(Jobs.parseRaw(day), Seq("user_id"), Seq("timestamp", "event_id"))
+  }
+
+  /** One-sided CUSUM over a (day, x) daily-count relation — shared by
+    * the batch query and its complete-mode stream twin (same
+    * arithmetic, same oracle). The textbook recursion
+    * Cₜ = max(0, Cₜ₋₁ + (xₜ − μ)) is not window-expressible; its
+    * closed form is: with Sₜ the prefix sum of (xₜ − μ),
+    * Cₜ = Sₜ − min(0, min_{i≤t} Sᵢ) — the 0 stands for the empty
+    * prefix and matters exactly when every early Sᵢ is positive
+    * (EvalPropertySpec pins the identity against the recursion). Two
+    * windows over the DAILY relation (bounded: one row per day, never
+    * the event log); scaling by n_days keeps every intermediate an
+    * exact integer (n·x − total), so the score replays bit-for-bit;
+    * one division at the end.
+    */
+  private def cusumTail(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = daily.agg(sum(col("x")).as("tx"), count(lit(1)).as("nd"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev", col("x") * col("nd") - col("tx"))
+      .withColumn("s", sum(col("dev")).over(w))
+      .withColumn("smin", least(lit(0L), min(col("s")).over(w)))
+      .select(col("day"), col("x").as("n_events"),
+        round((col("s") - col("smin")).cast("double") / col("nd"), 6)
+          .as("cusum"))
+  }
+
   /** Streaming read of the events table (file source — the scale path;
     * `ts` normalized to a UTC timestamp exactly like Tables.load).
     */
-  // footer-probe result for eventsStream, memoized per (session, dir):
-  // 19 stream_* queries each paid a ~70 ms driver-side parquet footer
-  // read for a value that cannot change within a session. Bounded LRU
-  // for the same reason as edgeCache: an unbounded map keyed by
-  // SparkSession pins stopped sessions' object graphs forever.
-  private val tsTypeCache: java.util.Map[(SparkSession, String),
+  // footer-probe result for eventsStream, memoized per (session, dir,
+  // file mtime): 19 stream_* queries each paid a ~70 ms driver-side
+  // parquet footer read. The mtime in the key invalidates the entry if
+  // the fixture is regenerated in place under a live JVM (a stale ts
+  // TYPE would otherwise mis-declare every subsequent stream schema —
+  // round-8 review finding). Bounded LRU for the same reason as
+  // edgeCache: an unbounded map keyed by SparkSession pins stopped
+  // sessions' object graphs forever.
+  private val tsTypeCache: java.util.Map[(SparkSession, String, Long),
       org.apache.spark.sql.types.DataType] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(SparkSession, String),
+      new java.util.LinkedHashMap[(SparkSession, String, Long),
           org.apache.spark.sql.types.DataType](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(SparkSession, String),
+            e: java.util.Map.Entry[(SparkSession, String, Long),
               org.apache.spark.sql.types.DataType]): Boolean = size() > 16
       })
 
@@ -374,7 +457,8 @@ object SparkEntry {
     // footer-derived `ts` type (nanos-as-long on older testdata,
     // TIMESTAMP_NTZ on newer) decides what we declare; normalization to
     // a UTC timestamp then matches Tables.load exactly
-    val tsType = tsTypeCache.computeIfAbsent((s, dir), _ =>
+    val mtime = new java.io.File(s"$dir/events.parquet").lastModified
+    val tsType = tsTypeCache.computeIfAbsent((s, dir, mtime), _ =>
       s.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
@@ -1593,33 +1677,14 @@ object SparkEntry {
     // weighting a sampling pipeline applies before drawing training
     // rows. Anchor = max ts (one broadcast row); each term rounded to
     // 6 dp, totals exact decimal sums.
-    // CUSUM changepoint score over the daily error-event series. The
-    // textbook recursion Cₜ = max(0, Cₜ₋₁ + (xₜ − μ)) is not window-
-    // expressible, but its closed form is: with Sₜ the prefix sum of
-    // (xₜ − μ), Cₜ = Sₜ − min(0, min_{i≤t} Sᵢ) — the 0 stands for the
-    // empty prefix and matters exactly when every early Sᵢ is positive
-    // (EvalPropertySpec pins the identity against the recursion). Two
-    // windows over the DAILY relation (bounded: one row per day, never
-    // the event log); scaling by n_days keeps every intermediate an
-    // exact integer (n·x − total), so the score replays bit-for-bit;
-    // one division at the end.
-    "q_changepoint_cusum" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = ld(s, dir, "events")
+    // CUSUM changepoint score over the daily error-event series — the
+    // batch half of the shared [[cusumTail]] (the stream twin rides
+    // the same arithmetic and the same oracle).
+    "q_changepoint_cusum" -> ((s, dir) =>
+      cusumTail(ld(s, dir, "events")
         .filter(col("event_type") === "error")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("x"))
-      val tot = daily.agg(sum(col("x")).as("tx"), count(lit(1)).as("nd"))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.crossJoin(broadcast(tot))
-        .withColumn("dev", col("x") * col("nd") - col("tx"))
-        .withColumn("s", sum(col("dev")).over(w))
-        .withColumn("smin", least(lit(0L), min(col("s")).over(w)))
-        .select(col("day"), col("x").as("n_events"),
-          round((col("s") - col("smin")).cast("double") / col("nd"), 6)
-            .as("cusum"))
-    }),
+        .agg(count(lit(1)).as("x")))),
 
     // Autocorrelation of the daily event count series at lags 1..7 —
     // the seasonality screen behind "is this weekly-periodic". Same
@@ -2004,7 +2069,6 @@ object SparkEntry {
     // final state equal the batch build, so the SAME oracle checks
     // both (the state-vs-tail contract of stream_psi_drift).
     "stream_changepoint" -> ((s, dir) => withStateParts(s) {
-      import org.apache.spark.sql.expressions.Window
       val daily = eventsStream(s, dir)
         .filter(col("event_type") === "error")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
@@ -2016,17 +2080,7 @@ object SparkEntry {
         .start()
       try {
         q.awaitTermination()
-        val d = s.table(sinkName).localCheckpoint(true)
-        val tot = d.agg(sum(col("x")).as("tx"), count(lit(1)).as("nd"))
-        val w = Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        d.crossJoin(broadcast(tot))
-          .withColumn("dev", col("x") * col("nd") - col("tx"))
-          .withColumn("s", sum(col("dev")).over(w))
-          .withColumn("smin", least(lit(0L), min(col("s")).over(w)))
-          .select(col("day"), col("x").as("n_events"),
-            round((col("s") - col("smin")).cast("double") / col("nd"), 6)
-              .as("cusum"))
+        cusumTail(s.table(sinkName).localCheckpoint(true))
       } finally {
         if (q.isActive) q.stop()
         s.catalog.dropTempView(sinkName)
@@ -3930,22 +3984,8 @@ object SparkEntry {
     // lake, partition-prune one day back out, infer the payload schema,
     // parse, and fold-merge — S3-S7 + P2-P6 live in one query.
     "cdc_pipeline_file" -> ((s, dir) => {
-      import graft.jobs.Jobs
-      import graft.model.TableSpec
-      import graft.sources.{Lake, RawSource}
-      val root = s"/root/repo/target/tmp/pipeq-${java.util.UUID.randomUUID()}"
-      cdcEvents(s, dir).select(
-        col("timestamp"),
-        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"),
-          col(CdcOps.OpColumn), col(CdcOps.DeletedColumn))).as("value"))
-        .write.parquet(s"$root/in")
-      val spec = TableSpec("pipeq", "graft_db", Seq("user_id"),
-        s"$root/lake", s"$root/ckpt", "topic")
-      Jobs.rawIngest(RawSource.fileStream(s, s"$root/in"), spec)
-      val day = Lake.readDay(s, spec.dataDir, 2024, 1, 2)
-        .drop(Lake.partitionColumns: _*)
-      val parsed = Jobs.parseRaw(day)
-      CdcOps.foldMerge(parsed, Seq("user_id"), Seq("timestamp", "event_id"))
+      val spec = stagePipelineIngest(s, dir, "pipeq")
+      pipelineMergeDay(s, spec)
     }),
 
     // The same e2e pipeline with a COMPACTION maintenance pass between
@@ -3956,50 +3996,27 @@ object SparkEntry {
     // LakeCompactSpec pins at unit scale: compaction changes file
     // layout, never content (round-7 advice item 7).
     "cdc_pipeline_compacted" -> ((s, dir) => {
-      import graft.jobs.Jobs
-      import graft.model.TableSpec
-      import graft.sources.{Lake, RawSource}
-      val root = s"/root/repo/target/tmp/pipeq-cp-${java.util.UUID.randomUUID()}"
-      cdcEvents(s, dir).select(
-        col("timestamp"),
-        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"),
-          col(CdcOps.OpColumn), col(CdcOps.DeletedColumn))).as("value"))
-        .write.parquet(s"$root/in")
-      val spec = TableSpec("pipeq_cp", "graft_db", Seq("user_id"),
-        s"$root/lake", s"$root/ckpt", "topic")
-      Jobs.rawIngest(RawSource.fileStream(s, s"$root/in"), spec)
+      import graft.sources.Lake
+      val spec = stagePipelineIngest(s, dir, "pipeq_cp")
       val dayDir = s"${spec.dataDir}/op_year=2024/op_month=1/op_day=2"
       val target = Lake.compact(s, dayDir, targetBytes = 32L * 1024 * 1024)
-      val left = new java.io.File(dayDir).listFiles()
+      // Option-wrapped: listFiles returns NULL (not empty) on a missing
+      // dir, and an absent day partition should fail with this message,
+      // not an NPE
+      val left = Option(new java.io.File(dayDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .count(_.getName.endsWith(".parquet"))
-      require(left <= target,
-        s"compaction left $left files for a $target-file target")
-      val day = Lake.readDay(s, spec.dataDir, 2024, 1, 2)
-        .drop(Lake.partitionColumns: _*)
-      val parsed = Jobs.parseRaw(day)
-      CdcOps.foldMerge(parsed, Seq("user_id"), Seq("timestamp", "event_id"))
+      require(left >= 1 && left <= target,
+        s"compaction left $left files for a $target-file target at $dayDir")
+      pipelineMergeDay(s, spec)
     }),
 
     // The same e2e pipeline on ORC — the reference's actual lake format
     // (`raw_data_handler.py:86`, `daily_data_handler.py:134`). Identical
     // semantics (same oracle); only the columnar container differs.
     "cdc_pipeline_orc" -> ((s, dir) => {
-      import graft.jobs.Jobs
-      import graft.model.TableSpec
-      import graft.sources.{Lake, RawSource}
-      val root = s"/root/repo/target/tmp/pipeq-orc-${java.util.UUID.randomUUID()}"
-      cdcEvents(s, dir).select(
-        col("timestamp"),
-        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props"),
-          col(CdcOps.OpColumn), col(CdcOps.DeletedColumn))).as("value"))
-        .write.parquet(s"$root/in")
-      val spec = TableSpec("pipeq_orc", "graft_db", Seq("user_id"),
-        s"$root/lake", s"$root/ckpt", "topic", format = "orc")
-      Jobs.rawIngest(RawSource.fileStream(s, s"$root/in"), spec)
-      val day = Lake.readDay(s, spec.dataDir, 2024, 1, 2, spec.format)
-        .drop(Lake.partitionColumns: _*)
-      val parsed = Jobs.parseRaw(day)
-      CdcOps.foldMerge(parsed, Seq("user_id"), Seq("timestamp", "event_id"))
+      val spec = stagePipelineIngest(s, dir, "pipeq_orc", format = "orc")
+      pipelineMergeDay(s, spec)
     }),
 
     // ---- multimodal (binary column plumbing; decode is stubbed) -
@@ -5199,21 +5216,7 @@ object SparkEntry {
 
     // CUSUM closed form: prefix sum minus running min, integers scaled
     // by n_days until the one rounded division
-    "q_changepoint_cusum" ->
-      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
-        |  FROM events WHERE event_type = 'error' GROUP BY 1),
-        |t AS (SELECT SUM(x) AS tx, COUNT(*) AS nd FROM d),
-        |s AS (SELECT day, x, nd,
-        |    SUM(x * nd - tx) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sacc
-        |  FROM d CROSS JOIN t),
-        |m AS (SELECT day, x, nd, sacc,
-        |    LEAST(0, MIN(sacc) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS smin
-        |  FROM s)
-        |SELECT day, CAST(x AS BIGINT) AS n_events,
-        |  round(CAST(sacc - smin AS DOUBLE) / nd, 6) AS cusum
-        |FROM m""".stripMargin,
+    "q_changepoint_cusum" -> changepointOracle,
 
     // discrete (lower) percentile: smallest value whose inclusive
     // cumulative count reaches ceil(p*n) — identical target-rank
@@ -5434,21 +5437,7 @@ object SparkEntry {
 
     // complete-mode daily counts after AvailableNow equal the batch
     // daily aggregate, so the batch CUSUM oracle checks the stream
-    "stream_changepoint" ->
-      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
-        |  FROM events WHERE event_type = 'error' GROUP BY 1),
-        |t AS (SELECT SUM(x) AS tx, COUNT(*) AS nd FROM d),
-        |s AS (SELECT day, x, nd,
-        |    SUM(x * nd - tx) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sacc
-        |  FROM d CROSS JOIN t),
-        |m AS (SELECT day, x, nd, sacc,
-        |    LEAST(0, MIN(sacc) OVER (ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS smin
-        |  FROM s)
-        |SELECT day, CAST(x AS BIGINT) AS n_events,
-        |  round(CAST(sacc - smin AS DOUBLE) / nd, 6) AS cusum
-        |FROM m""".stripMargin,
+    "stream_changepoint" -> changepointOracle,
 
     // the complete-mode fixpoint after AvailableNow equals the batch
     // aggregate over the same rows

@@ -100,52 +100,6 @@ object Similarity {
     topK(probed, k)
   }
 
-  /** IVF-style ANN: the `nCells` vectors with the smallest (FNV-1a of
-    * the id string, id) serve as deterministic coarse centroids — a
-    * hashed sample, not a training pass. Ordering by the id HASH rather
-    * than the id itself decorrelates the pick from insertion order
-    * (the lowest-id rows are often the oldest/most-correlated slice of
-    * a corpus, which skews cells and hurts recall; a hash-strided pick
-    * approximates a uniform sample while staying reproducible and
-    * oracle-expressible). Every vector is assigned to its nearest
-    * centroid as a PURE PROJECTION over the scan (struct-argmax over
-    * the fitted centroid literals — no shuffle, no window, no extra
-    * action); queries probe their `nProbe` nearest cells. Returns
-    * top-k within probed cells.
-    *
-    * Collecting the centroids is bounded model fitting (`nCells` rows,
-    * like a k-means fit), served by a distributed top-k
-    * (TakeOrderedAndProject), not a full sort — the corpus itself is
-    * never collected. At 100 TB the corpus side is scan → project →
-    * join(broadcast queries) → heap-aggregate: zero corpus shuffles.
-    */
-  /** Product-quantization ANN (inner-product ADC): the memory-bounded
-    * scale path — each candidate vector is compressed to `m` one-byte
-    * codes (its nearest sub-centroid per subspace, by squared L2 over
-    * that subspace), and query scoring touches ONLY the codes:
-    * per query a (m × subK) look-up table of subspace inner products is
-    * computed once on the (broadcast) query side, and a candidate's
-    * approximate inner product is m LUT reads + adds. At 100 TB the
-    * corpus scan reads 8-byte codes instead of 256-byte vectors — a 32×
-    * I/O cut — and the plan is scan → project codes → broadcast-join
-    * LUTs → heap top-k: zero corpus shuffles.
-    *
-    * Determinism/oracle parity: components rounded to 6 dp, sub-centroid
-    * training set = the `subK` hash-strided vectors (as [[ivfTopK]] /
-    * KMeans init), encoding argmin on 6-dp-rounded L2² with
-    * smallest-index tie-break, LUT entries rounded to 6 dp (so the final
-    * m-term sum is order-immune far beyond double error), final score
-    * re-rounded to 6 dp.
-    *
-    * `refine` > 0 adds the standard exact re-rank stage (FAISS
-    * `RefineFlat`): ADC shortlists `refine` candidates per query, then
-    * ONLY those shortlist rows are re-scored with exact cosine over the
-    * raw vectors — output becomes (query_id, candidate_id, cosine,
-    * rank). At 100 TB the re-rank reads queries×refine full vectors via
-    * a broadcast semi-join on the shortlist, not the corpus, so ADC's
-    * 32× I/O cut on the scan is kept while recall recovers to
-    * P(truth ∈ shortlist).
-    */
   /** The rounded corpus projection + hash-strided sub-centroid
     * codebooks shared by [[pqTopK]] and [[pqDistortion]]: returns
     * (rounded (candidate_id, v) frame, cents(j)(t) = subvector j of
@@ -173,6 +127,33 @@ object Similarity {
     (e, (0 until m).map(j => train.toSeq.map(_.slice(j * sub, (j + 1) * sub))), sub)
   }
 
+  /** Product-quantization ANN (inner-product ADC): the memory-bounded
+    * scale path — each candidate vector is compressed to `m` one-byte
+    * codes (its nearest sub-centroid per subspace, by squared L2 over
+    * that subspace), and query scoring touches ONLY the codes:
+    * per query a (m × subK) look-up table of subspace inner products is
+    * computed once on the (broadcast) query side, and a candidate's
+    * approximate inner product is m LUT reads + adds. At 100 TB the
+    * corpus scan reads 8-byte codes instead of 256-byte vectors — a 32×
+    * I/O cut — and the plan is scan → project codes → broadcast-join
+    * LUTs → heap top-k: zero corpus shuffles.
+    *
+    * Determinism/oracle parity: components rounded to 6 dp, sub-centroid
+    * training set = the `subK` hash-strided vectors (as [[ivfTopK]] /
+    * KMeans init), encoding argmin on 6-dp-rounded L2² with
+    * smallest-index tie-break, LUT entries rounded to 6 dp (so the final
+    * m-term sum is order-immune far beyond double error), final score
+    * re-rounded to 6 dp.
+    *
+    * `refine` > 0 adds the standard exact re-rank stage (FAISS
+    * `RefineFlat`): ADC shortlists `refine` candidates per query, then
+    * ONLY those shortlist rows are re-scored with exact cosine over the
+    * raw vectors — output becomes (query_id, candidate_id, cosine,
+    * rank). At 100 TB the re-rank reads queries×refine full vectors via
+    * a broadcast semi-join on the shortlist, not the corpus, so ADC's
+    * 32× I/O cut on the scan is kept while recall recovers to
+    * P(truth ∈ shortlist).
+    */
   def pqTopK(candidates: DataFrame, queries: DataFrame,
              vecCol: String, idCol: String, k: Int,
              m: Int = 8, subK: Int = 16, refine: Int = 0): DataFrame = {
@@ -268,6 +249,25 @@ object Similarity {
     topK(exact, k)
   }
 
+  /** IVF-style ANN: the `nCells` vectors with the smallest (FNV-1a of
+    * the id string, id) serve as deterministic coarse centroids — a
+    * hashed sample, not a training pass. Ordering by the id HASH rather
+    * than the id itself decorrelates the pick from insertion order
+    * (the lowest-id rows are often the oldest/most-correlated slice of
+    * a corpus, which skews cells and hurts recall; a hash-strided pick
+    * approximates a uniform sample while staying reproducible and
+    * oracle-expressible). Every vector is assigned to its nearest
+    * centroid as a PURE PROJECTION over the scan (struct-argmax over
+    * the fitted centroid literals — no shuffle, no window, no extra
+    * action); queries probe their `nProbe` nearest cells. Returns
+    * top-k within probed cells.
+    *
+    * Collecting the centroids is bounded model fitting (`nCells` rows,
+    * like a k-means fit), served by a distributed top-k
+    * (TakeOrderedAndProject), not a full sort — the corpus itself is
+    * never collected. At 100 TB the corpus side is scan → project →
+    * join(broadcast queries) → heap-aggregate: zero corpus shuffles.
+    */
   def ivfTopK(candidates: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {

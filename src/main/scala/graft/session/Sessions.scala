@@ -23,12 +23,6 @@ object Sessions {
     */
   private val common: Seq[(String, String)] = Seq(
     "spark.sql.session.timeZone" -> "UTC",
-    // native-kernel SQL functions + the GlobalWindowGuard scale lint;
-    // the guard conf is ON for every graft-built session so each
-    // Verify/Bench/test run re-proves the "no unbounded global
-    // windows" discipline (GlobalWindowGuard scaladoc)
-    "spark.sql.extensions" -> "graft.ext.GraftExtensions",
-    "spark.graft.failOnGlobalWindow" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -107,6 +101,22 @@ object Sessions {
     */
   def cleanupScratch(): Unit = rmTree(new java.io.File(scratchRoot))
 
+  /** Confs for sessions graft itself builds (local, TestSpark) — NOT
+    * part of [[common]]/[[tuned]], because tuned() feeds an EXTERNAL
+    * builder: overwriting `spark.sql.extensions` there would silently
+    * drop a deployment's own extension (Delta, Iceberg, ...), and
+    * force-enabling the window guard would turn a user job's working
+    * global window into a hard optimizer failure. External deployments
+    * opt in per job: `--conf spark.sql.extensions=graft.ext.GraftExtensions
+    * --conf spark.graft.failOnGlobalWindow=true`.
+    */
+  val graftManaged: Seq[(String, String)] = Seq(
+    // native-kernel SQL functions + the GlobalWindowGuard scale lint;
+    // the guard conf is ON so each Verify/Bench/test run re-proves the
+    // "no unbounded global windows" discipline
+    "spark.sql.extensions" -> "graft.ext.GraftExtensions",
+    "spark.graft.failOnGlobalWindow" -> "true")
+
   def local(cores: Int = 32, shufflePartitions: Int = 32,
             appName: String = "graft"): SparkSession = {
     val b = SparkSession.builder()
@@ -123,6 +133,7 @@ object Sessions {
       .config("spark.local.dir", s"$scratchRoot/local")
       .config("spark.sql.streaming.checkpointLocation", s"$scratchRoot/ckpt")
     common.foreach { case (k, v) => b.config(k, v) }
+    graftManaged.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     quietCheckpointRelease()
@@ -143,8 +154,12 @@ object Sessions {
     * the path a spark-submit cluster deployment uses.
     */
   def tuned(b: SparkSession.Builder): SparkSession.Builder = {
+    // NOTE deliberately NOT graftManaged (see its scaladoc) and NOT
+    // quietCheckpointRelease (process-global logger change — graft's
+    // own sessions accept that tradeoff, an external app must not have
+    // its MapPartitionsRDD warnings silenced as a side effect of
+    // borrowing conf defaults)
     common.foreach { case (k, v) => b.config(k, v) }
-    quietCheckpointRelease() // logger config, session-independent
     b
   }
 }

@@ -15,8 +15,13 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"target/tmp/test-warehouse-${System.nanoTime()}")
+    // tests are graft-owned sessions: opt into the extension +
+    // window-guard confs that tuned() deliberately leaves to the
+    // deployment (Sessions.graftManaged scaladoc)
+    graft.session.Sessions.graftManaged.foreach { case (k, v) => b.config(k, v) }
     val s = graft.session.Sessions.tuned(b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.session.Sessions.quietCheckpointRelease()
     s
   }
 }
