@@ -1893,6 +1893,92 @@ object SparkEntry {
         col("event_type") === "purchase")
     }),
 
+    // Mann-Whitney U (rank-sum) drift test: did purchase values shift
+    // in location vs click values — the every-rank-weighted companion
+    // to q_ks_drift. operators.Eval.mannWhitneyU: per-distinct-value
+    // collapse, range-partition prefix ranks, DECIMAL(38,0) doubled
+    // rank sums, tie-corrected normal z.
+    "q_mann_whitney" -> ((s, dir) =>
+      graft.operators.Eval.mannWhitneyU(ld(s, dir, "events"), col("value"),
+        col("event_type") === "purchase", col("event_type") === "click")),
+
+    // Chi-square independence of the event-type mix against the day of
+    // month, plus Cramér's V — the categorical drift readout.
+    // operators.Eval.chiSquareIndependence: one map-side-combinable
+    // cell groupBy, bounded marginal grid, exact-integer numerators,
+    // 6-dp decimal term sum.
+    "q_chi2_independence" -> ((s, dir) =>
+      graft.operators.Eval.chiSquareIndependence(ld(s, dir, "events"),
+        col("event_type"), dayofmonth(col("ts")))),
+
+    // Mann-Kendall monotone-trend test + Theil-Sen slope of daily event
+    // volume — operators.Eval.mannKendallTrend over the bounded daily
+    // series (the pair join is O(days²), never the event log).
+    "q_trend_mk" -> ((s, dir) => {
+      val daily = ld(s, dir, "events").filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .select(datediff(col("d"), lit("1970-01-01").cast("date"))
+          .as("t"), col("x"))
+      graft.operators.Eval.mannKendallTrend(daily, "t", "x")
+    }),
+
+    // Per-class precision/recall/F1 of a value-threshold event-type
+    // classifier against the true type — operators.Eval
+    // .classifierReport (three map-side marginals, full-outer class
+    // assembly so predicted-only/true-only classes keep their rows).
+    "q_classifier_report" -> ((s, dir) => {
+      val e = ld(s, dir, "events").filter(col("value").isNotNull)
+      val pred = when(col("value") < 20, "click")
+        .when(col("value") < 40, "view")
+        .when(col("value") < 60, "signup")
+        .when(col("value") < 80, "error")
+        .otherwise("purchase")
+      graft.operators.Eval.classifierReport(e, col("event_type"), pred)
+    }),
+
+    // Welch's t-test + Cohen's d: did mean purchase value move vs mean
+    // click value — the parametric companion to q_mann_whitney.
+    // operators.Eval.welchTTest: ONE combined aggregate of exact
+    // decimal count/sum/sum-of-squares per side, mirrored double tree.
+    "q_welch_t" -> ((s, dir) =>
+      graft.operators.Eval.welchTTest(ld(s, dir, "events"), col("value"),
+        col("event_type") === "purchase", col("event_type") === "click")),
+
+    // One-way ANOVA F across ALL event types at once — "did the value
+    // distribution move across any segment". operators.Eval
+    // .oneWayAnova: corpus reduces to k exact-decimal group rows, SS
+    // terms 6-dp-rounded and decimal-summed across groups.
+    "q_anova_f" -> ((s, dir) =>
+      graft.operators.Eval.oneWayAnova(ld(s, dir, "events"),
+        col("value"), col("event_type"))),
+
+    // Poisson-bootstrap 95% CI for the mean event value — the
+    // at-scale bootstrap: per-row Poisson(1) weights from the md5
+    // coin (integer-only), ONE scan + one map-side groupBy down to 64
+    // replicate rows, never B resample shuffles. operators.Eval
+    // .bootstrapMeanCI.
+    "q_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Eval.bootstrapMeanCI(ld(s, dir, "events"),
+        col("value"), col("event_id"), reps = 64)),
+
+    // Token-distribution drift across languages: chi-square
+    // independence of (lang × md5-bucketed token), 16 buckets via the
+    // first md5 hex digit — the bounded-state text-drift readout (the
+    // full-vocabulary cell table would be unbounded; hashed buckets
+    // keep the grid at |langs|×16 for ANY corpus). Reuses
+    // operators.Eval.chiSquareIndependence on the exploded token
+    // stream (one map-side-combinable cell groupBy).
+    "text_token_drift" -> ((s, dir) => {
+      val toks = ld(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val bucket = instr(lit("0123456789abcdef"),
+        substring(md5(col("tok")), 1, 1)) - 1
+      graft.operators.Eval.chiSquareIndependence(toks, col("lang"), bucket)
+    }),
+
     "q_stats_moments" -> ((s, dir) =>
       ld(s, dir, "events")
         .groupBy(col("event_type"))
@@ -5350,6 +5436,292 @@ object SparkEntry {
         |          * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)
         |  END AS z
         |FROM g""".stripMargin,
+
+    // Mann-Whitney: doubled rank sums over per-distinct-value groups
+    // (2·Σranksᴬ = Σ a·(2·below + t + 1)), exact HUGEINT, tie-corrected
+    // σ² = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))); divisions mirror the
+    // engine's shape exactly ((prod/12)·(...), then /(2√σ²)).
+    "q_mann_whitney" ->
+      """WITH s AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'click')),
+        |g AS (SELECT v, SUM(a) AS a, SUM(b) AS b FROM s GROUP BY v),
+        |o AS (SELECT a, b, COALESCE(SUM(a) OVER w, 0) AS ca,
+        |    COALESCE(SUM(b) OVER w, 0) AS cb FROM g
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (SELECT
+        |    SUM(CAST(a AS HUGEINT) * (2 * (ca + cb) + a + b + 1)) AS r2a,
+        |    CAST(SUM(a) AS HUGEINT) AS n1, CAST(SUM(b) AS HUGEINT) AS n2,
+        |    SUM(CAST(a + b AS HUGEINT) * (a + b) * (a + b) - (a + b)) AS ties
+        |  FROM o)
+        |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    round(CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2.0, 6) END AS u_a,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    round(CAST(r2a - n1 * (n1 + 1) AS DOUBLE)
+        |      / (2.0 * CAST(n1 * n2 AS DOUBLE)), 6) END AS effect,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+        |      AND ties < (n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2) THEN
+        |    round(CAST(r2a - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+        |      / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+        |          * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |            / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))),
+        |      6)
+        |  END AS z
+        |FROM t""".stripMargin,
+
+    // Chi-square: exact-integer cell numerators (o·N − n_r·n_c)², one
+    // double division per cell, 6-dp round, DECIMAL(25,12) exact sum
+    // (order-independent — the engine's convention).
+    "q_chi2_independence" ->
+      """WITH cells AS (SELECT event_type AS r, day(ts) AS c, COUNT(*) AS o
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT r, SUM(o) AS nr FROM cells GROUP BY r),
+        |cm AS (SELECT c, SUM(o) AS nc FROM cells GROUP BY c),
+        |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS kr,
+        |    COUNT(DISTINCT c) AS kc FROM cells),
+        |grid AS (SELECT n, kr, kc,
+        |    CAST(COALESCE(cells.o, 0) AS HUGEINT) * n
+        |      - CAST(nr AS HUGEINT) * nc AS num,
+        |    CAST(n AS HUGEINT) * nr * nc AS den
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+        |  CROSS JOIN tot),
+        |t AS (SELECT n, kr, kc,
+        |    SUM(CAST(round(CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |      AS DECIMAL(25,12))) AS chi2raw
+        |  FROM grid GROUP BY n, kr, kc)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(kr AS BIGINT) AS n_rows,
+        |  CAST(kc AS BIGINT) AS n_cols,
+        |  CAST((kr - 1) * (kc - 1) AS BIGINT) AS dof,
+        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
+        |    round(CAST(chi2raw AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
+        |    round(sqrt(CAST(chi2raw AS DOUBLE) / (CAST(n AS DOUBLE)
+        |      * CAST(LEAST(kr, kc) - 1 AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM t""".stripMargin,
+
+    // Mann-Kendall over the bounded daily series: exact integer S,
+    // tie-corrected variance /18, ±1 continuity correction; Theil-Sen
+    // is the interpolated median of pairwise slopes (quantile_cont =
+    // Spark's percentile).
+    "q_trend_mk" ->
+      """WITH d AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |p AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s,
+        |    quantile_cont((b.x - a.x) / (b.t - a.t), 0.5) AS slope
+        |  FROM d a JOIN d b ON a.t < b.t),
+        |ties AS (SELECT
+        |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tsum,
+        |    CAST(SUM(tc) AS BIGINT) AS n
+        |  FROM (SELECT COUNT(*) AS tc FROM d GROUP BY x))
+        |SELECT n AS n_obs, s AS s_stat,
+        |  CASE WHEN n >= 2 AND n * (n - 1) * (2 * n + 5) - tsum > 0 THEN
+        |    round((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END)
+        |      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE) / 18.0),
+        |      6)
+        |  END AS z,
+        |  CASE WHEN n >= 2 THEN round(slope, 6) END AS theil_sen
+        |FROM p CROSS JOIN ties""".stripMargin,
+
+    // Classifier report: three marginals + full-outer class assembly;
+    // f1 in the single-division form 2·tp/(n_true+n_pred).
+    "q_classifier_report" ->
+      """WITH s AS (SELECT event_type AS y,
+        |    CASE WHEN value < 20 THEN 'click' WHEN value < 40 THEN 'view'
+        |      WHEN value < 60 THEN 'signup' WHEN value < 80 THEN 'error'
+        |      ELSE 'purchase' END AS p
+        |  FROM events WHERE value IS NOT NULL),
+        |yy AS (SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM s GROUP BY 1),
+        |pp AS (SELECT p AS class, CAST(COUNT(*) AS BIGINT) AS n_pred
+        |  FROM s GROUP BY 1),
+        |dg AS (SELECT y AS class, CAST(COUNT(*) AS BIGINT) AS tp
+        |  FROM s WHERE y = p GROUP BY 1)
+        |SELECT class,
+        |  COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+        |  COALESCE(tp, 0) AS tp,
+        |  CASE WHEN COALESCE(n_pred, 0) > 0 THEN
+        |    round(CAST(COALESCE(tp, 0) AS DOUBLE)
+        |      / CAST(n_pred AS DOUBLE), 6) END AS prec,
+        |  CASE WHEN COALESCE(n_true, 0) > 0 THEN
+        |    round(CAST(COALESCE(tp, 0) AS DOUBLE)
+        |      / CAST(n_true AS DOUBLE), 6) END AS rec,
+        |  CASE WHEN COALESCE(n_true, 0) + COALESCE(n_pred, 0) > 0 THEN
+        |    round(2.0 * CAST(COALESCE(tp, 0) AS DOUBLE)
+        |      / CAST(COALESCE(n_true, 0) + COALESCE(n_pred, 0) AS DOUBLE), 6)
+        |  END AS f1
+        |FROM yy FULL OUTER JOIN pp USING (class)
+        |LEFT JOIN dg USING (class)""".stripMargin,
+
+    // Welch: exact decimal count/sum/sum-of-squares per side (values
+    // 6-dp-rounded into DECIMAL(18,6)), then the engine's exact double
+    // tree: m = s/n, v = (q − s²/n)/(n−1), se² = v₁/n₁ + v₂/n₂,
+    // t = Δm/√se², Welch–Satterthwaite dof, pooled-sd Cohen's d.
+    "q_welch_t" ->
+      """WITH s AS (SELECT CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'click')),
+        |g AS (SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+        |    SUM(CASE WHEN a = 1 THEN v END) AS s1,
+        |    SUM(CASE WHEN b = 1 THEN v END) AS s2,
+        |    SUM(CASE WHEN a = 1 THEN v * v END) AS q1,
+        |    SUM(CASE WHEN b = 1 THEN v * v END) AS q2
+        |  FROM s),
+        |d AS (SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |        / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM g),
+        |e AS (SELECT n1, n2, m1, m2, v1, v2,
+        |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM d)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  CASE WHEN n1 > 0 THEN round(m1, 6) END AS mean_a,
+        |  CASE WHEN n2 > 0 THEN round(m2, 6) END AS mean_b,
+        |  CASE WHEN n1 >= 2 AND n2 >= 2 AND se2 > 0 THEN
+        |    round((m1 - m2) / sqrt(se2), 6) END AS t_stat,
+        |  CASE WHEN n1 >= 2 AND n2 >= 2 AND se2 > 0 THEN
+        |    round(se2 * se2 /
+        |      ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+        |          / (CAST(n1 AS DOUBLE) - 1.0)
+        |        + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+        |          / (CAST(n2 AS DOUBLE) - 1.0)), 6) END AS dof,
+        |  CASE WHEN n1 >= 2 AND n2 >= 2
+        |      AND ((CAST(n1 AS DOUBLE) - 1.0) * v1
+        |        + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) > 0 THEN
+        |    round((m1 - m2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+        |        + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+        |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6)
+        |  END AS cohens_d
+        |FROM e""".stripMargin,
+
+    // ANOVA: k exact-decimal group rows; per-group SS terms
+    // 6-dp-rounded, DECIMAL(25,12)-summed; F mirrored in double.
+    "q_anova_f" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng, SUM(v) AS sg,
+        |    SUM(v * v) AS qg
+        |  FROM s GROUP BY g),
+        |terms AS (SELECT ng, sg,
+        |    CAST(round(CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE)
+        |      * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+        |      AS DECIMAL(25,12)) AS w_term,
+        |    CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 6) AS DECIMAL(25,12)) AS b_term
+        |  FROM per),
+        |agg AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k, SUM(sg) AS s,
+        |    SUM(w_term) AS ssw, SUM(b_term) AS bsum
+        |  FROM terms),
+        |f AS (SELECT n, k,
+        |    CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(ssw AS DOUBLE) AS sswd
+        |  FROM agg)
+        |SELECT n, k, round(ssb, 6) AS ss_between, round(sswd, 6) AS ss_within,
+        |  CASE WHEN k >= 2 AND n > k AND sswd > 0 THEN
+        |    round((ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (sswd / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  END AS f_stat
+        |FROM f""".stripMargin,
+
+    // Bootstrap: per-row Poisson(1) weights = count of BIGINT CDF
+    // thresholds at or below the md5 coin (integer-only resampling);
+    // replicate sums exact decimal, means 6-dp-rounded before the
+    // bounded percentile/sd tail.
+    "q_bootstrap_ci" -> {
+      val w = graft.operators.Eval.poissonCoinThresholds
+        .map(t => s"(CASE WHEN coin >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT CAST(event_id AS VARCHAR) AS id,
+         |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |full_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv FROM s),
+         |e AS (SELECT v, r,
+         |    CAST('0x' || substr(md5(id || ':' || CAST(r AS VARCHAR)), 1, 8)
+         |      AS BIGINT) AS coin
+         |  FROM s, LATERAL unnest(range(0, 64)) AS t(r)),
+         |pw AS (SELECT v, r, $w AS w FROM e),
+         |rep AS (SELECT r, SUM(w * v) AS swv, CAST(SUM(w) AS BIGINT) AS sw
+         |  FROM pw GROUP BY r),
+         |m AS (SELECT CASE WHEN sw > 0 THEN
+         |    round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 6) END AS m
+         |  FROM rep),
+         |tail AS (SELECT CAST(COUNT(m) AS BIGINT) AS n_reps,
+         |    SUM(CAST(m AS DECIMAL(12,6))) AS sm,
+         |    SUM(CAST(m AS DECIMAL(12,6)) * CAST(m AS DECIMAL(12,6))) AS qm,
+         |    round(quantile_cont(m, 0.025), 6) AS lo95,
+         |    round(quantile_cont(m, 0.975), 6) AS hi95
+         |  FROM m),
+         |vt AS (SELECT n, n_reps, sv, lo95, hi95,
+         |    CASE WHEN n_reps >= 2 THEN
+         |      (CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+         |        / CAST(n_reps AS DOUBLE)) / (CAST(n_reps AS DOUBLE) - 1.0)
+         |    END AS varm
+         |  FROM tail CROSS JOIN full_t)
+         |SELECT n, n_reps,
+         |  CASE WHEN n > 0 THEN
+         |    round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS mean,
+         |  CASE WHEN varm > 0 THEN round(sqrt(varm), 6)
+         |    WHEN n_reps >= 2 THEN 0.0 END AS boot_se,
+         |  CASE WHEN n_reps >= 2 THEN lo95 END AS lo95,
+         |  CASE WHEN n_reps >= 2 THEN hi95 END AS hi95
+         |FROM vt""".stripMargin
+    },
+
+    // Token drift: same chi-square kernel as q_chi2_independence over
+    // (lang × first-md5-hex-digit token bucket) — 16 hashed buckets
+    // keep the grid bounded for any vocabulary.
+    "text_token_drift" ->
+      """WITH toks AS (SELECT lang AS r,
+        |    instr('0123456789abcdef', substring(md5(t.tok), 1, 1)) - 1 AS c
+        |  FROM documents,
+        |    LATERAL unnest(list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), x -> x <> '')) AS t(tok)),
+        |cells AS (SELECT r, c, COUNT(*) AS o FROM toks
+        |  WHERE r IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2),
+        |rm AS (SELECT r, SUM(o) AS nr FROM cells GROUP BY r),
+        |cm AS (SELECT c, SUM(o) AS nc FROM cells GROUP BY c),
+        |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS kr,
+        |    COUNT(DISTINCT c) AS kc FROM cells),
+        |grid AS (SELECT n, kr, kc,
+        |    CAST(COALESCE(cells.o, 0) AS HUGEINT) * n
+        |      - CAST(nr AS HUGEINT) * nc AS num,
+        |    CAST(n AS HUGEINT) * nr * nc AS den
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+        |  CROSS JOIN tot),
+        |t AS (SELECT n, kr, kc,
+        |    SUM(CAST(round(CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |      AS DECIMAL(25,12))) AS chi2raw
+        |  FROM grid GROUP BY n, kr, kc)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(kr AS BIGINT) AS n_rows,
+        |  CAST(kc AS BIGINT) AS n_cols,
+        |  CAST((kr - 1) * (kc - 1) AS BIGINT) AS dof,
+        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
+        |    round(CAST(chi2raw AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
+        |    round(sqrt(CAST(chi2raw AS DOUBLE) / (CAST(n AS DOUBLE)
+        |      * CAST(LEAST(kr, kc) - 1 AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM t""".stripMargin,
 
     // KS: ECDFs at each distinct value (inclusive cumsums); the max is
     // over exact integer cross-products, ties to the smallest value.

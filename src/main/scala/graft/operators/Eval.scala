@@ -616,4 +616,390 @@ object Eval {
         round(sqrt(col("d2").cast("double")) /
           (col("n_a") * col("n_b")).cast("double"), 6).as("l2_dist"))
   }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) test between the `valueCol`
+    * distributions of the `isA` and `isB` rows — the nonparametric
+    * location-shift drift test: unlike KS it weighs EVERY rank, so a
+    * small but systematic shift that never produces a large ECDF gap
+    * still registers.
+    *
+    * Rank bookkeeping is the doubled-integer form shared with
+    * [[aucBinary]]: for a tie group with `cb` rows strictly below,
+    * `t` members and `a` of them in sample A,
+    * `2·Σ ranksᴬ = a·(2·cb + t + 1)` — exact DECIMAL(38,0), no
+    * half-integer ever materializes. The cumulative-below counts come
+    * from [[withCumBelow]]'s range-partition machinery (never a global
+    * window over the corpus). Normal approximation with the standard
+    * tie correction:
+    * `σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1)))`; no continuity
+    * correction (mirrors cleanly and matters only at tiny N, where a
+    * normal approximation is wrong anyway).
+    *
+    * Returns one row `(n_a, n_b, u_a, effect, z)`: `u_a` is A's U
+    * statistic, `effect = U_A/(n₁n₂)` the common-language effect size
+    * (= P(A > B) + ½P(A = B), an AUC), both NULL-guarded when either
+    * sample is empty, `z` additionally when σ = 0 (all values tied).
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: Column, isA: Column,
+                   isB: Column, nParts: Int = 32): DataFrame = {
+    val g = df.select(valueCol.as("v"),
+        when(isA, 1L).otherwise(0L).as("a"),
+        when(isB, 1L).otherwise(0L).as("b"))
+      .na.drop(Seq("v"))
+      .filter(col("a") + col("b") > 0)
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+    val (cum, pinned) = withCumBelow(g, "v", Seq("a", "b"), nParts)
+    val dec = "decimal(38,0)"
+    val t = (col("a") + col("b")).cast(dec)
+    val agg = cum.agg(
+        // cast before the product — a·(2·cb+t+1) can reach ~n²
+        sum(col("a").cast(dec) *
+            (lit(2) * (col("cum_a") + col("cum_b")) + col("a") + col("b") +
+              lit(1)).cast(dec)).as("r2a"),
+        sum(col("a").cast(dec)).as("n1"),
+        sum(col("b").cast(dec)).as("n2"),
+        sum(t * t * t - t).as("ties"))
+    // 2·U_A = 2·R_A − n₁(n₁+1), exact; one double division at the end
+    val u2 = col("r2a") - col("n1") * (col("n1") + lit(1))
+    val nn = col("n1") + col("n2")
+    val prod = col("n1") * col("n2")
+    val sigma2 = prod.cast("double") / lit(12.0) *
+      ((nn + lit(1)).cast("double") -
+        col("ties").cast("double") /
+          (nn.cast("double") * (nn - lit(1)).cast("double")))
+    val out = agg.select(
+      col("n1").cast("long").as("n_a"),
+      col("n2").cast("long").as("n_b"),
+      when(col("n1") > 0 && col("n2") > 0,
+        round(u2.cast("double") / lit(2.0), 6)).as("u_a"),
+      when(col("n1") > 0 && col("n2") > 0,
+        round(u2.cast("double") / (lit(2.0) * prod.cast("double")), 6))
+        .as("effect"),
+      when(col("n1") > 0 && col("n2") > 0 && nn > 1 &&
+          col("ties") < nn * nn * nn - nn,
+        round((u2 - prod).cast("double") / (lit(2.0) * sqrt(sigma2)), 6))
+        .as("z"))
+    pinAndRelease(out, pinned)
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V — the categorical drift/association
+    * readout (is the event mix independent of the weekday?).
+    *
+    * Scale shape: ONE map-side-combinable groupBy on the observed
+    * (row, col) cells is the only corpus shuffle; marginals reduce
+    * from the cell table and the full r×c grid (zero cells INCLUDE
+    * their expected-count contribution) is the tiny cross join of the
+    * two marginal relations. Each cell's term is the exact-integer
+    * form `(o·N − n_r·n_c)² / (N · n_r · n_c)` divided once in double,
+    * then 6-dp-rounded and summed in DECIMAL(25,12) (the
+    * [[meanNdcgBinary]] convention) — an ORDER-INDEPENDENT exact sum,
+    * so the total replays identically in the oracle with no fold-order
+    * pinning and no per-group collect.
+    *
+    * Returns one row `(n, n_rows, n_cols, dof, chi2, cramers_v)`;
+    * NULL statistics when the table is degenerate (dof = 0).
+    */
+  def chiSquareIndependence(df: DataFrame, rowCat: Column,
+                            colCat: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(rowCat.as("r"), colCat.as("c"))
+      .na.drop(Seq("r", "c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rm = cells.groupBy(col("r")).agg(sum(col("o")).as("nr"))
+    val cm = cells.groupBy(col("c")).agg(sum(col("o")).as("nc"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("r")).as("kr"), countDistinct(col("c")).as("kc"))
+    val grid = rm.crossJoin(cm) // categories² rows — bounded model state
+      .join(cells, Seq("r", "c"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("n"), col("kr"), col("kc"),
+        (coalesce(col("o"), lit(0L)).cast(dec) * col("n").cast(dec) -
+          col("nr").cast(dec) * col("nc").cast(dec)).as("num"),
+        (col("n").cast(dec) * col("nr").cast(dec) * col("nc").cast(dec))
+          .as("den"))
+      .withColumn("term",
+        round((col("num") * col("num")).cast("double") /
+          col("den").cast("double"), 6).cast("decimal(25,12)"))
+    val out = grid
+      .groupBy(col("n"), col("kr"), col("kc"))
+      .agg(sum(col("term")).as("chi2raw"))
+      .select(col("n"), col("kr").as("n_rows"), col("kc").as("n_cols"),
+        ((col("kr") - 1) * (col("kc") - 1)).as("dof"), col("chi2raw"))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+        when(col("dof") > 0,
+          round(col("chi2raw").cast("double"), 6)).as("chi2"),
+        when(col("dof") > 0,
+          round(sqrt(col("chi2raw").cast("double") /
+            (col("n").cast("double") *
+              (least(col("n_rows"), col("n_cols")) - 1).cast("double"))),
+            6)).as("cramers_v"))
+    pinAndRelease(out, cells)
+  }
+
+  /** Mann-Kendall trend test + Theil-Sen slope over an already-reduced
+    * (t, x) series — the monotone-trend readout for a daily metric
+    * (is ingest volume drifting up?). `t` must be an integer time
+    * index (e.g. days since epoch), `x` the metric.
+    *
+    * The input must be BOUNDED (one row per calendar day — the
+    * [[SparkEntry.cusumTail]] contract): the pair join is O(d²) on
+    * the day count, which a century of daily data keeps under 7e8 —
+    * never the event log. `S = Σ_{i<j} sign(x_j − x_i)` is exact
+    * integer; the variance carries the standard tie correction
+    * `(n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18`; z uses the ±1 continuity
+    * correction (the textbook form). The Theil-Sen slope is the exact
+    * interpolated median of all pairwise slopes — robust to outlier
+    * days where OLS is not.
+    *
+    * Returns one row `(n_obs, s_stat, z, theil_sen)`; z NULL when the
+    * variance is 0 (all values tied), everything NULL when n < 2.
+    */
+  def mannKendallTrend(series: DataFrame, tCol: String,
+                       xCol: String): DataFrame = {
+    val s1 = series.select(col(tCol).cast("long").as("t1"),
+      col(xCol).cast("double").as("x1"))
+    val s2 = series.select(col(tCol).cast("long").as("t2"),
+      col(xCol).cast("double").as("x2"))
+    val pairs = s1.join(s2, col("t1") < col("t2"))
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s"),
+        expr("percentile((x2 - x1) / (t2 - t1), 0.5)").as("slope"))
+    // tie groups on x for the variance correction; n from the series
+    val ties = series.groupBy(col(xCol).cast("double").as("x"))
+      .agg(count(lit(1)).as("tc"))
+      .agg(sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+          .as("tsum"),
+        sum(col("tc")).as("n"))
+    val varNum = col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+      col("tsum")
+    pairs.crossJoin(broadcast(ties))
+      .select(col("n").as("n_obs"), col("s").as("s_stat"),
+        when(col("n") >= 2 && varNum > 0,
+          round(when(col("s") > 0, (col("s") - lit(1)).cast("double"))
+              .when(col("s") < 0, (col("s") + lit(1)).cast("double"))
+              .otherwise(lit(0.0)) /
+            sqrt(varNum.cast("double") / lit(18.0)), 6)).as("z"),
+        when(col("n") >= 2, round(col("slope"), 6)).as("theil_sen"))
+  }
+
+  /** Per-class precision/recall/F1 of a multiclass prediction against
+    * its label — the classifier-quality report a pipeline runs before
+    * trusting a language-ID or quality model to filter a corpus.
+    *
+    * One map-side-combinable groupBy each for the label marginal, the
+    * prediction marginal, and the diagonal (label = prediction); the
+    * report assembles by FULL OUTER join over the tiny class set, so a
+    * class that is only ever predicted (or only ever true) still gets
+    * its row. F1 uses the single-division form `2·tp/(n_true+n_pred)`
+    * (algebraically 2PR/(P+R), but one rounding point instead of
+    * three); rates are NULL when their denominator is 0, not fake 0s.
+    *
+    * Returns one row per class:
+    * `(class, n_true, n_pred, tp, prec, rec, f1)` — `prec`/`rec`
+    * rather than the full words because PRECISION is a SQL type
+    * keyword oracle dialects can refuse as a bare alias.
+    */
+  def classifierReport(df: DataFrame, actual: Column,
+                       predicted: Column): DataFrame = {
+    val pairs = df.select(actual.as("y"), predicted.as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byY = pairs.groupBy(col("y").as("class"))
+      .agg(count(lit(1)).as("n_true"))
+    val byP = pairs.groupBy(col("p").as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    val diag = pairs.filter(col("y") === col("p"))
+      .groupBy(col("y").as("class")).agg(count(lit(1)).as("tp0"))
+    val out = byY.join(byP, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp0"), lit(0L)).as("tp"))
+      .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
+          .as("prec"),
+        when(col("n_true") > 0,
+          round(col("tp").cast("double") / col("n_true").cast("double"), 6))
+          .as("rec"),
+        when(col("n_true") + col("n_pred") > 0,
+          round(lit(2.0) * col("tp").cast("double") /
+            (col("n_true") + col("n_pred")).cast("double"), 6)).as("f1"))
+    pinAndRelease(out, pairs)
+  }
+
+  /** Welch's unequal-variance t-test between the `valueCol`
+    * distributions of the `isA` and `isB` rows, plus Cohen's d — the
+    * parametric companion to [[mannWhitneyU]] (means vs ranks).
+    *
+    * ONE map-side-combinable aggregate computes each side's exact
+    * count / sum / sum-of-squares with values 6-dp-rounded into
+    * DECIMAL(18,6) (sums and squares exact, order-free); every
+    * downstream mean / variance / t / dof is then a mirrored IEEE
+    * double tree over those identical sums, so the oracle replays it
+    * bit-for-bit — no transcendentals beyond √, no data-ordering
+    * sensitivity, no second pass over the corpus.
+    *
+    * Returns one row `(n_a, n_b, mean_a, mean_b, t_stat, dof,
+    * cohens_d)`: dof is Welch–Satterthwaite; t/dof NULL unless both
+    * sides have ≥ 2 rows and the combined standard error is positive;
+    * cohens_d (pooled-sd standardized difference) NULL when the pooled
+    * variance is 0.
+    */
+  def welchTTest(df: DataFrame, valueCol: Column, isA: Column,
+                 isB: Column): DataFrame = {
+    val vd = round(valueCol.cast("double"), 6).cast("decimal(18,6)")
+    val g = df.filter(valueCol.isNotNull)
+      .select(vd.as("v"),
+        when(isA, 1L).otherwise(0L).as("a"),
+        when(isB, 1L).otherwise(0L).as("b"))
+      .filter(col("a") + col("b") > 0)
+    val agg = g.agg(
+      sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+      sum(when(col("a") === 1, col("v"))).as("s1"),
+      sum(when(col("b") === 1, col("v"))).as("s2"),
+      sum(when(col("a") === 1, col("v") * col("v"))).as("q1"),
+      sum(when(col("b") === 1, col("v") * col("v"))).as("q2"))
+    def d(c: Column): Column = c.cast("double")
+    val (n1, n2) = (d(col("n1")), d(col("n2")))
+    // ANSI mode errors on ANY division by zero (doubles included), and
+    // se2 appears in a when() PREDICATE below — so the n-dependent
+    // divisions must null out, not trust conditional evaluation
+    val m1 = when(col("n1") > 0, d(col("s1")) / n1)
+    val m2 = when(col("n2") > 0, d(col("s2")) / n2)
+    val v1 = when(col("n1") >= 2,
+      (d(col("q1")) - d(col("s1")) * d(col("s1")) / n1) / (n1 - 1.0))
+    val v2 = when(col("n2") >= 2,
+      (d(col("q2")) - d(col("s2")) * d(col("s2")) / n2) / (n2 - 1.0))
+    val se2 = v1 / n1 + v2 / n2
+    val dof = se2 * se2 /
+      ((v1 / n1) * (v1 / n1) / (n1 - 1.0) + (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    val sp2 = ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)
+    agg.select(
+      col("n1").as("n_a"), col("n2").as("n_b"),
+      when(col("n1") > 0, round(m1, 6)).as("mean_a"),
+      when(col("n2") > 0, round(m2, 6)).as("mean_b"),
+      when(col("n1") >= 2 && col("n2") >= 2 && se2 > 0,
+        round((m1 - m2) / sqrt(se2), 6)).as("t_stat"),
+      when(col("n1") >= 2 && col("n2") >= 2 && se2 > 0,
+        round(dof, 6)).as("dof"),
+      when(col("n1") >= 2 && col("n2") >= 2 && sp2 > 0,
+        round((m1 - m2) / sqrt(sp2), 6)).as("cohens_d"))
+  }
+
+  /** One-way ANOVA F over the `valueCol` split by `groupCol` — the
+    * k-sample generalization of [[welchTTest]] ("did the metric move
+    * across ANY segment", one readout instead of k² pairwise tests).
+    *
+    * Scale shape: one map-side-combinable groupBy reduces the corpus
+    * to k rows of exact DECIMAL(18,6) count/sum/sum-of-squares; the
+    * within/between sum-of-squares terms are per-GROUP doubles,
+    * 6-dp-rounded and summed in DECIMAL(25,12) (order-independent
+    * across the k groups — the engine's cross-group float
+    * convention), and F is one mirrored double expression at the end.
+    *
+    * Returns one row `(n, k, ss_between, ss_within, f_stat)`; f_stat
+    * NULL when k < 2, n ≤ k, or SSW is 0 (F undefined / infinite).
+    */
+  def oneWayAnova(df: DataFrame, valueCol: Column,
+                  groupCol: Column): DataFrame = {
+    val vd = round(valueCol.cast("double"), 6).cast("decimal(18,6)")
+    val per = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .groupBy(groupCol.as("g"))
+      .agg(count(lit(1)).as("ng"), sum(vd).as("sg"),
+        sum(vd * vd).as("qg"))
+    def d(c: Column): Column = c.cast("double")
+    val terms = per.select(col("ng"), col("sg"),
+      round(d(col("qg")) - d(col("sg")) * d(col("sg")) / d(col("ng")), 6)
+        .cast("decimal(25,12)").as("w_term"),
+      round(d(col("sg")) * d(col("sg")) / d(col("ng")), 6)
+        .cast("decimal(25,12)").as("b_term"))
+    val agg = terms.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(col("sg")).as("s"), sum(col("w_term")).as("ssw"),
+      sum(col("b_term")).as("bsum"))
+    val ssb = d(col("bsum")) - d(col("s")) * d(col("s")) / d(col("n"))
+    val ssw = d(col("ssw"))
+    val f = (ssb / (d(col("k")) - 1.0)) / (ssw / (d(col("n")) - d(col("k"))))
+    agg.select(col("n"), col("k"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      when(col("k") >= 2 && col("n") > col("k") && ssw > 0,
+        round(f, 6)).as("f_stat"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds scaled into the 2³² md5-coin
+    * space, k = 0..7: a replicate weight is `#{k : coin ≥ T_k}` —
+    * pure BIGINT comparisons against these literals, no floats in the
+    * resampling path. Truncating at 8 drops P ≈ 1e-5 of the mass,
+    * identically in engine and oracle.
+    */
+  val poissonCoinThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L,
+    4279248373L, 4292415291L, 4294609777L, 4294923276L)
+
+  /** Poisson bootstrap confidence interval for the mean of `valueCol`
+    * — THE bootstrap that works at 100 TB: instead of materializing B
+    * resamples (B shuffles of the corpus), every row draws B
+    * independent Poisson(1) weights in one projection (Poisson(1) is
+    * the B→∞ limit of each row's multiplicity in a with-replacement
+    * resample), so the whole procedure is ONE scan + ONE
+    * map-side-combinable groupBy down to B replicate rows.
+    *
+    * Determinism/parity: weights come from the shared md5-coin
+    * ([[Corpus.md5Coin]]) compared against exact BIGINT CDF
+    * thresholds ([[poissonCoinThresholds]]) — integer-only; replicate
+    * sums are exact decimals; the B means are 6-dp-rounded before the
+    * bounded percentile/sd tail, so both engines rank identical
+    * values.
+    *
+    * Returns one row `(n, n_reps, mean, boot_se, lo95, hi95)`:
+    * `n_reps` counts replicates with nonzero total weight (only a
+    * near-empty input loses any), `boot_se` is the sample sd of the
+    * replicate means, `lo95`/`hi95` the 2.5/97.5 interpolated
+    * percentiles. NULL stats on degenerate inputs (n = 0 or < 2 live
+    * replicates).
+    */
+  def bootstrapMeanCI(df: DataFrame, valueCol: Column, idCol: Column,
+                      reps: Int = 64): DataFrame = {
+    require(reps >= 2 && reps <= 4096, s"reps must be in [2, 4096]: $reps")
+    val vd = round(valueCol.cast("double"), 6).cast("decimal(18,6)")
+    val base = df.filter(valueCol.isNotNull)
+      .select(idCol.cast("string").as("id"), vd.as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val full = base.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val coin = Corpus.md5Coin(
+      concat(col("id"), lit(":"), col("r").cast("string")))
+    val w = poissonCoinThresholds
+      .map(t => when(coin >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val perRep = base
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .select(col("v"), col("r"), w.as("w"))
+      .groupBy(col("r"))
+      .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"))
+    // 6-dp-rounded replicate means, re-encoded DECIMAL(12,6) so the
+    // sd sums stay exact and inside decimal bounds (means ≤ 10⁶)
+    val reps6 = perRep.select(when(col("sw") > 0,
+      round(col("swv").cast("double") / col("sw").cast("double"), 6)).as("m"))
+    val md = col("m").cast("decimal(12,6)")
+    val tail = reps6.agg(
+      count(col("m")).as("n_reps"),
+      sum(md).as("sm"), sum(md * md).as("qm"),
+      round(expr("percentile(m, 0.025)"), 6).as("lo95"),
+      round(expr("percentile(m, 0.975)"), 6).as("hi95"))
+    def d(c: Column): Column = c.cast("double")
+    val nr = d(col("n_reps"))
+    val varM = when(col("n_reps") >= 2,
+      (d(col("qm")) - d(col("sm")) * d(col("sm")) / nr) / (nr - 1.0))
+    val out = tail.crossJoin(broadcast(full)).select(
+      col("n"),
+      col("n_reps"),
+      when(col("n") > 0, round(d(col("sv")) / d(col("n")), 6)).as("mean"),
+      when(varM > 0, round(sqrt(varM), 6))
+        .when(col("n_reps") >= 2, lit(0.0)).as("boot_se"),
+      when(col("n_reps") >= 2, col("lo95")).as("lo95"),
+      when(col("n_reps") >= 2, col("hi95")).as("hi95"))
+    pinAndRelease(out, base)
+  }
 }

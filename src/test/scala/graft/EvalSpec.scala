@@ -413,4 +413,270 @@ class EvalSpec extends AnyFunSuite {
       assert(cos2 == cos && l22 == l2, s"pair $k drifted under duplication")
     }
   }
+
+  // ---- mannWhitneyU -------------------------------------------------
+
+  /** Textbook U_A = #(a > b) + ½·#(a = b) over all cross pairs. */
+  private def bruteU(as: Seq[Double], bs: Seq[Double]): Double =
+    (for (a <- as; b <- bs)
+      yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+
+  private def runMwu(rows: Seq[(Double, String)]) = {
+    val r = Eval.mannWhitneyU(rows.toDF("v", "g"), col("v"),
+      col("g") === "a", col("g") === "b").collect()(0)
+    (r.getLong(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]),
+      Option(r.get(3)).map(_.asInstanceOf[Double]),
+      Option(r.get(4)).map(_.asInstanceOf[Double]))
+  }
+
+  test("mannWhitneyU matches the pairwise definition on random ties") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map(_ => (rnd.nextInt(15).toDouble / 3.0,
+      if (rnd.nextBoolean()) "a" else "b"))
+    val as = rows.filter(_._2 == "a").map(_._1)
+    val bs = rows.filter(_._2 == "b").map(_._1)
+    val (na, nb, u, eff, z) = runMwu(rows)
+    assert(na == as.size.toLong && nb == bs.size.toLong)
+    val wantU = bruteU(as, bs)
+    assert(u.contains(BigDecimal(wantU)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(eff.contains(BigDecimal(wantU / (as.size.toDouble * bs.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(z.isDefined, "tie-corrected z defined on mixed data")
+  }
+
+  test("mannWhitneyU: separated samples give effect 1 and positive z, " +
+      "all-tied gives NULL z, empty side gives NULL stats") {
+    // every a strictly above every b
+    val sep = (1 to 20).map(i => (100.0 + i, "a")) ++
+      (1 to 30).map(i => (i.toDouble, "b"))
+    val (_, _, u, eff, z) = runMwu(sep)
+    assert(u.contains(600.0) && eff.contains(1.0) && z.exists(_ > 0))
+    // all values identical: U = n₁n₂/2, effect ½, σ = 0 → z NULL
+    val tied = (1 to 12).map(i => (5.0, if (i % 2 == 0) "a" else "b"))
+    val (_, _, uT, effT, zT) = runMwu(tied)
+    assert(uT.contains(18.0) && effT.contains(0.5) && zT.isEmpty)
+    // no b rows at all
+    val (naE, nbE, uE, _, _) = runMwu((1 to 5).map(i => (i.toDouble, "a")))
+    assert(naE == 5L && nbE == 0L && uE.isEmpty)
+  }
+
+  // ---- chiSquareIndependence ----------------------------------------
+
+  private def runChi2(rows: Seq[(String, Int)]) = {
+    val r = Eval.chiSquareIndependence(rows.toDF("r", "c"),
+      col("r"), col("c")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      Option(r.get(4)).map(_.asInstanceOf[Double]),
+      Option(r.get(5)).map(_.asInstanceOf[Double]))
+  }
+
+  test("chiSquareIndependence matches the textbook 2x2 fixture") {
+    // classic 2x2: o = [[10, 20], [30, 40]]; N=100
+    // chi2 = N(ad-bc)²/((a+b)(c+d)(a+c)(b+d)) = 100·(400−600)²/(30·70·40·60)
+    val rows = Seq.fill(10)(("x", 0)) ++ Seq.fill(20)(("x", 1)) ++
+      Seq.fill(30)(("y", 0)) ++ Seq.fill(40)(("y", 1))
+    val (n, kr, kc, dof, chi2, v) = runChi2(rows)
+    assert(n == 100L && kr == 2L && kc == 2L && dof == 1L)
+    val want = 100.0 * 200.0 * 200.0 / (30.0 * 70.0 * 40.0 * 60.0)
+    assert(chi2.exists(c => math.abs(c - want) < 2e-6), s"$chi2 vs $want")
+    assert(v.exists(c => math.abs(c - math.sqrt(want / 100.0)) < 2e-6))
+  }
+
+  test("chiSquareIndependence: exact independence gives chi2 0; " +
+      "a single column level gives dof 0 and NULL stats") {
+    // perfectly proportional cells: 2:1 row ratio at every column
+    val ind = Seq.fill(20)(("x", 0)) ++ Seq.fill(40)(("x", 1)) ++
+      Seq.fill(10)(("y", 0)) ++ Seq.fill(20)(("y", 1))
+    val (_, _, _, dof, chi2, _) = runChi2(ind)
+    assert(dof == 1L && chi2.contains(0.0))
+    val degenerate = Seq.fill(30)(("x", 7)) ++ Seq.fill(30)(("y", 7))
+    val (_, _, kc1, dof0, chi2N, vN) = runChi2(degenerate)
+    assert(kc1 == 1L && dof0 == 0L && chi2N.isEmpty && vN.isEmpty)
+  }
+
+  // ---- mannKendallTrend ----------------------------------------------
+
+  private def runMk(rows: Seq[(Long, Double)]) = {
+    val r = Eval.mannKendallTrend(rows.toDF("t", "x"), "t", "x").collect()(0)
+    (r.getLong(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]),
+      Option(r.get(3)).map(_.asInstanceOf[Double]))
+  }
+
+  test("mannKendallTrend: strictly increasing series has S = n(n-1)/2, " +
+      "positive z, and the exact slope") {
+    val rows = (1 to 25).map(i => (i.toLong, 3.5 * i + 10.0))
+    val (n, s, z, slope) = runMk(rows)
+    assert(n == 25L && s == 25L * 24 / 2)
+    assert(z.exists(_ > 0) && slope.contains(3.5))
+  }
+
+  test("mannKendallTrend matches a brute-force S and median slope") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 40).map(i => (i.toLong, rnd.nextInt(6).toDouble))
+    val (n, s, z, slope) = runMk(rows)
+    val brute = (for {
+      i <- rows.indices; j <- rows.indices if rows(i)._1 < rows(j)._1
+    } yield math.signum(rows(j)._2 - rows(i)._2).toLong).sum
+    assert(n == 40L && s == brute)
+    val slopes = (for {
+      i <- rows.indices; j <- rows.indices if rows(i)._1 < rows(j)._1
+    } yield (rows(j)._2 - rows(i)._2) / (rows(j)._1 - rows(i)._1).toDouble)
+      .sorted
+    val m = slopes.size
+    val med = if (m % 2 == 1) slopes(m / 2)
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+    assert(slope.contains(BigDecimal(med)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(z.isDefined)
+  }
+
+  test("mannKendallTrend: constant series gives S 0, NULL z, slope 0") {
+    val (n, s, z, slope) = runMk((1 to 10).map(i => (i.toLong, 2.0)))
+    assert(n == 10L && s == 0L && z.isEmpty && slope.contains(0.0))
+  }
+
+  // ---- classifierReport ----------------------------------------------
+
+  test("classifierReport: counts, rates, and predicted-only/true-only " +
+      "classes all present") {
+    // y=a: 3 rows (2 predicted a, 1 predicted b)
+    // y=b: 2 rows (both predicted c) — c is predicted-only, and no row
+    // predicts anything as d; add y=d with pred a → d is true-only
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "c"), ("b", "c"), ("d", "a"))
+    val out = Eval.classifierReport(rows.toDF("y", "p"),
+      col("y"), col("p")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    assert(out("a") == ((3L, 3L, 2L, Some(0.666667), Some(0.666667),
+      Some(0.666667))))
+    assert(out("b") == ((2L, 1L, 0L, Some(0.0), Some(0.0), Some(0.0))))
+    // c: never true, predicted twice → recall NULL, precision 0
+    assert(out("c") == ((0L, 2L, 0L, Some(0.0), None, Some(0.0))))
+    // d: true once, never predicted → precision NULL, recall 0
+    assert(out("d") == ((1L, 0L, 0L, None, Some(0.0), Some(0.0))))
+  }
+
+  // ---- welchTTest ------------------------------------------------------
+
+  private def runWelch(rows: Seq[(Double, String)]) = {
+    val r = Eval.welchTTest(rows.toDF("v", "g"), col("v"),
+      col("g") === "a", col("g") === "b").collect()(0)
+    (r.getLong(0), r.getLong(1),
+      Option(r.get(4)).map(_.asInstanceOf[Double]),
+      Option(r.get(5)).map(_.asInstanceOf[Double]),
+      Option(r.get(6)).map(_.asInstanceOf[Double]))
+  }
+
+  test("welchTTest matches the textbook formulas on random data") {
+    val rnd = new scala.util.Random(41)
+    val as = (1 to 60).map(_ => rnd.nextInt(200) / 4.0)
+    val bs = (1 to 45).map(_ => rnd.nextInt(200) / 4.0 + 3.0)
+    val (na, nb, t, dof, d) =
+      runWelch(as.map((_, "a")) ++ bs.map((_, "b")))
+    assert(na == 60L && nb == 45L)
+    def meanVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val ((m1, v1), (m2, v2)) = (meanVar(as), meanVar(bs))
+    val se2 = v1 / as.size + v2 / bs.size
+    val wantT = (m1 - m2) / math.sqrt(se2)
+    val wantDof = se2 * se2 /
+      (math.pow(v1 / as.size, 2) / (as.size - 1) +
+        math.pow(v2 / bs.size, 2) / (bs.size - 1))
+    val sp2 = ((as.size - 1) * v1 + (bs.size - 1) * v2) /
+      (as.size + bs.size - 2).toDouble
+    assert(t.exists(x => math.abs(x - wantT) < 1e-5), s"$t vs $wantT")
+    assert(dof.exists(x => math.abs(x - wantDof) < 1e-4))
+    assert(d.exists(x => math.abs(x - (m1 - m2) / math.sqrt(sp2)) < 1e-5))
+  }
+
+  test("welchTTest: all-tied values give NULL t; a 1-row side too") {
+    val (_, _, t, dof, d) =
+      runWelch((1 to 20).map(i => (7.0, if (i % 2 == 0) "a" else "b")))
+    assert(t.isEmpty && dof.isEmpty && d.isEmpty, "zero variance => NULLs")
+    val (na, _, t1, _, _) =
+      runWelch(Seq((1.0, "a")) ++ (1 to 10).map(i => (i.toDouble, "b")))
+    assert(na == 1L && t1.isEmpty, "n=1 side has no variance => NULL t")
+  }
+
+  // ---- oneWayAnova -----------------------------------------------------
+
+  test("oneWayAnova matches the textbook F on a 3-group fixture") {
+    val rnd = new scala.util.Random(53)
+    val groups = Map(
+      "g0" -> (1 to 40).map(_ => rnd.nextInt(100) / 4.0),
+      "g1" -> (1 to 30).map(_ => rnd.nextInt(100) / 4.0 + 2.0),
+      "g2" -> (1 to 50).map(_ => rnd.nextInt(100) / 4.0 - 1.0))
+    val rows = groups.toSeq.flatMap { case (g, xs) => xs.map((_, g)) }
+    val r = Eval.oneWayAnova(rows.toDF("v", "g"), col("v"), col("g"))
+      .collect()(0)
+    val n = groups.valuesIterator.map(_.size).sum
+    val grand = groups.valuesIterator.flatten.sum / n
+    val ssb = groups.valuesIterator.map { xs =>
+      val m = xs.sum / xs.size
+      xs.size * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.valuesIterator.map { xs =>
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val wantF = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == groups.size.toLong)
+    assert(math.abs(r.getDouble(2) - ssb) < 1e-3, s"ssb ${r.getDouble(2)} vs $ssb")
+    assert(math.abs(r.getDouble(3) - ssw) < 1e-3)
+    assert(math.abs(r.getDouble(4) - wantF) < 1e-5, s"F ${r.getDouble(4)} vs $wantF")
+  }
+
+  // ---- bootstrapMeanCI --------------------------------------------------
+
+  test("bootstrapMeanCI: CI brackets the true mean, se is sane, and the " +
+      "replicate machinery is deterministic") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 2000).map(i => (i.toLong, 50.0 + rnd.nextInt(400) / 4.0))
+    def run() = Eval.bootstrapMeanCI(rows.toDF("id", "v"), col("v"),
+      col("id"), reps = 32).collect()(0)
+    val r = run()
+    assert(r.getLong(0) == 2000L && r.getLong(1) == 32L)
+    val mean = r.getDouble(2)
+    val (se, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val want = rows.map(_._2).sum / rows.size
+    assert(math.abs(mean - want) < 1e-6)
+    // sd of the value dist is ~29; se of the mean ~29/√2000 ≈ 0.65
+    assert(se > 0.2 && se < 2.0, s"boot se $se implausible")
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(hi - lo < 6 * se + 1e-6, "interval width vs se consistency")
+    val again = run()
+    assert(again.getDouble(3) == se && again.getDouble(4) == lo &&
+      again.getDouble(5) == hi, "md5-coin bootstrap must be deterministic")
+  }
+
+  test("bootstrapMeanCI: constant values give a zero-width interval " +
+      "and se 0; empty input gives NULL stats") {
+    val r = Eval.bootstrapMeanCI((1 to 100).map(i => (i.toLong, 42.0))
+      .toDF("id", "v"), col("v"), col("id"), reps = 16).collect()(0)
+    assert(r.getLong(1) == 16L && r.getDouble(2) == 42.0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 42.0 &&
+      r.getDouble(5) == 42.0)
+    val e = Eval.bootstrapMeanCI(Seq.empty[(Long, Double)]
+      .toDF("id", "v"), col("v"), col("id"), reps = 8).collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(2) && e.isNullAt(4))
+  }
+
+  test("oneWayAnova: a single group or zero within-variance gives NULL F") {
+    val one = Eval.oneWayAnova((1 to 10).map(i => (i.toDouble, "g"))
+      .toDF("v", "g"), col("v"), col("g")).collect()(0)
+    assert(one.getLong(1) == 1L && one.isNullAt(4))
+    val flat = Eval.oneWayAnova(
+      (Seq.fill(5)((1.0, "a")) ++ Seq.fill(5)((2.0, "b"))).toDF("v", "g"),
+      col("v"), col("g")).collect()(0)
+    assert(flat.isNullAt(4), "SSW 0 => F undefined, not Inf")
+  }
 }
