@@ -135,4 +135,30 @@ class EvalPropertySpec extends AnyFunSuite {
       closedForm == recursion
     })
   }
+
+  // Mann-Whitney's defining identity: U_A + U_B = n₁·n₂ (every cross
+  // pair contributes exactly 1 split between the two statistics, ties
+  // contributing ½ to each), so effect(A,B) + effect(B,A) = 1 exactly.
+  // This exercises the doubled-rank integer bookkeeping from both
+  // directions — an off-by-one in the tie-group rank formula or the
+  // below-count prefix breaks the symmetry on some multiset.
+  test("property: mannWhitneyU effect sizes from the two directions sum to 1") {
+    val gen = for {
+      n <- Gen.choose(10, 80)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.choose(0, 6) // 7 distinct values => constant tie groups
+        a <- Gen.oneOf(true, false)
+      } yield (v.toDouble, a))
+    } yield ((0.0, true) :: (0.0, false) :: rows)
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("v", "a")
+      def eff(isA: org.apache.spark.sql.Column) =
+        Eval.mannWhitneyU(df, col("v"), isA, !isA)
+          .collect()(0).getAs[Double]("effect")
+      val (ab, ba) = (eff(col("a")), eff(!col("a")))
+      // each effect is independently 6-dp-rounded; the sum can land
+      // one ulp-of-6dp off exactly at x.xxxxx5 boundaries
+      math.abs(ab + ba - 1.0) <= 1e-6
+    })
+  }
 }

@@ -383,4 +383,18 @@ class PlanSpec extends AnyFunSuite {
       countOf(plan, "BroadcastNestedLoopJoin") >= 1,
       s"unexpected cartesian beyond the group-pair cross:\n$plan")
   }
+
+  test("bootstrapMeanCI: resampling is ONE scan reduced map-side to B " +
+      "replicate rows — no window, no cartesian, no B-way resample shuffle") {
+    val df = (0L until 500L).map(i => (i, (i % 97).toDouble)).toDF("id", "v")
+    val plan = executed(graft.operators.Eval.bootstrapMeanCI(
+      df, col("v"), col("id"), reps = 8))
+    assert(!plan.contains("Window"), s"window in bootstrap:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bootstrap:\n$plan")
+    // the replicate reduction must partial-aggregate below its exchange
+    // (root-first plan string: map-side combine prints AFTER it)
+    val exIdx = plan.indexOf("Exchange")
+    assert(exIdx >= 0 && plan.lastIndexOf("HashAggregate") > exIdx,
+      s"no map-side combine below the replicate shuffle:\n$plan")
+  }
 }
