@@ -57,6 +57,40 @@ object SparkEntry {
         |  round(CAST(sacc - smin AS DOUBLE) / nd, 6) AS cusum
         |FROM m""".stripMargin
 
+  // shared by q_chi2_independence and text_token_drift: marginals, the
+  // zero-including r x c grid, and the chi-square / Cramer's V tail over
+  // a preceding `cells` CTE of (r, c, o). num/den stay exact HUGEINT
+  // (bounded ~N^2); the SQUARE happens in DOUBLE -- squaring the integer
+  // would be N^4, an ANSI/HUGEINT overflow past ~3e9 observations
+  // (mirrors operators.Eval.chiSquareIndependence).
+  private val chi2OracleTail: String =
+    """rm AS (SELECT r, SUM(o) AS nr FROM cells GROUP BY r),
+        |cm AS (SELECT c, SUM(o) AS nc FROM cells GROUP BY c),
+        |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS kr,
+        |    COUNT(DISTINCT c) AS kc FROM cells),
+        |grid AS (SELECT n, kr, kc,
+        |    CAST(COALESCE(cells.o, 0) AS HUGEINT) * n
+        |      - CAST(nr AS HUGEINT) * nc AS num,
+        |    CAST(n AS HUGEINT) * nr * nc AS den
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+        |  CROSS JOIN tot),
+        |t AS (SELECT n, kr, kc,
+        |    SUM(CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |        / CAST(den AS DOUBLE), 6)
+        |      AS DECIMAL(25,12))) AS chi2raw
+        |  FROM grid GROUP BY n, kr, kc)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(kr AS BIGINT) AS n_rows,
+        |  CAST(kc AS BIGINT) AS n_cols,
+        |  CAST((kr - 1) * (kc - 1) AS BIGINT) AS dof,
+        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
+        |    round(CAST(chi2raw AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
+        |    round(sqrt(CAST(chi2raw AS DOUBLE) / (CAST(n AS DOUBLE)
+        |      * CAST(LEAST(kr, kc) - 1 AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM t""".stripMargin
+
   private val heavyHittersOracle: String =
     """WITH cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
       |buck AS (SELECT js.j, user_id, c,
@@ -5476,34 +5510,10 @@ object SparkEntry {
     // double division per cell, 6-dp round, DECIMAL(25,12) exact sum
     // (order-independent — the engine's convention).
     "q_chi2_independence" ->
-      """WITH cells AS (SELECT event_type AS r, day(ts) AS c, COUNT(*) AS o
-        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        |  GROUP BY 1, 2),
-        |rm AS (SELECT r, SUM(o) AS nr FROM cells GROUP BY r),
-        |cm AS (SELECT c, SUM(o) AS nc FROM cells GROUP BY c),
-        |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS kr,
-        |    COUNT(DISTINCT c) AS kc FROM cells),
-        |grid AS (SELECT n, kr, kc,
-        |    CAST(COALESCE(cells.o, 0) AS HUGEINT) * n
-        |      - CAST(nr AS HUGEINT) * nc AS num,
-        |    CAST(n AS HUGEINT) * nr * nc AS den
-        |  FROM rm CROSS JOIN cm
-        |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
-        |  CROSS JOIN tot),
-        |t AS (SELECT n, kr, kc,
-        |    SUM(CAST(round(CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
-        |      AS DECIMAL(25,12))) AS chi2raw
-        |  FROM grid GROUP BY n, kr, kc)
-        |SELECT CAST(n AS BIGINT) AS n, CAST(kr AS BIGINT) AS n_rows,
-        |  CAST(kc AS BIGINT) AS n_cols,
-        |  CAST((kr - 1) * (kc - 1) AS BIGINT) AS dof,
-        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
-        |    round(CAST(chi2raw AS DOUBLE), 6) END AS chi2,
-        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
-        |    round(sqrt(CAST(chi2raw AS DOUBLE) / (CAST(n AS DOUBLE)
-        |      * CAST(LEAST(kr, kc) - 1 AS DOUBLE))), 6)
-        |  END AS cramers_v
-        |FROM t""".stripMargin,
+      s"""WITH cells AS (SELECT event_type AS r, day(ts) AS c, COUNT(*) AS o
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |$chi2OracleTail""".stripMargin,
 
     // Mann-Kendall over the bounded daily series: exact integer S,
     // tie-corrected variance /18, ±1 continuity correction; Theil-Sen
@@ -5665,8 +5675,8 @@ object SparkEntry {
          |    round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 6) END AS m
          |  FROM rep),
          |tail AS (SELECT CAST(COUNT(m) AS BIGINT) AS n_reps,
-         |    SUM(CAST(m AS DECIMAL(12,6))) AS sm,
-         |    SUM(CAST(m AS DECIMAL(12,6)) * CAST(m AS DECIMAL(12,6))) AS qm,
+         |    SUM(CAST(m AS DECIMAL(18,6))) AS sm,
+         |    SUM(CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6))) AS qm,
          |    round(quantile_cont(m, 0.025), 6) AS lo95,
          |    round(quantile_cont(m, 0.975), 6) AS hi95
          |  FROM m),
@@ -5690,38 +5700,14 @@ object SparkEntry {
     // (lang × first-md5-hex-digit token bucket) — 16 hashed buckets
     // keep the grid bounded for any vocabulary.
     "text_token_drift" ->
-      """WITH toks AS (SELECT lang AS r,
-        |    instr('0123456789abcdef', substring(md5(t.tok), 1, 1)) - 1 AS c
-        |  FROM documents,
-        |    LATERAL unnest(list_filter(string_split_regex(lower(trim(text)),
-        |      '\s+'), x -> x <> '')) AS t(tok)),
-        |cells AS (SELECT r, c, COUNT(*) AS o FROM toks
-        |  WHERE r IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2),
-        |rm AS (SELECT r, SUM(o) AS nr FROM cells GROUP BY r),
-        |cm AS (SELECT c, SUM(o) AS nc FROM cells GROUP BY c),
-        |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS kr,
-        |    COUNT(DISTINCT c) AS kc FROM cells),
-        |grid AS (SELECT n, kr, kc,
-        |    CAST(COALESCE(cells.o, 0) AS HUGEINT) * n
-        |      - CAST(nr AS HUGEINT) * nc AS num,
-        |    CAST(n AS HUGEINT) * nr * nc AS den
-        |  FROM rm CROSS JOIN cm
-        |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
-        |  CROSS JOIN tot),
-        |t AS (SELECT n, kr, kc,
-        |    SUM(CAST(round(CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE), 6)
-        |      AS DECIMAL(25,12))) AS chi2raw
-        |  FROM grid GROUP BY n, kr, kc)
-        |SELECT CAST(n AS BIGINT) AS n, CAST(kr AS BIGINT) AS n_rows,
-        |  CAST(kc AS BIGINT) AS n_cols,
-        |  CAST((kr - 1) * (kc - 1) AS BIGINT) AS dof,
-        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
-        |    round(CAST(chi2raw AS DOUBLE), 6) END AS chi2,
-        |  CASE WHEN (kr - 1) * (kc - 1) > 0 THEN
-        |    round(sqrt(CAST(chi2raw AS DOUBLE) / (CAST(n AS DOUBLE)
-        |      * CAST(LEAST(kr, kc) - 1 AS DOUBLE))), 6)
-        |  END AS cramers_v
-        |FROM t""".stripMargin,
+      s"""WITH toks AS (SELECT lang AS r,
+         |    instr('0123456789abcdef', substring(md5(t.tok), 1, 1)) - 1 AS c
+         |  FROM documents,
+         |    LATERAL unnest(list_filter(string_split_regex(lower(trim(text)),
+         |      '\\s+'), x -> x <> '')) AS t(tok)),
+         |cells AS (SELECT r, c, COUNT(*) AS o FROM toks
+         |  WHERE r IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2),
+         |$chi2OracleTail""".stripMargin,
 
     // KS: ECDFs at each distinct value (inclusive cumsums); the max is
     // over exact integer cross-products, ties to the smallest value.

@@ -692,8 +692,12 @@ object Eval {
     * from the cell table and the full r×c grid (zero cells INCLUDE
     * their expected-count contribution) is the tiny cross join of the
     * two marginal relations. Each cell's term is the exact-integer
-    * form `(o·N − n_r·n_c)² / (N · n_r · n_c)` divided once in double,
-    * then 6-dp-rounded and summed in DECIMAL(25,12) (the
+    * form `(o·N − n_r·n_c)² / (N · n_r · n_c)`: numerator and
+    * denominator stay exact DECIMAL(38,0) (bounded by ~N², so the
+    * decimal holds to N ≈ 10¹⁹ rows), the SQUARE and the division
+    * happen in double (squaring the decimal would be N⁴ — an ANSI
+    * overflow past ~3·10⁹ rows), then 6-dp-rounded and summed in
+    * DECIMAL(25,12) (the
     * [[meanNdcgBinary]] convention) — an ORDER-INDEPENDENT exact sum,
     * so the total replays identically in the oracle with no fold-order
     * pinning and no per-group collect.
@@ -721,7 +725,7 @@ object Eval {
         (col("n").cast(dec) * col("nr").cast(dec) * col("nc").cast(dec))
           .as("den"))
       .withColumn("term",
-        round((col("num") * col("num")).cast("double") /
+        round(col("num").cast("double") * col("num").cast("double") /
           col("den").cast("double"), 6).cast("decimal(25,12)"))
     val out = grid
       .groupBy(col("n"), col("kr"), col("kc"))
@@ -746,8 +750,13 @@ object Eval {
     *
     * The input must be BOUNDED (one row per calendar day — the
     * [[SparkEntry.cusumTail]] contract): the pair join is O(d²) on
-    * the day count, which a century of daily data keeps under 7e8 —
-    * never the event log. `S = Σ_{i<j} sign(x_j − x_i)` is exact
+    * the day count, never the event log. The binding constraint is
+    * tighter than the join, though — the EXACT Theil-Sen percentile
+    * buffers every pairwise slope in one aggregation buffer, so the
+    * practical ceiling is ~10⁴ days (~5·10⁷ slopes, a few hundred MB
+    * on one executor); a century of daily data (~7·10⁸ pairs) needs
+    * `approx_percentile` there instead, at the cost of oracle-exact
+    * parity. `S = Σ_{i<j} sign(x_j − x_i)` is exact
     * integer; the variance carries the standard tie correction
     * `(n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18`; z uses the ±1 continuity
     * correction (the textbook form). The Theil-Sen slope is the exact
@@ -788,11 +797,12 @@ object Eval {
     * its label — the classifier-quality report a pipeline runs before
     * trusting a language-ID or quality model to filter a corpus.
     *
-    * One map-side-combinable groupBy each for the label marginal, the
-    * prediction marginal, and the diagonal (label = prediction); the
-    * report assembles by FULL OUTER join over the tiny class set, so a
-    * class that is only ever predicted (or only ever true) still gets
-    * its row. F1 uses the single-division form `2·tp/(n_true+n_pred)`
+    * ONE map-side-combinable groupBy on the (label, prediction) cells
+    * is the only corpus pass (the [[chiSquareIndependence]] shape);
+    * the label marginal, prediction marginal, and diagonal all reduce
+    * from that k²-row cell table. The report assembles by FULL OUTER
+    * join over the tiny class set, so a class that is only ever
+    * predicted (or only ever true) still gets its row. F1 uses the single-division form `2·tp/(n_true+n_pred)`
     * (algebraically 2PR/(P+R), but one rounding point instead of
     * three); rates are NULL when their denominator is 0, not fake 0s.
     *
@@ -803,14 +813,17 @@ object Eval {
     */
   def classifierReport(df: DataFrame, actual: Column,
                        predicted: Column): DataFrame = {
-    val pairs = df.select(actual.as("y"), predicted.as("p"))
+    // one corpus scan down to the k²-row confusion cells; the persist
+    // covers the three tiny reductions below, not repeated corpus reads
+    val cells = df.select(actual.as("y"), predicted.as("p"))
+      .groupBy(col("y"), col("p")).agg(count(lit(1)).as("o"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val byY = pairs.groupBy(col("y").as("class"))
-      .agg(count(lit(1)).as("n_true"))
-    val byP = pairs.groupBy(col("p").as("class"))
-      .agg(count(lit(1)).as("n_pred"))
-    val diag = pairs.filter(col("y") === col("p"))
-      .groupBy(col("y").as("class")).agg(count(lit(1)).as("tp0"))
+    val byY = cells.groupBy(col("y").as("class"))
+      .agg(sum(col("o")).as("n_true"))
+    val byP = cells.groupBy(col("p").as("class"))
+      .agg(sum(col("o")).as("n_pred"))
+    val diag = cells.filter(col("y") === col("p"))
+      .groupBy(col("y").as("class")).agg(sum(col("o")).as("tp0"))
     val out = byY.join(byP, Seq("class"), "full_outer")
       .join(diag, Seq("class"), "left")
       .select(col("class"),
@@ -827,7 +840,7 @@ object Eval {
         when(col("n_true") + col("n_pred") > 0,
           round(lit(2.0) * col("tp").cast("double") /
             (col("n_true") + col("n_pred")).cast("double"), 6)).as("f1"))
-    pinAndRelease(out, pairs)
+    pinAndRelease(out, cells)
   }
 
   /** Welch's unequal-variance t-test between the `valueCol`
@@ -978,11 +991,14 @@ object Eval {
       .select(col("v"), col("r"), w.as("w"))
       .groupBy(col("r"))
       .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"))
-    // 6-dp-rounded replicate means, re-encoded DECIMAL(12,6) so the
-    // sd sums stay exact and inside decimal bounds (means ≤ 10⁶)
+    // 6-dp-rounded replicate means, re-encoded DECIMAL(18,6) — the
+    // same domain the valueCol encode accepts (|v| < 10¹²), so no
+    // input this operator admits can overflow the cast; the sd's
+    // m² sum is DECIMAL(38,12), exact through the default 64 reps at
+    // the extreme of that domain (64·10²⁴ < 10²⁶)
     val reps6 = perRep.select(when(col("sw") > 0,
       round(col("swv").cast("double") / col("sw").cast("double"), 6)).as("m"))
-    val md = col("m").cast("decimal(12,6)")
+    val md = col("m").cast("decimal(18,6)")
     val tail = reps6.agg(
       count(col("m")).as("n_reps"),
       sum(md).as("sm"), sum(md * md).as("qm"),
