@@ -1775,6 +1775,32 @@ object SparkEntry {
         .filter(col("n") < 5)
         .select(col("event_type"), col("day"), col("value_bucket"), col("n"))),
 
+    // l-diversity audit — k-anonymity's sharper sibling: a group can
+    // be k-large and still leak when everyone in it shares the
+    // SENSITIVE attribute. Same quasi-identifier as q_kanonymity;
+    // sensitive attribute = user_id; groups whose sensitive values
+    // collapse below l = 3 distinct are the disclosure risks. Still
+    // one map-side-combinable groupBy (distinct folds in the agg).
+    "q_ldiversity" -> ((s, dir) =>
+      ld(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          floor(col("value")).as("value_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_sensitive"))
+        .filter(col("n_sensitive") < 3)
+        .select(col("event_type"), col("day"), col("value_bucket"),
+          col("n"), col("n_sensitive"))),
+
+    // Kaplan-Meier user-lifetime curve with right-censoring: users
+    // still active at the horizon are censored, not deaths —
+    // operators.Eval.kaplanMeier; event log reduces to per-user spans
+    // then to the bounded distinct-duration curve, survival folded
+    // with per-step 6-dp rounding (no transcendental parity bet).
+    "q_survival_km" -> ((s, dir) =>
+      graft.operators.Eval.kaplanMeier(ld(s, dir, "events"),
+        col("ts"), col("user_id"))),
+
     // Robust anomaly detection: per-type median + MAD (both via the
     // scale-safe Rank.exactPercentiles — no per-group window buffer),
     // flag rows with |v − med| > 3.5·MAD. Medians broadcast back; the
@@ -3098,6 +3124,24 @@ object SparkEntry {
         docs, Dedup.minHashCandidates(docs, "text", "doc_id"), "doc_id")
     }),
 
+    // Fuzzy ENTITY RESOLUTION end-to-end: blocked self-join +
+    // Levenshtein discovers near-identical name pairs
+    // (EntityMatch.candidatePairs — same block/verify split as
+    // q_fuzzy_match), then Cluster.canonicalize resolves the pairs
+    // into duplicate groups, because pairwise matches are not
+    // clusters: names A~B and B~C chain into one entity even when
+    // A and C differ by 2. Blocking on the mid digits keeps every
+    // block ~100 names, so candidates stay bounded per block — never
+    // a cross join — at any corpus size.
+    "dedup_fuzzy_clusters" -> ((s, dir) => {
+      val cust = ld(s, dir, "customer")
+      val pairs = graft.operators.EntityMatch.candidatePairs(cust,
+        "c_custkey", "c_name",
+        name => name.substr(lit(14), lit(3)), maxDistance = 1)
+      graft.operators.Cluster.canonicalize(
+        cust.select(col("c_custkey")), pairs, "c_custkey")
+    }),
+
     // Fixed-prefix PageRank over the symmetrized customer↔supplier
     // purchase graph — the link-authority pass used to weight crawl
     // sources / pick canonical docs. Edges partitioned by src once;
@@ -3139,6 +3183,15 @@ object SparkEntry {
     "graph_degrees" -> ((s, dir) =>
       graft.operators.Graph.degreeHistogram(coActivityCached(s, dir))
         .select(col("degree"), col("n_nodes"))),
+
+    // Hill tail exponent of the degree distribution — the "is this
+    // graph power-law" readout that tells you whether the skew
+    // machinery (degree orientation, salting) is load-bearing before
+    // you scale 100×. Reduces via the memoized edge relation to the
+    // distinct-degree histogram; ln terms 6-dp-rounded per distinct
+    // degree and decimal-summed (order-free).
+    "graph_powerlaw" -> ((s, dir) =>
+      graft.operators.Graph.powerLawTail(coActivityCached(s, dir), dMin = 2)),
 
     // Triangle count + global clustering coefficient via the
     // degree-ordered compact-forward wedge join (out-degree O(sqrt m)
@@ -5205,6 +5258,45 @@ object SparkEntry {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5""".stripMargin,
 
+    "q_ldiversity" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(floor(value) AS BIGINT) AS value_bucket, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_sensitive
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT user_id) < 3""".stripMargin,
+
+    // KM: per-user spans, bounded duration curve, reverse-cumulative
+    // risk set; the survival product replays the engine's per-step
+    // 6-dp-rounded fold as a recursive CTE over the rn index.
+    "q_survival_km" ->
+      """WITH RECURSIVE life AS (SELECT user_id,
+        |    MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS f,
+        |    MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS l
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |hz AS (SELECT MAX(l) AS m FROM life),
+        |dur AS (SELECT CAST(l - f AS BIGINT) AS t, COUNT(*) AS n_at,
+        |    CAST(SUM(CASE WHEN l < m THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM life CROSS JOIN hz GROUP BY 1),
+        |curve AS (SELECT t, d,
+        |    CAST(SUM(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM dur),
+        |idx AS (SELECT t, n_risk, d,
+        |    round(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+        |      AS factor,
+        |    row_number() OVER (ORDER BY t) AS rn
+        |  FROM curve),
+        |km AS (
+        |  SELECT rn, t, n_risk, d, round(1.0 * factor, 6) AS s
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.t, i.n_risk, i.d, round(km.s * i.factor, 6)
+        |  FROM km JOIN idx i ON i.rn = km.rn + 1)
+        |SELECT t AS t_days, n_risk, d AS n_deaths, s AS survival
+        |FROM km""".stripMargin,
+
     "q_funnel_latency" ->
       """WITH fc AS (SELECT user_id, MIN(ts) AS ta FROM events
         |            WHERE event_type = 'click' GROUP BY 1),
@@ -7014,6 +7106,24 @@ FROM cand GROUP BY 1""",
     "dedup_incremental" -> OracleGen.dedupIncremental(),
     "dedup_clusters" -> OracleGen.dedupClusters,
 
+    // Fuzzy entity clusters: blocked Levenshtein pairs resolved by the
+    // same recursive transitive closure as dedup_clusters.
+    "dedup_fuzzy_clusters" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON substr(a.c_name, 14, 3) = substr(b.c_name, 14, 3)
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+        |          UNION SELECT id_b, id_a FROM cand),
+        |cc AS (SELECT src AS id, src AS comp FROM edges
+        |       UNION SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+        |lbl AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+        |SELECT c.c_custkey, COALESCE(l.comp, c.c_custkey) AS canonical_id,
+        |  COALESCE(l.comp, c.c_custkey) = c.c_custkey AS keep
+        |FROM customer c LEFT JOIN lbl l ON l.id = c.c_custkey""".stripMargin,
+
     "graph_pagerank" -> OracleGen.graphPageRank(iters = 5, damping = 0.85),
 
     "graph_hits" -> OracleGen.graphHits(iters = 3),
@@ -7138,6 +7248,32 @@ FROM cand GROUP BY 1""",
         |deg AS (SELECT node, count(*) AS degree FROM
         |        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1)
         |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
+
+    // Hill tail exponent over the same co-activity degree histogram:
+    // one ln term per DISTINCT degree, 6-dp-rounded, decimal-summed.
+    "graph_powerlaw" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |e AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |deg AS (SELECT node, count(*) AS degree FROM
+        |        (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |h AS (SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1),
+        |agg AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(CASE WHEN degree >= 2 THEN n_nodes END) AS BIGINT) AS n_tail,
+        |    CAST(MAX(CASE WHEN degree >= 2 THEN degree END) AS BIGINT) AS d_max,
+        |    SUM(CASE WHEN degree >= 2 THEN
+        |      CAST(round(CAST(n_nodes AS DOUBLE)
+        |          * ln(CAST(degree AS DOUBLE) / 2.0), 6)
+        |        AS DECIMAL(25,12)) END) AS lsum
+        |  FROM h)
+        |SELECT n_nodes, COALESCE(n_tail, 0) AS n_tail,
+        |  CAST(2 AS BIGINT) AS d_min, d_max,
+        |  CASE WHEN lsum > 0 THEN
+        |    round(1.0 + CAST(COALESCE(n_tail, 0) AS DOUBLE)
+        |      / CAST(lsum AS DOUBLE), 6) END AS alpha
+        |FROM agg""".stripMargin,
 
     "graph_khop" ->
       """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id

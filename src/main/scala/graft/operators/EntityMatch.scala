@@ -39,4 +39,28 @@ object EntityMatch {
       .select(col("dirty_id"), col("__best.matched_id").as("matched_id"),
         col("__best.distance").as("distance"))
   }
+
+  /** Within-corpus fuzzy duplicate PAIRS: block the frame against
+    * itself on the cheap key, verify candidates with exact
+    * `levenshtein`, and emit each unordered pair once (`id_a < id_b`).
+    *
+    * This is the discovery half of fuzzy ENTITY RESOLUTION — feed the
+    * pairs to [[Cluster.canonicalize]] to resolve them into duplicate
+    * groups, because pairwise matches are not clusters: A~B and B~C
+    * with A~̸C still belong in one group, and only the transitive
+    * closure finds that. Same scale shape as [[bestMatch]]: the block
+    * join bounds candidates to per-block pairs (never a cross
+    * product), and only candidates pay the edit-distance kernel.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, nameCol: String,
+                     block: Column => Column, maxDistance: Int): DataFrame = {
+    val a = df.select(col(idCol).cast("long").as("id_a"),
+      col(nameCol).as("__na"), block(col(nameCol)).as("__blk"))
+    val b = df.select(col(idCol).cast("long").as("id_b"),
+      col(nameCol).as("__nb"), block(col(nameCol)).as("__blk"))
+    a.join(b, "__blk")
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("__na"), col("__nb")) <= maxDistance)
+      .select(col("id_a"), col("id_b"))
+  }
 }

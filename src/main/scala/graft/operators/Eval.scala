@@ -1018,4 +1018,61 @@ object Eval {
       when(col("n_reps") >= 2, col("hi95")).as("hi95"))
     pinAndRelease(out, base)
   }
+
+  /** Kaplan-Meier survival curve over per-subject event spans — the
+    * time-to-churn readout ("how long does a user stay active?") with
+    * RIGHT-CENSORING done correctly: a subject still active at the
+    * observation horizon must not count as a death, or the curve
+    * systematically understates survival. Lifetime = last-seen −
+    * first-seen day; a subject whose last day IS the global horizon is
+    * censored, everyone else "died" at their lifetime.
+    *
+    * Scale shape: ONE groupBy reduces the event log to per-subject
+    * (first, last) spans; a second reduces spans to the ≤ #days-sized
+    * distinct-duration relation. Everything after — the reverse-
+    * cumulative risk set and the running product — runs on that
+    * bounded relation (the global window sits above an Aggregate, the
+    * [[graft.plans.GlobalWindowGuard]] contract).
+    *
+    * Parity: each step factor `(n_risk − d) / n_risk` is 6-dp-rounded,
+    * and the survival product folds IN DURATION ORDER with per-step
+    * 6-dp rounding (IEEE multiply is exactly rounded, so an identical
+    * factor sequence replays bit-for-bit in any engine — the oracle
+    * mirrors the fold with a recursive CTE). A closed-form
+    * `exp(Σ ln f)` would be shorter but leans on transcendental libm
+    * parity; the step fold does not.
+    *
+    * Returns one row per distinct lifetime `t`:
+    * `(t_days, n_risk, n_deaths, survival)` — survival = S(t), the
+    * probability of a lifetime strictly exceeding `t`.
+    */
+  def kaplanMeier(df: DataFrame, tsCol: Column, idCol: Column): DataFrame = {
+    val day = datediff(to_date(tsCol), lit("1970-01-01").cast("date"))
+    val life = df.filter(tsCol.isNotNull && idCol.isNotNull)
+      .select(idCol.as("id"), day.as("d"))
+      .groupBy(col("id"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val horizon = life.agg(max(col("l")).as("m"))
+    val durations = life.crossJoin(broadcast(horizon))
+      .select((col("l") - col("f")).cast("long").as("t"),
+        when(col("l") < col("m"), 1L).otherwise(0L).as("death"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("death")).as("d"))
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = durations
+      .withColumn("n_risk", sum(col("n_at")).over(atRisk))
+      .withColumn("factor",
+        round((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double"), 6))
+    // bounded-relation fold: pack the sorted curve into ONE array row,
+    // then S at step i = per-step-rounded product over the i-prefix
+    val packed = curve.agg(sort_array(collect_list(
+      struct(col("t"), col("n_risk"), col("d"), col("factor")))).as("a"))
+    packed.select(col("a"), posexplode(col("a")).as(Seq("i", "e")))
+      .select(col("e.t").as("t_days"), col("e.n_risk").as("n_risk"),
+        col("e.d").as("n_deaths"),
+        aggregate(slice(col("a"), lit(1), col("i") + 1), lit(1.0d),
+          (acc, x) => round(acc * x.getField("factor"), 6)).as("survival"))
+  }
 }

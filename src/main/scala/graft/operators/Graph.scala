@@ -187,6 +187,44 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 
+  /** Hill (maximum-likelihood) tail exponent of the degree
+    * distribution: `α = 1 + n_tail / Σ_{d ≥ dMin} ln(d / dMin)` — the
+    * "how power-law is this graph" readout that decides whether the
+    * skew machinery (degree orientation, salting, AQE skew hints) is
+    * load-bearing or decorative. α near 2 means hub degrees grow with
+    * graph size and a hub² wedge join WILL explode at 100×; large α
+    * means degrees are light-tailed and plain joins survive.
+    *
+    * Scale shape: reduces through [[degreeHistogram]] to the distinct-
+    * degree relation (bounded by the max degree), so the ln terms and
+    * the sum touch ≤ thousands of rows regardless of corpus size.
+    * Parity: one term per DISTINCT degree, `n_d · ln(d/dMin)`
+    * 6-dp-rounded then summed in exact DECIMAL(25,12) — order-
+    * independent, the cross-group float convention.
+    *
+    * Returns one row `(n_nodes, n_tail, d_min, d_max, alpha)`; alpha
+    * NULL when the tail is empty or every tail degree equals dMin
+    * (the estimator is undefined there).
+    */
+  def powerLawTail(edges: DataFrame, dMin: Int = 2): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1: $dMin")
+    val hist = degreeHistogram(edges)
+    hist.agg(
+        sum(col("n_nodes")).as("n_nodes"),
+        sum(when(col("degree") >= dMin, col("n_nodes"))).as("n_tail"),
+        max(when(col("degree") >= dMin, col("degree"))).as("d_max"),
+        sum(when(col("degree") >= dMin,
+          round(col("n_nodes").cast("double") *
+            log(col("degree").cast("double") / lit(dMin.toDouble)), 6)
+            .cast("decimal(25,12)"))).as("lsum"))
+      .select(col("n_nodes"),
+        coalesce(col("n_tail"), lit(0L)).as("n_tail"),
+        lit(dMin.toLong).as("d_min"), col("d_max"),
+        when(col("lsum") > 0,
+          round(lit(1.0) + coalesce(col("n_tail"), lit(0L)).cast("double") /
+            col("lsum").cast("double"), 6)).as("alpha"))
+  }
+
   /** Triangle count + global clustering coefficient of an undirected
     * edge set (`a < b` canonical, distinct), via the compact-forward /
     * degree-ordered wedge join (Suri & Vassilvitskii WWW'11): each edge

@@ -38,4 +38,31 @@ class EntityMatchSpec extends AnyFunSuite {
     ).toDF("id", "name")
     assert(EntityMatch.bestMatch(dirty, clean, "id", "name", blk, 2).isEmpty)
   }
+
+  test("candidatePairs emits each unordered in-block pair once") {
+    val df = Seq(
+      (1L, "alpha-0001"), (2L, "alpha-0002"), // distance 1
+      (3L, "alpha-0099"),                     // 2 from both: out at max=1
+      (4L, "bravo-0001")                      // other block
+    ).toDF("id", "name")
+    val got = EntityMatch.candidatePairs(df, "id", "name", blk, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("pairwise matches chain into one cluster only via the closure") {
+    // A~B and B~C at distance 1, but A and C differ by 2 — no direct
+    // pair; only the connected-components step puts all three together
+    val df = Seq(
+      (1L, "alpha-0011"), (2L, "alpha-0012"), (3L, "alpha-0022"),
+      (9L, "alpha-0099")
+    ).toDF("id", "name")
+    val pairs = EntityMatch.candidatePairs(df, "id", "name", blk, 1)
+    assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L), (2L, 3L)))
+    val got = graft.operators.Cluster
+      .canonicalize(df.select(col("id")), pairs, "id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
+  }
 }

@@ -670,6 +670,34 @@ class EvalSpec extends AnyFunSuite {
     assert(e.getLong(0) == 0L && e.isNullAt(2) && e.isNullAt(4))
   }
 
+  test("kaplanMeier: textbook curve with right-censoring at the horizon") {
+    // lifetimes: u1,u2 die at t=1, u3 dies at t=2, u4 reaches the
+    // horizon (day 3) and is CENSORED — it thins the risk set but must
+    // not step the curve down
+    def ts(d: Int) = java.sql.Timestamp.valueOf(s"2024-01-0${d + 1} 00:00:00")
+    val ev = Seq(
+      ("u1", ts(0)), ("u1", ts(1)),
+      ("u2", ts(0)), ("u2", ts(1)),
+      ("u3", ts(0)), ("u3", ts(2)),
+      ("u4", ts(0)), ("u4", ts(3))).toDF("id", "ts")
+    val got = Eval.kaplanMeier(ev, col("ts"), col("id"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // t=1: risk 4, deaths 2 → S=0.5; t=2: risk 2, death 1 → S=0.25;
+    // t=3: risk 1, censored → S stays 0.25
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 0.5), (2L, 2L, 1L, 0.25), (3L, 1L, 0L, 0.25)))
+  }
+
+  test("kaplanMeier: everyone alive at the horizon → flat curve at 1") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(s"2024-01-0${d + 1} 00:00:00")
+    val ev = Seq(("a", ts(0)), ("a", ts(2)), ("b", ts(1)), ("b", ts(2)))
+      .toDF("id", "ts")
+    val got = Eval.kaplanMeier(ev, col("ts"), col("id"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 0L, 1.0), (2L, 1L, 0L, 1.0)))
+    assert(Eval.kaplanMeier(ev.limit(0), col("ts"), col("id")).isEmpty)
+  }
+
   test("oneWayAnova: a single group or zero within-variance gives NULL F") {
     val one = Eval.oneWayAnova((1 to 10).map(i => (i.toDouble, "g"))
       .toDF("v", "g"), col("v"), col("g")).collect()(0)

@@ -162,6 +162,22 @@ class GraphSpec extends AnyFunSuite {
     assert(h == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("powerLawTail: star graph alpha, and NULL when the tail is flat") {
+    // star: center degree 4, four leaves of degree 1. Tail (d >= 2) is
+    // the center alone: alpha = 1 + 1 / round(ln(4/2), 6)
+    val star = und(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)
+    val r = Graph.powerLawTail(star, dMin = 2).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 1L, 2L, 4L)))
+    val expected = BigDecimal(1.0 + 1.0 / 0.693147)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == expected)
+    // path: degrees 1,2,2,1 — every tail degree equals dMin, so the
+    // ln sum is 0 and the estimator is undefined, not Infinity
+    val path = und(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(Graph.powerLawTail(path, dMin = 2).collect()(0).isNullAt(4))
+  }
+
   test("coActivityEdges requires minCo distinct slots and a < b") {
     import java.sql.Timestamp
     val ts = (h: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")

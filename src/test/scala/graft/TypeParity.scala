@@ -326,6 +326,7 @@ object TypeParity {
     */
   val duckdbOnlyOracles: Set[String] = Set(
     "dedup_clusters",        // WITH RECURSIVE ... UNION (Spark: UNION unsupported in recursion)
+    "dedup_fuzzy_clusters",  // WITH RECURSIVE ... UNION
     "graph_components",      // WITH RECURSIVE ... UNION
     "graph_component_sizes", // WITH RECURSIVE ... UNION
     "q_dq_checks"            // inline VALUES table referencing an outer column
