@@ -65,4 +65,55 @@ class EntityMatchSpec extends AnyFunSuite {
     assert(got == Set(
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
+
+  // textbook Levenshtein DP — the reference the blocked join must agree
+  // with on every candidate it admits or rejects
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: fuzzy clusters equal union-find over brute-force pairs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val namesGen: Gen[List[String]] = for {
+      n <- Gen.choose(2, 30)
+      names <- Gen.listOfN(n, for {
+        blk <- Gen.oneOf("a", "b")
+        cs <- Gen.listOfN(3, Gen.oneOf('x', 'y', 'z'))
+      } yield blk + cs.mkString)
+    } yield names
+    val prop = Prop.forAll(namesGen) { names =>
+      val rows = names.zipWithIndex.map { case (nm, i) => ((i + 1).toLong, nm) }
+      val df = rows.toDF("id", "name")
+      val pairs = EntityMatch.candidatePairs(df, "id", "name",
+        c => substring(c, 1, 1), maxDistance = 1)
+      val wantPairs = (for {
+        (ia, na) <- rows; (ib, nb) <- rows
+        if ia < ib && na.head == nb.head && lev(na, nb) <= 1
+      } yield (ia, ib)).toSet
+      val gotPairs = pairs.as[(Long, Long)].collect().toSet
+      // union-find canonicalization over the brute pairs
+      val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      wantPairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val wantClusters = rows.map { case (i, _) =>
+        val c = find(i); (i, c, c == i)
+      }.toSet
+      val gotClusters = graft.operators.Cluster
+        .canonicalize(df.select(col("id")), pairs, "id")
+        .as[(Long, Long, Boolean)].collect().toSet
+      (gotPairs == wantPairs) && (gotClusters == wantClusters)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

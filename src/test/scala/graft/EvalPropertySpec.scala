@@ -165,4 +165,42 @@ class EvalPropertySpec extends AnyFunSuite {
       math.abs(ab + ba - 1.0) <= 1.01e-6
     })
   }
+
+  // Brute-force Kaplan-Meier with the engine's exact rounding contract:
+  // factor and running product both 6-dp HALF_UP per step, censoring =
+  // last day equals the cohort horizon.
+  private def bruteKM(spans: Seq[(Long, Long)]): Seq[(Long, Long, Long, Double)] = {
+    val horizon = spans.map(_._2).max
+    val lifetimes = spans.map { case (f, l) => (l - f, l < horizon) }
+    var s = 1.0
+    lifetimes.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, grp) =>
+      val nRisk = lifetimes.count(_._1 >= t).toLong
+      val d = grp.count(_._2).toLong
+      val factor = BigDecimal((nRisk - d).toDouble / nRisk)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s = BigDecimal(s * factor)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t, nRisk, d, s)
+    }
+  }
+
+  test("property: kaplanMeier equals the brute-force curve with censoring") {
+    val spansGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 25)
+      spans <- Gen.listOfN(n, for {
+        f <- Gen.choose(0, 12)
+        span <- Gen.choose(0, 8)
+      } yield (f.toLong, (f + span).toLong))
+    } yield spans
+    check(Prop.forAll(spansGen) { spans =>
+      def ts(d: Long) = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d).atStartOfDay())
+      val ev = spans.zipWithIndex.flatMap { case ((f, l), i) =>
+        Seq((s"u$i", ts(f)), (s"u$i", ts(l)))
+      }.toDF("id", "ts")
+      val got = Eval.kaplanMeier(ev, col("ts"), col("id"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      got == bruteKM(spans)
+    })
+  }
 }
