@@ -397,4 +397,49 @@ class PlanSpec extends AnyFunSuite {
     assert(exIdx >= 0 && plan.lastIndexOf("HashAggregate") > exIdx,
       s"no map-side combine below the replicate shuffle:\n$plan")
   }
+
+  test("candidatePairs: blocked self-join is a hash equi-join — " +
+      "no cartesian, no broadcast nested loop") {
+    val rows = (0 until 300).map(i => (i.toLong, f"name-${i % 20}%02d-$i%04d"))
+      .toDF("id", "name")
+    val plan = executed(graft.operators.EntityMatch.candidatePairs(
+      rows, "id", "name", c => substring(c, 6, 2), maxDistance = 1))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in candidatePairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in candidatePairs:\n$plan")
+    // the id_a < id_b and levenshtein predicates must ride the
+    // equi-join on the block key, not a theta join
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"block key not an equi-join:\n$plan")
+  }
+
+  test("kaplanMeier: the only windows sit above aggregated relations") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val ev = (0 until 200).map(i => (s"u${i % 40}", ts(i % 20))).toDF("id", "ts")
+    val out = graft.operators.Eval.kaplanMeier(ev, col("ts"), col("id"))
+    // the GlobalWindowGuard (on for every test session) would throw at
+    // optimization time if any global window sat over an unbounded
+    // relation — executing the plan IS the assertion; on top, pin that
+    // the corpus-side reduction partial-aggregates below its exchange
+    val plan = executed(out)
+    // the horizon crossJoin must stay a broadcast of ONE scalar row,
+    // never a real cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in kaplanMeier:\n$plan")
+    val exIdx = plan.indexOf("Exchange")
+    assert(exIdx >= 0 && plan.lastIndexOf("HashAggregate") > exIdx,
+      s"no map-side combine below the span shuffle:\n$plan")
+  }
+
+  test("powerLawTail: aggregates only — no window, no cartesian") {
+    val edges = (0L until 300L)
+      .map(i => (i % 40, (i * 7 + 1) % 40))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("a", "b")
+    val plan = executed(graft.operators.Graph.powerLawTail(edges, dMin = 2))
+    assert(!plan.contains("Window"), s"window in powerLawTail:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in powerLawTail:\n$plan")
+  }
 }
