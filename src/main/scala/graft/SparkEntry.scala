@@ -3130,14 +3130,17 @@ object SparkEntry {
     // q_fuzzy_match), then Cluster.canonicalize resolves the pairs
     // into duplicate groups, because pairwise matches are not
     // clusters: names A~B and B~C chain into one entity even when
-    // A and C differ by 2. Blocking on the mid digits keeps every
-    // block ~100 names, so candidates stay bounded per block — never
-    // a cross join — at any corpus size.
+    // A and C differ by 2. The block key is digits 2-7 of the 9-digit
+    // name suffix, so a block's membership is capped by the THREE free
+    // digits (≤ 1000 names) over the entire 9-digit key space — block
+    // size is a property of the key design, not the corpus size, which
+    // is the contract real blocking schemes must state (a short key
+    // that wraps turns blocked joins quadratic at scale).
     "dedup_fuzzy_clusters" -> ((s, dir) => {
       val cust = ld(s, dir, "customer")
       val pairs = graft.operators.EntityMatch.candidatePairs(cust,
         "c_custkey", "c_name",
-        name => name.substr(lit(14), lit(3)), maxDistance = 1)
+        name => name.substr(lit(11), lit(6)), maxDistance = 1)
       graft.operators.Cluster.canonicalize(
         cust.select(col("c_custkey")), pairs, "c_custkey")
     }),
@@ -7112,7 +7115,7 @@ FROM cand GROUP BY 1""",
       """WITH RECURSIVE cand AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
         |  FROM customer a JOIN customer b
-        |    ON substr(a.c_name, 14, 3) = substr(b.c_name, 14, 3)
+        |    ON substr(a.c_name, 11, 6) = substr(b.c_name, 11, 6)
         |   AND a.c_custkey < b.c_custkey
         |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM cand

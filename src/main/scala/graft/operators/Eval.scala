@@ -1048,10 +1048,14 @@ object Eval {
     */
   def kaplanMeier(df: DataFrame, tsCol: Column, idCol: Column): DataFrame = {
     val day = datediff(to_date(tsCol), lit("1970-01-01").cast("date"))
+    // persisted: BOTH the horizon scalar and the duration reduction
+    // consume the span relation — without the pin the event-log scan
+    // and per-subject shuffle run twice
     val life = df.filter(tsCol.isNotNull && idCol.isNotNull)
       .select(idCol.as("id"), day.as("d"))
       .groupBy(col("id"))
       .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val horizon = life.agg(max(col("l")).as("m"))
     val durations = life.crossJoin(broadcast(horizon))
       .select((col("l") - col("f")).cast("long").as("t"),
@@ -1069,10 +1073,11 @@ object Eval {
     // then S at step i = per-step-rounded product over the i-prefix
     val packed = curve.agg(sort_array(collect_list(
       struct(col("t"), col("n_risk"), col("d"), col("factor")))).as("a"))
-    packed.select(col("a"), posexplode(col("a")).as(Seq("i", "e")))
+    val out = packed.select(col("a"), posexplode(col("a")).as(Seq("i", "e")))
       .select(col("e.t").as("t_days"), col("e.n_risk").as("n_risk"),
         col("e.d").as("n_deaths"),
         aggregate(slice(col("a"), lit(1), col("i") + 1), lit(1.0d),
           (acc, x) => round(acc * x.getField("factor"), 6)).as("survival"))
+    pinAndRelease(out, life)
   }
 }
