@@ -302,6 +302,19 @@ object SparkEntry {
       graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The MinHash-LSH candidate-pair relation over documents, memoized
+    * like the graph edge relations: five dedup_* queries consume it
+    * (raw pairs, agreement histogram, cluster closure, exact-Jaccard
+    * verify, containment verify), and the shingle → minhash → band
+    * join is their shared dominant prefix. dedup_lsh_eval keeps its
+    * own hash-sharing pipeline (it needs the raw hash arrays, not just
+    * the pairs).
+    */
+  private def minHashCandidatesCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    edgeCache.computeIfAbsent((s, dir, "mh"), _ =>
+      Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The compact-forward (degree, id)-oriented DAG of the co-activity
     * graph, memoized like the edge relations: `graph_triangles` and
     * `graph_jaccard_neighbors` both wedge-join it, and the orientation
@@ -3082,8 +3095,7 @@ object SparkEntry {
           round(TF.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
     }),
 
-    "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")),
+    "dedup_minhash_lsh" -> ((s, dir) => minHashCandidatesCached(s, dir)),
 
     // Signature-agreement histogram over the LSH candidate pairs — the
     // tuning readout for (bands, rowsPerBand): how many of the k=16
@@ -3091,7 +3103,7 @@ object SparkEntry {
     // so n_match = est·16 is an exact integer; one tiny groupBy after
     // the candidate join.
     "dedup_candidate_hist" -> ((s, dir) =>
-      Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")
+      minHashCandidatesCached(s, dir)
         .groupBy(round(col("jaccard_est") * 16).cast("long").as("n_match"))
         .agg(count(lit(1)).as("n_pairs"))),
 
@@ -3121,7 +3133,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val docs = ld(s, dir, "documents")
       graft.operators.Cluster.canonicalize(
-        docs, Dedup.minHashCandidates(docs, "text", "doc_id"), "doc_id")
+        docs, minHashCandidatesCached(s, dir), "doc_id")
     }),
 
     // Fuzzy ENTITY RESOLUTION end-to-end: blocked self-join +
@@ -3329,8 +3341,8 @@ object SparkEntry {
     // Jaccard verification (only candidate pairs are re-checked).
     "dedup_verify_pipeline" -> ((s, dir) => {
       val docs = ld(s, dir, "documents")
-      val cands = Dedup.minHashCandidates(docs, "text", "doc_id")
-      Dedup.jaccardVerify(cands, docs, "text", "doc_id", shingleLen = 5, threshold = 0.5)
+      Dedup.jaccardVerify(minHashCandidatesCached(s, dir), docs, "text",
+        "doc_id", shingleLen = 5, threshold = 0.5)
     }),
 
     // Measure, don't guess: the MinHash-LSH candidate set scored
@@ -3379,10 +3391,9 @@ object SparkEntry {
     // denominator hides. operators.Dedup.containmentVerify.
     "dedup_containment" -> ((s, dir) => {
       val docs = ld(s, dir, "documents")
-      val cands = Dedup.minHashCandidates(docs, "text", "doc_id")
-        .select(col("id_a"), col("id_b"))
-      Dedup.containmentVerify(cands, docs, "text", "doc_id",
-        shingleLen = 5, threshold = 0.8)
+      Dedup.containmentVerify(
+        minHashCandidatesCached(s, dir).select(col("id_a"), col("id_b")),
+        docs, "text", "doc_id", shingleLen = 5, threshold = 0.8)
     }),
 
     // Corpus curation pipeline: quality-filter → exact-dedup (keep the

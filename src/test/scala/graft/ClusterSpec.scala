@@ -49,4 +49,20 @@ class ClusterSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 7L, true)))
   }
+
+  test("memoized LSH-candidate queries survive repeated + interleaved access") {
+    // sibling of GraphSpec's label-prop regression: five dedup_*
+    // queries share the memoized candidate relation; repeated and
+    // cross-query invocations (the bench's 3 passes) must agree
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val raw = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    val nPairs = raw.count()
+    assert(nPairs > 0)
+    assert(SparkEntry.queries("dedup_candidate_hist")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).as[Long]
+      .collect()(0) == nPairs, "histogram must cover exactly the pair set")
+    assert(SparkEntry.queries("dedup_clusters")(spark, sfDir).count() > 0)
+    assert(SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count() == nPairs)
+  }
 }
