@@ -347,6 +347,22 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** The connected-component labels of the co-activity graph, memoized
+    * like the label-prop partition: `graph_components` returns them and
+    * `graph_component_sizes` histograms them — without sharing, the
+    * second query re-runs the full min-label fixpoint (~1.6 s each at
+    * sf0.1, and the iteration count only grows with graph diameter at
+    * 100×).
+    */
+  private def componentsCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // resolve the edge relation BEFORE entering computeIfAbsent (see
+    // labelPropCached for the access-order CME trap)
+    val edges = coActivityCached(s, dir)
+    edgeCache.computeIfAbsent((s, dir, "cc"), _ =>
+      graft.operators.Cluster.connectedComponents(edges, "a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Per-JVM memoized bucketed tables for `q_bucketed_join`: bucketBy(8)
     * + sortBy both sides on the join key, once per sfDir (dir-keyed
     * table names), so a repeated invocation times the exchange-free join
@@ -2916,6 +2932,16 @@ object SparkEntry {
     "corpus_split" -> ((s, dir) =>
       Corpus.deterministicSplit(ld(s, dir, "documents"), "doc_id", splitWeights)),
 
+    // Split-leakage audit: MinHash-LSH near-dup pairs whose endpoints
+    // land in different train/val/test splits — the contamination that
+    // silently inflates held-out metrics when dedup doesn't meet the
+    // split. Split assignment is a pure projection of each id (no
+    // join), so the audit is a codegen filter over the memoized
+    // candidate relation: zero added shuffles at any corpus size.
+    "corpus_split_leakage" -> ((s, dir) =>
+      Corpus.splitLeakage(minHashCandidatesCached(s, dir), "id_a", "id_b",
+        splitWeights)),
+
     // Deterministic fractional upsampling: low-resource zh at 2.5×
     // (every doc 2 or 3 times on its md5 coin, expectation exactly
     // 2.5), everything else once — the upsampling half of temperature
@@ -3229,8 +3255,7 @@ object SparkEntry {
     // graph one giant component or fragments?). Two map-side-combined
     // groupBys on top of the memoized component labels.
     "graph_component_sizes" -> ((s, dir) =>
-      graft.operators.Cluster.connectedComponents(
-          coActivityCached(s, dir), "a", "b")
+      componentsCached(s, dir)
         .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("size"))
         .agg(count(lit(1)).as("n_components"))),
@@ -3252,8 +3277,7 @@ object SparkEntry {
     // wrong, so non-convergence throws). operators.Cluster
     // .connectedComponents; oracle = recursive-CTE closure.
     "graph_components" -> ((s, dir) =>
-      graft.operators.Cluster.connectedComponents(
-          coActivityCached(s, dir), "a", "b")
+      componentsCached(s, dir)
         .select(col("id").as("node"), col("comp").as("component"))),
 
     // 3-core of the co-activity graph: iterative degree-< k peeling
@@ -6656,6 +6680,11 @@ object SparkEntry {
       s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
          |FROM documents""".stripMargin
     },
+
+    // the minhash-pair replay with both endpoints' split CASEs — same
+    // exact-long boundaries as corpus_split
+    "corpus_split_leakage" ->
+      OracleGen.corpusSplitLeakage(Corpus.splitBounds(splitWeights)),
 
     "corpus_ngram_counts" ->
       """WITH toks AS (SELECT doc_id,

@@ -382,4 +382,20 @@ class GraphSpec extends AnyFunSuite {
     assert(SparkEntry.queries("graph_modularity")(spark, sfDir).count() > 0)
     assert(SparkEntry.queries("graph_label_prop")(spark, sfDir).count() == lp.count())
   }
+
+  test("memoized component labels: histogram covers exactly the label set") {
+    // graph_components and graph_component_sizes share componentsCached;
+    // repeated + interleaved access (the bench's 3 passes) must agree,
+    // and the size histogram must account for every labeled node
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val comps = SparkEntry.queries("graph_components")(spark, sfDir)
+    val nNodes = comps.count()
+    assert(nNodes > 0)
+    val hist = SparkEntry.queries("graph_component_sizes")(spark, sfDir)
+    val covered = hist.select(org.apache.spark.sql.functions.expr(
+      "sum(size * n_components)")).collect()(0).getLong(0)
+    assert(covered == nNodes, "histogram must cover every labeled node")
+    assert(SparkEntry.queries("graph_components")(spark, sfDir).count() == nNodes)
+  }
 }
