@@ -166,6 +166,26 @@ SELECT p.id_a, p.id_b, CAST($eq AS DOUBLE) / $k AS jaccard_est
 FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b"""
   }
 
+  /** Oracle for `corpus_split_leakage`: the `dedup_minhash_lsh` pair
+    * relation with both endpoints' split names (the same exact-long
+    * md5-coin boundaries as the `corpus_split` oracle), restricted to
+    * pairs that straddle splits.
+    */
+  def corpusSplitLeakage(bounds: Seq[(String, Long)]): String = {
+    val k = 16
+    val eq = (0 until k).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    def splitCase(idc: String) = {
+      val coin = s"CAST('0x' || substr(md5(CAST($idc AS VARCHAR)), 1, 8) AS BIGINT)"
+      val cases = bounds.init.map { case (n, hi) => s"WHEN $coin < $hi THEN '$n'" }.mkString(" ")
+      s"CASE $cases ELSE '${bounds.last._1}' END"
+    }
+    s"""${minhashCtes(k, 4, 4, 1000, 5)}
+SELECT p.id_a, p.id_b, CAST($eq AS DOUBLE) / $k AS jaccard_est,
+  ${splitCase("p.id_a")} AS split_a, ${splitCase("p.id_b")} AS split_b
+FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b
+WHERE ${splitCase("p.id_a")} <> ${splitCase("p.id_b")}"""
+  }
+
   /** Oracle for `dedup_clusters`: MinHash-LSH candidate pairs (same
     * parameters as `dedup_minhash_lsh`), resolved to connected
     * components by a recursive transitive closure (the oracle-side

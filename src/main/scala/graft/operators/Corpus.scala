@@ -120,15 +120,42 @@ object Corpus {
     *               both engines make identical assignments.
     */
   def deterministicSplit(df: DataFrame, idCol: String,
-                         splits: Seq[(String, Double)]): DataFrame = {
+                         splits: Seq[(String, Double)]): DataFrame =
+    df.select(col(idCol), splitColumn(col(idCol), splits).as("split"))
+
+  /** The split-name expression behind [[deterministicSplit]], exposed
+    * as a Column so callers can assign splits to ANY id column (e.g.
+    * both endpoints of a near-dup pair in [[splitLeakage]]) without a
+    * join — split assignment is a pure projection of the id.
+    */
+  def splitColumn(id: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0))
     val bounds = splitBounds(splits)
-    val coin = md5Coin(col(idCol))
-    val expr = bounds.init.foldRight(lit(bounds.last._1): Column) {
+    val coin = md5Coin(id)
+    bounds.init.foldRight(lit(bounds.last._1): Column) {
       case ((name, hi), acc) => when(coin < hi, name).otherwise(acc)
     }
-    df.select(col(idCol), expr.as("split"))
   }
+
+  /** Split-leakage audit: near-duplicate candidate pairs whose two
+    * documents land in DIFFERENT splits — the train/test contamination
+    * every held-out evaluation silently suffers when dedup runs after
+    * (or never meets) the split. Input is any (id_a, id_b, score)
+    * candidate relation (MinHash-LSH pairs here); output is the
+    * straddling pairs with both split names, strongest first.
+    *
+    * Scale shape: split assignment is a pure projection of each id
+    * column (no join, no shuffle — the md5 coin computes inside
+    * codegen), so the whole audit is a filter over the candidate
+    * relation: it inherits LSH's bucket-capped bound and adds zero
+    * exchanges at any corpus size.
+    */
+  def splitLeakage(pairs: DataFrame, idA: String, idB: String,
+                   splits: Seq[(String, Double)]): DataFrame =
+    pairs
+      .withColumn("split_a", splitColumn(col(idA), splits))
+      .withColumn("split_b", splitColumn(col(idB), splits))
+      .filter(col("split_a") =!= col("split_b"))
 
   /** (name, exclusive upper coin bound) per split — cumulative weights
     * scaled to 2³² and rounded once, shared with the oracle so the

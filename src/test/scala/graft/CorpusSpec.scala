@@ -163,6 +163,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(grown == out)
   }
 
+  test("splitLeakage: emits exactly the straddling pairs, splits match assignment") {
+    val weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val ids = (0L until 200L)
+    val pairs = ids.flatMap(a => Seq((a, a + 7), (a, a + 13)))
+      .filter(_._2 < 200L).toDF("id_a", "id_b")
+    val out = Corpus.splitLeakage(pairs, "id_a", "id_b", weights)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // every emitted pair straddles
+    assert(out.forall { case (_, _, sa, sb) => sa != sb })
+    // split names agree with deterministicSplit's assignment per id
+    val assign = Corpus.deterministicSplit(ids.toDF("doc_id"), "doc_id", weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (a, b, sa, sb) => assign(a) == sa && assign(b) == sb })
+    // completeness: count straddlers directly from the assignment
+    val expected = ids.flatMap(a => Seq((a, a + 7), (a, a + 13)))
+      .filter(_._2 < 200L).count { case (a, b) => assign(a) != assign(b) }
+    assert(out.length == expected && expected > 0)
+  }
+
   test("upsample: factor 2.5 emits 2 or 3 deterministic copies, mean near 2.5") {
     val df = (0L until 400L).map(i => (i, if (i < 200) "zh" else "en"))
       .toDF("doc_id", "lang")

@@ -34,6 +34,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"split shuffles:\n$plan")
   }
 
+  test("splitLeakage adds zero exchanges over its candidate relation") {
+    // split assignment is a projection of each endpoint id, so the
+    // audit must stay a codegen filter — no join back to the corpus,
+    // no shuffle beyond whatever produced the pairs
+    val pairs = (0L until 300L).map(i => (i, i + 3, 0.5)).toDF("id_a", "id_b", "jaccard_est")
+    val plan = executed(Corpus.splitLeakage(pairs, "id_a", "id_b",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+    assert(!plan.contains("Exchange"), s"splitLeakage shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"splitLeakage joins:\n$plan")
+  }
+
   test("temperatureMix joins the rate table by broadcast, never sort-merge") {
     val plan = executed(Corpus.temperatureMix(docs, "doc_id", "source"))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
