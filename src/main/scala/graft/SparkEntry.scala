@@ -1776,6 +1776,29 @@ object SparkEntry {
             .as(s"r$k")): _*)
     }),
 
+    // Day-of-week seasonal index — the multiplicative seasonality
+    // readout next to q_acf_lags' correlogram: mean daily volume per
+    // weekday over the overall daily mean. dow is computed as
+    // (epoch_days + 4) mod 7 (0 = Sunday) on BOTH engines — calendar
+    // functions disagree across dialects, epoch arithmetic doesn't.
+    // Everything is exact integers until the two final divisions.
+    "q_seasonal_dow" -> ((s, dir) => {
+      val daily = ld(s, dir, "events").filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+        .select(pmod(datediff(col("d"), lit("1970-01-01").cast("date")) + 4,
+          lit(7)).as("dow"), col("x"))
+      val overall = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+      daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("tx"))
+        .crossJoin(broadcast(overall))
+        .select(col("dow").cast("long").as("dow"), col("n_days"),
+          round(col("tx").cast("double") / col("n_days").cast("double"), 6)
+            .as("mean_events"),
+          round((col("tx").cast("double") / col("n_days").cast("double")) /
+            (col("sx").cast("double") / col("nd").cast("double")), 6)
+            .as("seasonal_index"))
+    }),
+
     "q_time_decay" -> ((s, dir) => {
       val ev = ld(s, dir, "events").filter(col("value").isNotNull)
       val anchor = ev.agg(max(col("ts")).as("t0"))
@@ -1820,6 +1843,43 @@ object SparkEntry {
         .filter(col("n_sensitive") < 3)
         .select(col("event_type"), col("day"), col("value_bucket"),
           col("n"), col("n_sensitive"))),
+
+    // t-closeness — the third of the privacy trio (k-anonymity:
+    // group size; l-diversity: distinct sensitive values; t-closeness:
+    // the sensitive DISTRIBUTION itself must not diverge from the
+    // corpus-wide one). Per QI group (event_type, day), t = total
+    // variation distance between the group's sensitive-bucket
+    // distribution and the global one, with absent buckets contributing
+    // their full global mass (0.5·(Σ_present |p_g−p| + (1−Σ_present p))
+    // — the algebraic identity that avoids generating absent rows).
+    // Scale shape: corpus reduces to ≤ |QI|·7 cells in one map-side
+    // groupBy; the global 7-bucket distribution broadcasts; per-term
+    // 9-dp round then DECIMAL sum keeps the fold order-free.
+    "q_tcloseness" -> ((s, dir) => {
+      val cells = ld(s, dir, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          least(floor(col("value") / 50), lit(6L)).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val gtot = cells.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("c")).as("g"))
+      val tot = cells.agg(sum(col("c")).as("t"))
+      val globP = cells.groupBy(col("bucket")).agg(sum(col("c")).as("cb"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          round(col("cb").cast("double") / col("t").cast("double"), 9).as("pb"))
+      cells.join(gtot, Seq("event_type", "day"))
+        .join(broadcast(globP), Seq("bucket"))
+        .select(col("event_type"), col("day"), col("g"),
+          round(abs(col("c").cast("double") / col("g").cast("double") - col("pb")), 9)
+            .cast("decimal(25,12)").as("term"),
+          col("pb").cast("decimal(25,12)").as("pp"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("g")).cast("long").as("n"),
+          round((sum(col("term")) + (lit(BigDecimal(1)) - sum(col("pp"))))
+            .cast("double") * 0.5, 6).as("t_distance"))
+    }),
 
     // Kaplan-Meier user-lifetime curve with right-censoring: users
     // still active at the horizon are censored, not deaths —
@@ -5303,6 +5363,31 @@ object SparkEntry {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT user_id) < 3""".stripMargin,
 
+    // replays the engine's fold exactly: 9-dp-rounded per-bucket |Δp|
+    // terms and global masses DECIMAL-summed (order-free), absent
+    // buckets via the 1 − Σ_present p identity, ×0.5 in double at the end
+    "q_tcloseness" ->
+      """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    LEAST(CAST(floor(value / 50) AS BIGINT), 6) AS bucket
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT event_type, day, bucket, COUNT(*) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |gtot AS (SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS g
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells),
+        |globp AS (SELECT bucket,
+        |    round(CAST(SUM(c) AS DOUBLE) / (SELECT t FROM tot), 9) AS pb
+        |  FROM cells GROUP BY 1)
+        |SELECT c.event_type, c.day, MAX(g.g) AS n,
+        |  round(CAST(SUM(CAST(round(abs(CAST(c.c AS DOUBLE) / g.g - p.pb), 9)
+        |        AS DECIMAL(25,12)))
+        |      + (1 - SUM(CAST(p.pb AS DECIMAL(25,12)))) AS DOUBLE) * 0.5, 6)
+        |    AS t_distance
+        |FROM cells c
+        |JOIN gtot g ON c.event_type = g.event_type AND c.day = g.day
+        |JOIN globp p ON c.bucket = p.bucket
+        |GROUP BY 1, 2""".stripMargin,
+
     // KM: per-user spans, bounded duration curve, reverse-cumulative
     // risk set; the survival product replays the engine's per-step
     // 6-dp-rounded fold as a recursive CTE over the rn index.
@@ -5406,6 +5491,20 @@ object SparkEntry {
         |  round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |    AS DOUBLE) / COUNT(*), 6) AS pos_rate
         |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // dow via epoch-day arithmetic ((days+4) mod 7) — calendar dow
+    // functions disagree across dialects, epoch arithmetic doesn't
+    "q_seasonal_dow" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |dw AS (SELECT (date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS dow, x
+        |  FROM daily),
+        |o AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS nd FROM daily)
+        |SELECT CAST(dow AS BIGINT) AS dow, COUNT(*) AS n_days,
+        |  round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_events,
+        |  round((CAST(SUM(x) AS DOUBLE) / COUNT(*))
+        |    / (CAST(o.sx AS DOUBLE) / o.nd), 6) AS seasonal_index
+        |FROM dw, o GROUP BY dow, o.sx, o.nd""".stripMargin,
 
     // exp argument assembled with the identical factor order as the
     // Spark column tree; terms rounded before the exact decimal sum
