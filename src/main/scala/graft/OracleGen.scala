@@ -193,18 +193,40 @@ WHERE ${splitCase("p.id_a")} <> ${splitCase("p.id_b")}"""
     * converged label propagation — both yield min-node-id labels);
     * unpaired documents represent themselves.
     */
+  /** The recursive transitive-closure CTE suffix over the `pairs`
+    * relation (shared by [[dedupClusters]] and [[dedupSourceStats]]):
+    * min-node-id component labels, the oracle-side equivalent of
+    * [[graft.operators.Cluster.connectedComponents]].
+    */
+  private val closureCtes: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      |cc AS (
+      |  SELECT src AS id, src AS comp FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+      |lbl AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)""".stripMargin
+
   def dedupClusters: String =
     s"""${minhashCtes(16, 4, 4, 1000, 5).replaceFirst("^WITH ", "WITH RECURSIVE ")},
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
-cc AS (
-  SELECT src AS id, src AS comp FROM edges
-  UNION
-  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
-lbl AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+$closureCtes
 SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS canonical_id,
   COALESCE(l.comp, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id"""
+
+  /** Oracle for `dedup_source_stats`: the cluster closure rolled up to
+    * the per-source duplication readout (keep = canonical member).
+    */
+  def dedupSourceStats: String =
+    s"""${minhashCtes(16, 4, 4, 1000, 5).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+$closureCtes
+SELECT d.source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN COALESCE(l.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept,
+  round(1.0 - CAST(SUM(CASE WHEN COALESCE(l.comp, d.doc_id) = d.doc_id
+      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+GROUP BY 1"""
 
   /** Oracle for `dedup_incremental` — [[graft.operators.Dedup.minHashAdmit]]
     * with existing = doc_id < `split`, incoming = the rest: the full

@@ -315,6 +315,21 @@ object SparkEntry {
       Dedup.minHashCandidates(ld(s, dir, "documents"), "text", "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The canonicalized duplicate-cluster labels over the LSH candidate
+    * pairs, memoized like the component labels: `dedup_clusters`
+    * returns them and `dedup_source_stats` rolls them up per source —
+    * without sharing, the second query re-runs the min-label fixpoint
+    * (~4 s at sf0.1).
+    */
+  private def dedupClustersCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // resolve the candidate relation BEFORE entering computeIfAbsent
+    // (see labelPropCached for the access-order CME trap)
+    val pairs = minHashCandidatesCached(s, dir)
+    edgeCache.computeIfAbsent((s, dir, "dc"), _ =>
+      graft.operators.Cluster.canonicalize(ld(s, dir, "documents"), pairs, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** The compact-forward (degree, id)-oriented DAG of the co-activity
     * graph, memoized like the edge relations: `graph_triangles` and
     * `graph_jaccard_neighbors` both wedge-join it, and the orientation
@@ -3216,10 +3231,20 @@ object SparkEntry {
     // LSH pair list, every doc mapped to its cluster's smallest id.
     // Without this step transitive duplicates (A~B, B~C but A!~C by
     // LSH) survive pairwise dedup.
-    "dedup_clusters" -> ((s, dir) => {
-      val docs = ld(s, dir, "documents")
-      graft.operators.Cluster.canonicalize(
-        docs, minHashCandidatesCached(s, dir), "doc_id")
+    "dedup_clusters" -> ((s, dir) => dedupClustersCached(s, dir)),
+
+    // Per-source duplication readout — the number a curation pipeline
+    // acts on ("which source is feeding us near-dups"): docs, canonical
+    // survivors, and dup rate per source, rolled up from the memoized
+    // cluster labels in one map-side-combinable groupBy after a
+    // doc_id-keyed join back to the source column.
+    "dedup_source_stats" -> ((s, dir) => {
+      val kept = sum(when(col("keep"), 1L).otherwise(0L))
+      ld(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(dedupClustersCached(s, dir), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), kept.as("n_kept"),
+          round(lit(1.0) - kept.cast("double") / count(lit(1)), 6).as("dup_rate"))
     }),
 
     // Fuzzy ENTITY RESOLUTION end-to-end: blocked self-join +
@@ -4297,6 +4322,20 @@ object SparkEntry {
         col("doc_id"),
         length(blob).cast("long").as("n_bytes"),
         substring(hex(blob), 1, 8).as("hex_prefix"))
+    }),
+
+    // Audio-blob windowing: fixed-size PCM framing with per-window
+    // amplitude/zero-crossing features — the audio-modality member of
+    // the mm_ family. The mapPartitions kernel emits exact integers
+    // only (Σ|s|, Σs², sign changes); RMS derives here in SQL so both
+    // engines share one float rounding point. Features-only output:
+    // audio bytes never reach an exchange.
+    "mm_audio_windows" -> ((s, dir) => {
+      val blobs = ld(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("blob"))
+      Multimodal.audioWindows(blobs, "blob", "doc_id", windowSize = 4)
+        .withColumn("rms",
+          round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6))
     }),
 
     // Exact media dedup: blobs fingerprinted, only (hash, id) shuffles
@@ -7166,6 +7205,27 @@ object SparkEntry {
         |  substr(hex(unhex(md5(text))), 1, 8) AS hex_prefix
         |FROM documents""".stripMargin,
 
+    // per-byte hex decode of the 16-byte stub blob (the mm_manifest
+    // strpos trick), centered samples, lag within (doc, window) for
+    // sign changes; the single float op (rms) rounds identically
+    "mm_audio_windows" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |b AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |    (16 * (strpos('0123456789abcdef', substr(hx, CAST(2 * u.i + 1 AS INT), 1)) - 1)
+        |       + (strpos('0123456789abcdef', substr(hx, CAST(2 * u.i + 2 AS INT), 1)) - 1)
+        |     - 128) AS s
+        |  FROM h, LATERAL unnest(range(0, 16)) AS u(i)),
+        |lagged AS (SELECT doc_id, i // 4 AS win_idx, s,
+        |    lag(s) OVER (PARTITION BY doc_id, i // 4 ORDER BY i) AS prev
+        |  FROM b)
+        |SELECT doc_id, win_idx, COUNT(*) AS n_samples,
+        |  CAST(SUM(abs(s)) AS BIGINT) AS sum_amp,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL
+        |      AND ((prev >= 0) <> (s >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  round(sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+        |FROM lagged GROUP BY 1, 2""".stripMargin,
+
     "mm_dedup" ->
       """WITH fps AS (SELECT doc_id, md5(hex(unhex(md5(text)))) AS fp FROM documents),
         |g AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
@@ -7238,6 +7298,9 @@ object SparkEntry {
     "knn_pq" -> OracleGen.knnPq(),
     "embed_pq_distortion" -> OracleGen.embedPqDistortion(),
     "dedup_minhash_lsh" -> OracleGen.dedupMinhashLsh,
+
+    // same recursive closure as dedup_clusters, rolled up per source
+    "dedup_source_stats" -> OracleGen.dedupSourceStats,
 
     "dedup_candidate_hist" ->
       s"""WITH cand AS (

@@ -228,6 +228,58 @@ object Multimodal {
           col("frame_idx") === col("c.frame_idx")).as("keep"))
   }
 
+  /** Fixed-size window segmentation of an audio blob — the PCM framing
+    * pass every audio pipeline runs before feature extraction (VAD,
+    * loudness normalization, silence trimming). The stub treats each
+    * byte as one centered sample (b − 128); a real decoder would emit
+    * PCM floats — the window shape, batch iteration, and exact-integer
+    * feature parity are what carry to production. Per window:
+    * `sum_amp` = Σ|s| and `sum_sq` = Σs² (exact longs — float math
+    * stays OUT of the kernel so both engines derive RMS identically
+    * downstream), `zcr` = sign changes between consecutive samples
+    * within the window. One mapPartitions pass; output rows carry
+    * features only, so downstream shuffles never move audio bytes.
+    */
+  def audioWindows(df: DataFrame, blobCol: String, idCol: String,
+                   windowSize: Int): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("win_idx", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_amp", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zcr", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bIdx = df.schema.fieldIndex(blobCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val id = r.getAs[Number](iIdx).longValue()
+          (0 until bytes.length by windowSize).iterator.map { start =>
+            val end = math.min(start + windowSize, bytes.length)
+            var sumAmp = 0L; var sumSq = 0L; var zcr = 0L
+            var i = start
+            while (i < end) {
+              val s = (bytes(i) & 0xff) - 128
+              sumAmp += math.abs(s); sumSq += s.toLong * s
+              if (i > start) {
+                val prev = (bytes(i - 1) & 0xff) - 128
+                if ((prev >= 0) != (s >= 0)) zcr += 1
+              }
+              i += 1
+            }
+            Row(id, (start / windowSize).toLong, (end - start).toLong,
+              sumAmp, sumSq, zcr)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Exact media dedup by content fingerprint — the multimodal twin of
     * [[Dedup.exact]]: every blob is fingerprinted (md5 over its hex
     * encoding; hex is an injective byte encoding, so groups equal raw

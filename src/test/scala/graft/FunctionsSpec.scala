@@ -206,4 +206,22 @@ class FunctionsSpec extends AnyFunSuite {
     // null blob -> empty bytes: dims (16+0)/2=8 via zero-padding? decodeMeta gives 0 dims
     assert(out(3L) == ((0, 0, 0)))
   }
+
+  test("multimodal: audioWindows hand-computed features, ragged tail, null blob") {
+    // samples = byte − 128: doc 1 = [-128, -27, 72, -8, 127] windowed
+    // at 4 → window 0 = [-128, -27, 72, -8] (zcr: -→-→+→- = 2),
+    // window 1 = [127] (no neighbor, zcr 0)
+    val blobs = Seq(
+      (1L, Array[Byte](0, 101, -56, 120, -1)), // unsigned 0,101,200,120,255
+      (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.audioWindows(blobs, "blob", "doc_id", windowSize = 4)
+      .orderBy($"doc_id", $"win_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, 128L + 27 + 72 + 8,
+        128L * 128 + 27 * 27 + 72 * 72 + 8 * 8, 2L),
+      (1L, 1L, 1L, 127L, 127L * 127, 0L)))
+  }
 }

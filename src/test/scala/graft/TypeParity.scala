@@ -326,6 +326,7 @@ object TypeParity {
     */
   val duckdbOnlyOracles: Set[String] = Set(
     "dedup_clusters",        // WITH RECURSIVE ... UNION (Spark: UNION unsupported in recursion)
+    "dedup_source_stats",    // WITH RECURSIVE ... UNION
     "dedup_fuzzy_clusters",  // WITH RECURSIVE ... UNION
     "graph_components",      // WITH RECURSIVE ... UNION
     "graph_component_sizes", // WITH RECURSIVE ... UNION
