@@ -421,6 +421,27 @@ object SparkEntry {
     */
   private val splitWeights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
+  /** The quality-feature inner SELECT and score expression, shared by
+    * the `text_quality` and `corpus_token_budget` oracles — one
+    * definition so the DuckDB replica of
+    * [[graft.functions.TextFunctions.qualityScore]] cannot drift
+    * between its two consumers.
+    */
+  private val qualityFeatureSql: String =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+      |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+      |  len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS n_punct,
+      |  len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|in|to|is|for|on|with|that|this|it|as|at|by)\b')) AS n_stop,
+      |  length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+      |  FROM documents""".stripMargin
+  private val qualityScoreSql: String =
+    """CAST((CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN CAST(n_nonspace AS DOUBLE)/n_words BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.3 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN CAST(n_alnum AS DOUBLE)/n_chars > 0.6 THEN 1 ELSE 0 END)
+      |     AS DOUBLE) / 4""".stripMargin
+
   // ---------------------------------------------------------------
   // CDC event stream synthesized from the `events` table:
   // signup→c, view→r, error→d, click/purchase→u; key = user_id.
@@ -3006,6 +3027,14 @@ object SparkEntry {
     // projection, no shuffle at any scale.
     "corpus_split" -> ((s, dir) =>
       Corpus.deterministicSplit(ld(s, dir, "documents"), "doc_id", splitWeights)),
+
+    // Data selection under a token budget: take the highest-quality
+    // documents until 20k training tokens — Corpus.selectUnderBudget,
+    // the distributed two-level prefix sum in quality order (never a
+    // corpus-wide ordered window). Admits the straddling doc, so the
+    // oracle replays the same boundary contract.
+    "corpus_token_budget" -> ((s, dir) =>
+      Corpus.selectUnderBudget(ld(s, dir, "documents"), budget = 20000L)),
 
     // Split-leakage audit: MinHash-LSH near-dup pairs whose endpoints
     // land in different train/val/test splits — the contamination that
@@ -6372,23 +6401,13 @@ object SparkEntry {
         |SELECT pair, n FROM a ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id, n_chars, n_words,
-        |  CAST(n_nonspace AS DOUBLE) / n_words AS mean_word_len,
-        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-        |  CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
-        |  CAST(n_alnum AS DOUBLE) / n_chars AS alnum_ratio,
-        |  CAST((CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)
-        |     + (CASE WHEN CAST(n_nonspace AS DOUBLE)/n_words BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
-        |     + (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.3 THEN 1 ELSE 0 END)
-        |     + (CASE WHEN CAST(n_alnum AS DOUBLE)/n_chars > 0.6 THEN 1 ELSE 0 END)
-        |     AS DOUBLE) / 4 AS quality
-        |FROM (SELECT doc_id, length(text) AS n_chars,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
-        |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
-        |  len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS n_punct,
-        |  len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|in|to|is|for|on|with|that|this|it|as|at|by)\b')) AS n_stop,
-        |  length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
-        |  FROM documents)""".stripMargin,
+      s"""SELECT doc_id, n_chars, n_words,
+         |  CAST(n_nonspace AS DOUBLE) / n_words AS mean_word_len,
+         |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+         |  CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+         |  CAST(n_alnum AS DOUBLE) / n_chars AS alnum_ratio,
+         |  $qualityScoreSql AS quality
+         |FROM ($qualityFeatureSql)""".stripMargin,
 
     "text_lang_id" ->
       s"""SELECT doc_id, ${langScoreSqls.map { case (l, _) => s"score_$l" }.mkString(", ")},
@@ -6823,6 +6842,20 @@ object SparkEntry {
     // exact-long boundaries as corpus_split
     "corpus_split_leakage" ->
       OracleGen.corpusSplitLeakage(Corpus.splitBounds(splitWeights)),
+
+    // same quality formula as text_quality (shared SQL vals), running
+    // token sum over (quality desc, doc_id), admit while before < B
+    "corpus_token_budget" ->
+      s"""WITH f AS ($qualityFeatureSql),
+         |q AS (SELECT doc_id, $qualityScoreSql AS quality,
+         |    CAST(n_words AS BIGINT) AS n_tokens FROM f),
+         |r AS (SELECT doc_id, quality, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+         |  FROM q)
+         |SELECT doc_id, quality, n_tokens,
+         |  CAST(tokens_before AS BIGINT) AS tokens_before
+         |FROM r WHERE tokens_before < 20000""".stripMargin,
 
     "corpus_ngram_counts" ->
       """WITH toks AS (SELECT doc_id,

@@ -706,6 +706,52 @@ object Corpus {
         ((col("__boff") + col("__woff")) / lit(budget)).cast("long").as("shard_id"))
   }
 
+  /** Quality-ordered data selection under a token budget — "take the
+    * best documents until we have B training tokens", the curation
+    * decision every scaling-law run makes. Documents are ranked by
+    * (quality desc, id asc) and admitted while the running token count
+    * before them is < `budget` (a straddling document is admitted, so
+    * the selection overshoots by at most one document — the
+    * [[packShards]] boundary contract).
+    *
+    * The running count is the same DISTRIBUTED two-level prefix sum as
+    * [[packShards]], transposed to quality order: quality scores are
+    * few discrete levels, so (quality, id-bucket) is an order-aligned
+    * coarse key — bucket totals aggregate map-side, the bucket-level
+    * running offsets are a window over that tiny frame (above an
+    * Aggregate, so the global-window guard licenses it) broadcast
+    * back, and the within-bucket window is bounded by `bucketWidth`
+    * rows. No corpus-wide ordered window at any scale.
+    */
+  def selectUnderBudget(docs: DataFrame, budget: Long,
+                        bucketWidth: Long = 1 << 16,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && bucketWidth > 0)
+    val scored = docs.select(col(idCol),
+      TextFunctions.qualityScore(col(textCol)).as("quality"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      floor(col(idCol) / bucketWidth).as("__bucket"))
+    // (quality desc, bucket asc) is the bucket-level image of the row
+    // order (quality desc, id asc): __bucket is monotone in id
+    val overBuckets = Window.orderBy(col("__q").desc, col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy(col("quality").as("__q"), col("__bucket").as("__b"))
+      .agg(sum(col("n_tokens")).as("__btok"))
+      .withColumn("__boff", coalesce(sum(col("__btok")).over(overBuckets), lit(0L)))
+      .select(col("__q"), col("__b"), col("__boff"))
+    val withinBucket = Window.partitionBy(col("quality"), col("__bucket"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .join(broadcast(offsets),
+        col("quality") === col("__q") && col("__bucket") === col("__b"))
+      .withColumn("__woff", coalesce(sum(col("n_tokens")).over(withinBucket), lit(0L)))
+      .withColumn("tokens_before", col("__boff") + col("__woff"))
+      .filter(col("tokens_before") < budget)
+      .select(col(idCol), col("quality"), col("n_tokens"), col("tokens_before"))
+  }
+
   /** Contiguous global row ids (0..n−1 in `orderCol` order) WITHOUT a
     * single-partition global sort — the scalable zipWithIndex, pure
     * DataFrame: range-partition on the (unique) order column, count

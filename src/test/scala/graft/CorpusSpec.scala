@@ -182,6 +182,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.length == expected && expected > 0)
   }
 
+  test("selectUnderBudget equals the sequential greedy selection incl. the straddler") {
+    // quality has 5 discrete levels; build docs whose quality differs
+    // via word counts and check against a driver-side greedy fold
+    val docs = (0L until 120L).map { i =>
+      val words = (i % 7) + 1 // 1..7 words: crosses the n_words>=3 gate
+      (i, Seq.fill(words.toInt)("w" + i).mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 150L
+    val got = graft.operators.Corpus
+      .selectUnderBudget(docs, budget, bucketWidth = 16)
+      .orderBy($"tokens_before")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // sequential reference: same (quality desc, id) order, same scorer
+    val scored = docs.select($"doc_id",
+      graft.functions.TextFunctions.qualityScore($"text").as("q"),
+      graft.functions.TextFunctions.tokenCount($"text").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var acc = 0L
+    val want = scored.flatMap { case (id, _, n) =>
+      val before = acc; acc += n
+      if (before < budget) Some((id, n, before)) else None
+    }
+    assert(got.toSeq == want.toSeq)
+    // the straddler is admitted: last row's before < budget <= before + n
+    val last = want.last
+    assert(last._3 < budget && last._3 + last._2 >= budget)
+  }
+
   test("upsample: factor 2.5 emits 2 or 3 deterministic copies, mean near 2.5") {
     val df = (0L until 400L).map(i => (i, if (i < 200) "zh" else "en"))
       .toDF("doc_id", "lang")

@@ -224,4 +224,31 @@ class FunctionsSpec extends AnyFunSuite {
         128L * 128 + 27 * 27 + 72 * 72 + 8 * 8, 2L),
       (1L, 1L, 1L, 127L, 127L * 127, 0L)))
   }
+
+  test("multimodal: audioWindows equals a sequential reference on random blobs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def reference(bytes: Array[Byte], w: Int): Seq[(Long, Long, Long, Long, Long)] =
+      bytes.map(b => (b & 0xff) - 128).grouped(w).zipWithIndex.map {
+        case (win, idx) =>
+          val zcr = win.sliding(2).count { pc =>
+            pc.length == 2 && (pc(0) >= 0) != (pc(1) >= 0) }
+          (idx.toLong, win.length.toLong, win.map(s => math.abs(s).toLong).sum,
+            win.map(s => s.toLong * s).sum, zcr.toLong)
+      }.toSeq
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      bytes <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      w <- Gen.choose(1, 9)
+    } yield (bytes.toArray, w)
+    val prop = Prop.forAll(gen) { case (bytes, w) =>
+      val df = Seq((7L, bytes)).toDF("doc_id", "blob").repartition(3)
+      val got = Multimodal.audioWindows(df, "blob", "doc_id", w)
+        .orderBy($"win_idx").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSeq
+      got == reference(bytes, w)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
+  }
 }

@@ -45,6 +45,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"splitLeakage joins:\n$plan")
   }
 
+  test("selectUnderBudget: offsets broadcast back; the only global sort is the tiny bucket frame") {
+    val plan = executed(Corpus.selectUnderBudget(docs, budget = 500, bucketWidth = 32))
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side sort-merge:\n$plan")
+    // the corpus-side window partitions by (quality, bucket) — bounded
+    // groups; the empty-PARTITION-BY window must sit above the
+    // aggregate (bucket frame), which the session-wide guard enforces
+  }
+
   test("temperatureMix joins the rate table by broadcast, never sort-merge") {
     val plan = executed(Corpus.temperatureMix(docs, "doc_id", "source"))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
