@@ -211,6 +211,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(last._3 < budget && last._3 + last._2 >= budget)
   }
 
+  test("selectUnderBudget property: equals the sequential fold for random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      words <- Gen.listOfN(n, Gen.choose(1, 9))
+      budget <- Gen.choose(1L, 400L)
+      bw <- Gen.oneOf(4L, 16L, 64L)
+    } yield (words, budget, bw)
+    val prop = Prop.forAll(gen) { case (words, budget, bw) =>
+      val docs = words.zipWithIndex.map { case (w, i) =>
+        (i.toLong, Seq.fill(w)("t" + i).mkString(" "))
+      }.toDF("doc_id", "text").repartition(5)
+      val got = graft.operators.Corpus
+        .selectUnderBudget(docs, budget, bucketWidth = bw)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+      val scored = docs.select($"doc_id",
+        graft.functions.TextFunctions.qualityScore($"text").as("q"),
+        graft.functions.TextFunctions.tokenCount($"text").cast("long").as("n"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy { case (id, q, _) => (-q, id) }
+      var acc = 0L
+      val want = scored.flatMap { case (id, _, n) =>
+        val before = acc; acc += n
+        if (before < budget) Some((id, before)) else None
+      }.sortBy(_._1).toSeq
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("upsample: factor 2.5 emits 2 or 3 deterministic copies, mean near 2.5") {
     val df = (0L until 400L).map(i => (i, if (i < 200) "zh" else "en"))
       .toDF("doc_id", "lang")

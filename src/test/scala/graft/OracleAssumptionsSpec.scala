@@ -14,9 +14,13 @@ class OracleAssumptionsSpec extends AnyFunSuite {
 
   // The guard's NULL-text row also underwrites mm_manifest (whose
   // concat_ws pair_fp would skip a NULL blob hex while the oracle's ||
-  // propagates NULL) and corpus_curriculum (whose NTILE over a
+  // propagates NULL), corpus_curriculum (whose NTILE over a
   // text-derived quality would order Spark-nulls-first vs
-  // DuckDB-nulls-last) — round-7 advice.
+  // DuckDB-nulls-last) — round-7 advice — and the round-8 closers:
+  // corpus_token_budget (ORDER BY quality DESC inherits the same
+  // nulls-ordering divergence) and mm_audio_windows (a NULL blob emits
+  // no windows in the kernel while the oracle's LATERAL unnest would
+  // still emit 16 NULL-sample rows).
   test("guard passes on the driver testdata corpus") {
     assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
     assert(OracleGen.guardViolations(spark, "/root/testdata/sf0.001") == Seq.empty)
