@@ -171,19 +171,25 @@ FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id
     * md5-coin boundaries as the `corpus_split` oracle), restricted to
     * pairs that straddle splits.
     */
+  /** The split-name CASE over an id expression — the single SQL
+    * replica of [[graft.operators.Corpus.splitColumn]], shared by the
+    * `corpus_split` and `corpus_split_leakage` oracles so the coin
+    * literal and threshold scaling cannot drift between them.
+    */
+  def splitCaseSql(bounds: Seq[(String, Long)], idExpr: String): String = {
+    val coin = s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8) AS BIGINT)"
+    val cases = bounds.init.map { case (n, hi) => s"WHEN $coin < $hi THEN '$n'" }.mkString(" ")
+    s"CASE $cases ELSE '${bounds.last._1}' END"
+  }
+
   def corpusSplitLeakage(bounds: Seq[(String, Long)]): String = {
     val k = 16
     val eq = (0 until k).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-    def splitCase(idc: String) = {
-      val coin = s"CAST('0x' || substr(md5(CAST($idc AS VARCHAR)), 1, 8) AS BIGINT)"
-      val cases = bounds.init.map { case (n, hi) => s"WHEN $coin < $hi THEN '$n'" }.mkString(" ")
-      s"CASE $cases ELSE '${bounds.last._1}' END"
-    }
     s"""${minhashCtes(k, 4, 4, 1000, 5)}
 SELECT p.id_a, p.id_b, CAST($eq AS DOUBLE) / $k AS jaccard_est,
-  ${splitCase("p.id_a")} AS split_a, ${splitCase("p.id_b")} AS split_b
+  ${splitCaseSql(bounds, "p.id_a")} AS split_a, ${splitCaseSql(bounds, "p.id_b")} AS split_b
 FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b
-WHERE ${splitCase("p.id_a")} <> ${splitCase("p.id_b")}"""
+WHERE ${splitCaseSql(bounds, "p.id_a")} <> ${splitCaseSql(bounds, "p.id_b")}"""
   }
 
   /** Oracle for `dedup_clusters`: MinHash-LSH candidate pairs (same

@@ -274,9 +274,13 @@ object SparkEntry {
   // Bounded LRU, evicted entries unpersisted: the previous unbounded
   // ConcurrentHashMap pinned persisted frames of STOPPED sessions
   // forever in a long-lived JVM (Verify/Bench/tests each build fresh
-  // sessions — round-6 advice). 16 entries covers every concurrent
-  // (session, sfDir, tag) combination the entry points produce.
-  private val edgeCacheMax = 16
+  // sessions — round-6 advice). Seven tags exist per (session, sfDir)
+  // — pp, ca, or, lp, cc, mh, dc — so 32 entries covers two sessions
+  // × two sfDirs concurrently (a live test session alongside a Verify
+  // replaying both SFs) without evicting still-live memoized
+  // relations mid-run; eviction is only a perf hiccup (recompute is
+  // deterministic), never a correctness event.
+  private val edgeCacheMax = 32
   private val edgeCache: java.util.Map[(SparkSession, String, String),
       org.apache.spark.sql.DataFrame] =
     java.util.Collections.synchronizedMap(
@@ -1892,12 +1896,17 @@ object SparkEntry {
     // groupBy; the global 7-bucket distribution broadcasts; per-term
     // 9-dp round then DECIMAL sum keeps the fold order-free.
     "q_tcloseness" -> ((s, dir) => {
+      // cells is the ≤ |QI|·7-row reduced relation and feeds FOUR
+      // consumers (gtot, tot, globP, the final join); Spark shares no
+      // common subplans, so without pinning each consumer re-runs the
+      // corpus scan+aggregate. Eager localCheckpoint = one scan.
       val cells = ld(s, dir, "events")
         .filter(col("value").isNotNull && col("ts").isNotNull)
         .groupBy(col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"),
           least(floor(col("value") / 50), lit(6L)).as("bucket"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val gtot = cells.groupBy(col("event_type"), col("day"))
         .agg(sum(col("c")).as("g"))
       val tot = cells.agg(sum(col("c")).as("t"))
@@ -5565,7 +5574,7 @@ object SparkEntry {
     "q_seasonal_dow" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
-        |dw AS (SELECT (date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS dow, x
+        |dw AS (SELECT (((date_diff('day', DATE '1970-01-01', d) + 4) % 7) + 7) % 7 AS dow, x
         |  FROM daily),
         |o AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS nd FROM daily)
         |SELECT CAST(dow AS BIGINT) AS dow, COUNT(*) AS n_days,
@@ -6830,11 +6839,8 @@ object SparkEntry {
         |  < CAST(round(r.rate * 4294967296) AS BIGINT)""".stripMargin,
 
     "corpus_split" -> {
-      val bounds = Corpus.splitBounds(splitWeights)
-      val coin = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
-      val cases = bounds.init
-        .map { case (n, hi) => s"WHEN $coin < $hi THEN '$n'" }.mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+      val splitCase = OracleGen.splitCaseSql(Corpus.splitBounds(splitWeights), "doc_id")
+      s"""SELECT doc_id, $splitCase AS split
          |FROM documents""".stripMargin
     },
 

@@ -142,7 +142,8 @@ object Corpus {
     * every held-out evaluation silently suffers when dedup runs after
     * (or never meets) the split. Input is any (id_a, id_b, score)
     * candidate relation (MinHash-LSH pairs here); output is the
-    * straddling pairs with both split names, strongest first.
+    * straddling pairs with both split names (unordered — sort on the
+    * score column if presenting a top list).
     *
     * Scale shape: split assignment is a pure projection of each id
     * column (no join, no shuffle — the md5 coin computes inside
@@ -685,25 +686,51 @@ object Corpus {
   def packShards(docs: DataFrame, budget: Long, bucketWidth: Long = 1 << 16,
                  strataCol: String = "source", idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0 && bucketWidth > 0)
     val bucketed = docs.select(col(idCol), col(strataCol),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       floor(col(idCol) / bucketWidth).as("__bucket"))
-    val overBuckets = Window.partitionBy(col(strataCol)).orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed
-      .groupBy(col(strataCol), col("__bucket"))
+    withTokensBefore(bucketed,
+      joinKeys = Seq(strataCol, "__bucket"),
+      offsetPartition = Seq(col(strataCol)),
+      bucketOrder = Seq(col("__bucket")),
+      rowOrder = Seq(col(idCol)))
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        (col("tokens_before") / lit(budget)).cast("long").as("shard_id"))
+  }
+
+  /** The two-level distributed prefix-sum core shared by [[packShards]]
+    * and [[selectUnderBudget]]: appends `tokens_before` = Σ `n_tokens`
+    * over all rows strictly before this one in (`bucketOrder`,
+    * `rowOrder`) within each `offsetPartition` group. `scored` must
+    * carry `n_tokens` and the `joinKeys` columns (the order-aligned
+    * coarse bucket key). Bucket totals aggregate map-side; the
+    * bucket-level running offsets are a window over that tiny frame
+    * (above the Aggregate, so the global-window guard licenses an
+    * empty `offsetPartition`) broadcast back; the within-bucket window
+    * is bounded by the bucket's row count. No corpus-wide ordered
+    * window at any scale.
+    */
+  private def withTokensBefore(scored: DataFrame, joinKeys: Seq[String],
+                               offsetPartition: Seq[Column],
+                               bucketOrder: Seq[Column],
+                               rowOrder: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val overBuckets = Window.partitionBy(offsetPartition: _*)
+      .orderBy(bucketOrder: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored
+      .groupBy(joinKeys.map(col): _*)
       .agg(sum(col("n_tokens")).as("__btok"))
       .withColumn("__boff", coalesce(sum(col("__btok")).over(overBuckets), lit(0L)))
-      .select(col(strataCol), col("__bucket"), col("__boff"))
-    val withinBucket = Window.partitionBy(col(strataCol), col("__bucket"))
-      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
-      .join(broadcast(offsets), Seq(strataCol, "__bucket"))
+      .select(joinKeys.map(k => col(k).as(s"__k_$k")) :+ col("__boff"): _*)
+    val withinBucket = Window.partitionBy(joinKeys.map(col): _*)
+      .orderBy(rowOrder: _*).rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .join(broadcast(offsets),
+        joinKeys.map(k => col(k) === col(s"__k_$k")).reduce(_ && _))
       .withColumn("__woff", coalesce(sum(col("n_tokens")).over(withinBucket), lit(0L)))
-      .select(col(idCol), col(strataCol), col("n_tokens"),
-        ((col("__boff") + col("__woff")) / lit(budget)).cast("long").as("shard_id"))
+      .withColumn("tokens_before", col("__boff") + col("__woff"))
+      .drop(joinKeys.map(k => s"__k_$k") ++ Seq("__boff", "__woff"): _*)
   }
 
   /** Quality-ordered data selection under a token budget — "take the
@@ -727,7 +754,6 @@ object Corpus {
                         bucketWidth: Long = 1 << 16,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0 && bucketWidth > 0)
     val scored = docs.select(col(idCol),
       TextFunctions.qualityScore(col(textCol)).as("quality"),
@@ -735,19 +761,11 @@ object Corpus {
       floor(col(idCol) / bucketWidth).as("__bucket"))
     // (quality desc, bucket asc) is the bucket-level image of the row
     // order (quality desc, id asc): __bucket is monotone in id
-    val overBuckets = Window.orderBy(col("__q").desc, col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = scored.groupBy(col("quality").as("__q"), col("__bucket").as("__b"))
-      .agg(sum(col("n_tokens")).as("__btok"))
-      .withColumn("__boff", coalesce(sum(col("__btok")).over(overBuckets), lit(0L)))
-      .select(col("__q"), col("__b"), col("__boff"))
-    val withinBucket = Window.partitionBy(col("quality"), col("__bucket"))
-      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
-    scored
-      .join(broadcast(offsets),
-        col("quality") === col("__q") && col("__bucket") === col("__b"))
-      .withColumn("__woff", coalesce(sum(col("n_tokens")).over(withinBucket), lit(0L)))
-      .withColumn("tokens_before", col("__boff") + col("__woff"))
+    withTokensBefore(scored,
+      joinKeys = Seq("quality", "__bucket"),
+      offsetPartition = Seq.empty,
+      bucketOrder = Seq(col("quality").desc, col("__bucket")),
+      rowOrder = Seq(col(idCol)))
       .filter(col("tokens_before") < budget)
       .select(col(idCol), col("quality"), col("n_tokens"), col("tokens_before"))
   }
