@@ -1970,6 +1970,18 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("n"),
           col("p50"), col("p90"), col("p95"), col("p99"))),
 
+    // Quantity-weighted price percentiles per return flag — "the price
+    // level below which p% of shipped UNITS fall" (each row counts
+    // l_quantity times, never once). Rank.weightedPercentiles: the
+    // exactPercentiles range-partition machinery with per-value weight
+    // sums — same plan shape, no global window.
+    "q_weighted_percentiles" -> ((s, dir) =>
+      graft.operators.Rank.weightedPercentiles(ld(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+        .select(col("g").as("l_returnflag"), col("n").as("total_units"),
+          col("p25"), col("p50"), col("p75"), col("p90"))),
+
     // Per-row quantile-rank normalization of value within event_type —
     // the distribution-free transform before cross-scorer
     // thresholding. operators.Rank.quantileRank: per-distinct-value
@@ -5659,6 +5671,24 @@ object SparkEntry {
         |  MIN(CASE WHEN cum >= ceil(0.9 * n.n) THEN v END) AS p90,
         |  MIN(CASE WHEN cum >= ceil(0.95 * n.n) THEN v END) AS p95,
         |  MIN(CASE WHEN cum >= ceil(0.99 * n.n) THEN v END) AS p99
+        |FROM w JOIN n USING (g) GROUP BY 1, 2""".stripMargin,
+
+    // per-value mass = SUM(quantity) instead of COUNT(*); the cum/ceil
+    // rank text mirrors q_percentiles_dist exactly
+    "q_weighted_percentiles" ->
+      """WITH s AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |      CAST(l_quantity AS BIGINT) AS w
+        |    FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (SELECT g, v, SUM(w) AS c FROM s GROUP BY 1, 2),
+        |w AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT w.g AS l_returnflag, n.n AS total_units,
+        |  MIN(CASE WHEN cum >= ceil(0.25 * n.n) THEN v END) AS p25,
+        |  MIN(CASE WHEN cum >= ceil(0.5 * n.n) THEN v END) AS p50,
+        |  MIN(CASE WHEN cum >= ceil(0.75 * n.n) THEN v END) AS p75,
+        |  MIN(CASE WHEN cum >= ceil(0.9 * n.n) THEN v END) AS p90
         |FROM w JOIN n USING (g) GROUP BY 1, 2""".stripMargin,
 
     // NTILE over (value DESC, event_id) mirrors ntileExact's unique

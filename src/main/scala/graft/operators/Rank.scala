@@ -105,6 +105,37 @@ object Rank {
     require(ps.nonEmpty, "need at least one percentile")
     val g = df.select(group.as("g"), value.as("v")).na.drop(Seq("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    percentilesFromCounts(g, ps, nParts)
+  }
+
+  /** Exact WEIGHTED percentiles per group — the revenue-weighted
+    * latency / unit-weighted price readout: the weighted p-quantile is
+    * the smallest v whose cumulative weight ≥ ⌈p·W⌉ (lower weighted
+    * quantile — no interpolation, so integral weights keep the rank
+    * arithmetic exact and engine-portable). Same range-partition
+    * machinery as [[exactPercentiles]]: the per-value reduction just
+    * sums the weight instead of counting rows, so the plan shape — and
+    * its 100 TB story — is identical.
+    *
+    * @param weight integral-valued column (cast to long); NULL weight
+    *               rows are dropped with NULL values
+    */
+  def weightedPercentiles(df: DataFrame, group: Column, value: Column,
+                          weight: Column, ps: Seq[(String, Double)],
+                          nParts: Int = 32): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    val g = df.select(group.as("g"), value.as("v"),
+        weight.cast("long").as("w")).na.drop(Seq("v", "w"))
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("c"))
+    percentilesFromCounts(g, ps, nParts)
+  }
+
+  /** Shared tail of [[exactPercentiles]]/[[weightedPercentiles]]: the
+    * per-(group, value) mass relation → cumulative mass → smallest v
+    * at each ⌈p·total⌉ target rank.
+    */
+  private def percentilesFromCounts(g: DataFrame, ps: Seq[(String, Double)],
+                                    nParts: Int): DataFrame = {
     val (cum0, parted) = cumCountsByValue(g, "g", "v", nParts)
     val cum = cum0.withColumnRenamed("__n", "n")
     val aggs = ps.map { case (name, p) =>
