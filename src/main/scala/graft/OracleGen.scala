@@ -166,11 +166,6 @@ SELECT p.id_a, p.id_b, CAST($eq AS DOUBLE) / $k AS jaccard_est
 FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b"""
   }
 
-  /** Oracle for `corpus_split_leakage`: the `dedup_minhash_lsh` pair
-    * relation with both endpoints' split names (the same exact-long
-    * md5-coin boundaries as the `corpus_split` oracle), restricted to
-    * pairs that straddle splits.
-    */
   /** The split-name CASE over an id expression — the single SQL
     * replica of [[graft.operators.Corpus.splitColumn]], shared by the
     * `corpus_split` and `corpus_split_leakage` oracles so the coin
@@ -182,6 +177,11 @@ FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id
     s"CASE $cases ELSE '${bounds.last._1}' END"
   }
 
+  /** Oracle for `corpus_split_leakage`: the `dedup_minhash_lsh` pair
+    * relation with both endpoints' split names (the same exact-long
+    * md5-coin boundaries as the `corpus_split` oracle), restricted to
+    * pairs that straddle splits.
+    */
   def corpusSplitLeakage(bounds: Seq[(String, Long)]): String = {
     val k = 16
     val eq = (0 until k).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")

@@ -538,20 +538,23 @@ object SparkEntry {
     * `ts` normalized to a UTC timestamp exactly like Tables.load).
     */
   // footer-probe result for eventsStream, memoized per (session, dir,
-  // file mtime): 19 stream_* queries each paid a ~70 ms driver-side
-  // parquet footer read. The mtime in the key invalidates the entry if
-  // the fixture is regenerated in place under a live JVM (a stale ts
-  // TYPE would otherwise mis-declare every subsequent stream schema —
-  // round-8 review finding). Bounded LRU for the same reason as
-  // edgeCache: an unbounded map keyed by SparkSession pins stopped
-  // sessions' object graphs forever.
-  private val tsTypeCache: java.util.Map[(SparkSession, String, Long),
+  // file mtime, file size): 19 stream_* queries each paid a ~70 ms
+  // driver-side parquet footer read. mtime + size in the key
+  // invalidate the entry if the fixture is regenerated in place under
+  // a live JVM (a stale ts TYPE would otherwise mis-declare every
+  // subsequent stream schema — round-8 review finding); size covers
+  // the mtime blind spot (second-granularity filesystems, rsync -t /
+  // tar -p regeneration that preserves timestamps — round-9 review
+  // finding). Bounded LRU for the same reason as edgeCache: an
+  // unbounded map keyed by SparkSession pins stopped sessions' object
+  // graphs forever.
+  private val tsTypeCache: java.util.Map[(SparkSession, String, Long, Long),
       org.apache.spark.sql.types.DataType] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(SparkSession, String, Long),
+      new java.util.LinkedHashMap[(SparkSession, String, Long, Long),
           org.apache.spark.sql.types.DataType](16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(SparkSession, String, Long),
+            e: java.util.Map.Entry[(SparkSession, String, Long, Long),
               org.apache.spark.sql.types.DataType]): Boolean = size() > 16
       })
 
@@ -560,8 +563,8 @@ object SparkEntry {
     // footer-derived `ts` type (nanos-as-long on older testdata,
     // TIMESTAMP_NTZ on newer) decides what we declare; normalization to
     // a UTC timestamp then matches Tables.load exactly
-    val mtime = new java.io.File(s"$dir/events.parquet").lastModified
-    val tsType = tsTypeCache.computeIfAbsent((s, dir, mtime), _ =>
+    val f = new java.io.File(s"$dir/events.parquet")
+    val tsType = tsTypeCache.computeIfAbsent((s, dir, f.lastModified, f.length), _ =>
       s.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
@@ -3308,7 +3311,9 @@ object SparkEntry {
     // digits (≤ 1000 names) over the entire 9-digit key space — block
     // size is a property of the key design, not the corpus size, which
     // is the contract real blocking schemes must state (a short key
-    // that wraps turns blocked joins quadratic at scale).
+    // that wraps turns blocked joins quadratic at scale). The contract
+    // is machine-enforced: EntityMatch guards every blocked side and
+    // fails the job on any block above maxBlock (default 10000).
     "dedup_fuzzy_clusters" -> ((s, dir) => {
       val cust = ld(s, dir, "customer")
       val pairs = graft.operators.EntityMatch.candidatePairs(cust,
@@ -5674,12 +5679,15 @@ object SparkEntry {
         |FROM w JOIN n USING (g) GROUP BY 1, 2""".stripMargin,
 
     // per-value mass = SUM(quantity) instead of COUNT(*); the cum/ceil
-    // rank text mirrors q_percentiles_dist exactly
+    // rank text mirrors q_percentiles_dist exactly; the w > 0 filter
+    // mirrors the operator's non-positive-weight drop (vacuous on
+    // TPC-H quantities, stated for parity)
     "q_weighted_percentiles" ->
       """WITH s AS (SELECT l_returnflag AS g, l_extendedprice AS v,
         |      CAST(l_quantity AS BIGINT) AS w
         |    FROM lineitem
-        |    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |      AND l_quantity > 0),
         |c AS (SELECT g, v, SUM(w) AS c FROM s GROUP BY 1, 2),
         |w AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
@@ -7050,14 +7058,12 @@ object SparkEntry {
         |    count(*) FILTER (WHERE o.o_orderkey IS NULL) AS orphan,
         |    count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS shipb4
         |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
-        |SELECT c."check" AS "check", c.violations FROM li, o, j,
-        |  LATERAL (VALUES
-        |    ('lineitem_qty_nonpositive', qty),
-        |    ('lineitem_discount_range', disc),
-        |    ('orders_pk_duplicates', pkdup),
-        |    ('orders_null_custkey', nullck),
-        |    ('lineitem_orphan_fk', orphan),
-        |    ('lineitem_ship_before_order', shipb4)) AS c("check", violations)""".stripMargin,
+        |SELECT 'lineitem_qty_nonpositive' AS "check", qty AS violations FROM li
+        |UNION ALL SELECT 'lineitem_discount_range' AS "check", disc AS violations FROM li
+        |UNION ALL SELECT 'orders_pk_duplicates' AS "check", pkdup AS violations FROM o
+        |UNION ALL SELECT 'orders_null_custkey' AS "check", nullck AS violations FROM o
+        |UNION ALL SELECT 'lineitem_orphan_fk' AS "check", orphan AS violations FROM j
+        |UNION ALL SELECT 'lineitem_ship_before_order' AS "check", shipb4 AS violations FROM j""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id,

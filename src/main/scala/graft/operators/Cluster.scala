@@ -102,11 +102,19 @@ object Cluster {
     * registered a checkpoint. The materialized RDD lives under the
     * plan's LogicalRDD leaf; frames without one (nothing checkpointed)
     * are a no-op.
+    *
+    * Releases ONLY when the plan has exactly one LogicalRDD leaf — the
+    * shape the label-propagation loop guarantees (each `labels` is
+    * itself the checkpoint, never a join of several checkpointed
+    * relations). A multi-leaf plan means some leaf belongs to ANOTHER
+    * live frame; blanket-releasing would silently unpersist storage
+    * still in use elsewhere, so that case is left to the
+    * ContextCleaner instead (round-8 review finding).
     */
-  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false)
-      case _ => ()
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit = {
+    val leaves = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
     }
+    if (leaves.size == 1) leaves.head.rdd.unpersist(blocking = false)
+  }
 }

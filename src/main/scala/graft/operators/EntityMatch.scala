@@ -13,21 +13,54 @@ import org.apache.spark.sql.functions._
   * candidates, then keep the best match per dirty record with a
   * map-side-combinable `min_by` aggregate (no window over a global
   * key). Skewed blocks are AQE's problem, not the plan's.
+  *
+  * The per-block candidate bound is the whole scale contract, so it is
+  * MACHINE-ENFORCED, not comment-enforced: every blocked side passes
+  * through [[EntityMatch.requireBoundedBlocks]], which fails the job
+  * the moment any block exceeds `maxBlock` members — a low-cardinality
+  * block function (the classic "first letter of the name" mistake)
+  * dies loudly instead of going quadratic in production.
   */
 object EntityMatch {
+
+  /** Fail the job if any `__blk` block in `keyed` exceeds `maxBlock`
+    * members. Implemented IN the plan, not as a separate action: the
+    * per-block count is a map-side-combinable aggregate joined back on
+    * `__blk` — co-partitioned with the block join that follows, so the
+    * guard adds no exchange beyond the one the join pays anyway — and
+    * the check lives in a `filter(raise_error(...))` condition, which
+    * Catalyst cannot prune away (a dropped checked COLUMN could be).
+    */
+  private def requireBoundedBlocks(keyed: DataFrame, maxBlock: Int,
+                                   who: String): DataFrame = {
+    val sizes = keyed.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+    keyed.join(sizes, Seq("__blk"))
+      .filter(when(col("__bn") > maxBlock,
+        raise_error(concat(
+          lit(s"$who: block "), col("__blk").cast("string"),
+          lit(" has "), col("__bn").cast("string"),
+          lit(s" members (max $maxBlock) - the blocking key is too " +
+            "coarse and would turn the blocked join quadratic"))))
+        .otherwise(lit(true)))
+      .drop("__bn")
+  }
 
   /** Best clean match per dirty row. Both frames must expose `idCol`
     * and `nameCol`; `block` derives the blocking key from the name.
     * Ties (equal distance) resolve to the smallest clean id, so the
-    * result is deterministic.
+    * result is deterministic. Any block with more than `maxBlock`
+    * members on either side fails the job (see object doc).
     */
   def bestMatch(dirty: DataFrame, clean: DataFrame,
                 idCol: String, nameCol: String,
-                block: Column => Column, maxDistance: Int): DataFrame = {
-    val d = dirty.select(col(idCol).as("dirty_id"), col(nameCol).as("dirty_name"),
-      block(col(nameCol)).as("__blk"))
-    val c = clean.select(col(idCol).as("matched_id"), col(nameCol).as("clean_name"),
-      block(col(nameCol)).as("__blk"))
+                block: Column => Column, maxDistance: Int,
+                maxBlock: Int = 10000): DataFrame = {
+    val d = requireBoundedBlocks(
+      dirty.select(col(idCol).as("dirty_id"), col(nameCol).as("dirty_name"),
+        block(col(nameCol)).as("__blk")), maxBlock, "EntityMatch.bestMatch(dirty)")
+    val c = requireBoundedBlocks(
+      clean.select(col(idCol).as("matched_id"), col(nameCol).as("clean_name"),
+        block(col(nameCol)).as("__blk")), maxBlock, "EntityMatch.bestMatch(clean)")
     d.join(c, "__blk")
       .select(col("dirty_id"),
         col("matched_id"),
@@ -51,11 +84,16 @@ object EntityMatch {
     * closure finds that. Same scale shape as [[bestMatch]]: the block
     * join bounds candidates to per-block pairs (never a cross
     * product), and only candidates pay the edit-distance kernel.
+    * Blocks above `maxBlock` fail the job; guarding one side suffices
+    * for the self-join (both sides are the same keyed relation).
     */
   def candidatePairs(df: DataFrame, idCol: String, nameCol: String,
-                     block: Column => Column, maxDistance: Int): DataFrame = {
-    val a = df.select(col(idCol).cast("long").as("id_a"),
-      col(nameCol).as("__na"), block(col(nameCol)).as("__blk"))
+                     block: Column => Column, maxDistance: Int,
+                     maxBlock: Int = 10000): DataFrame = {
+    val a = requireBoundedBlocks(
+      df.select(col(idCol).cast("long").as("id_a"),
+        col(nameCol).as("__na"), block(col(nameCol)).as("__blk")),
+      maxBlock, "EntityMatch.candidatePairs")
     val b = df.select(col(idCol).cast("long").as("id_b"),
       col(nameCol).as("__nb"), block(col(nameCol)).as("__blk"))
     a.join(b, "__blk")

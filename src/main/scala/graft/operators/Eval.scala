@@ -975,7 +975,13 @@ object Eval {
     */
   def bootstrapMeanCI(df: DataFrame, valueCol: Column, idCol: Column,
                       reps: Int = 64): DataFrame = {
-    require(reps >= 2 && reps <= 4096, s"reps must be in [2, 4096]: $reps")
+    // The upper bound is the EXACTNESS bound, not a taste limit: the
+    // sd tail sums reps squared replicate means into DECIMAL(38,12)
+    // (capacity 10^26); each m^2 can reach 10^24 at the admitted
+    // |v| < 10^12 domain extreme, so only reps <= 64 keeps the
+    // accumulator provably overflow-free (64 * 10^24 < 10^26). Larger
+    // reps would fail under ANSI exactly when it matters.
+    require(reps >= 2 && reps <= 64, s"reps must be in [2, 64]: $reps")
     val vd = round(valueCol.cast("double"), 6).cast("decimal(18,6)")
     val base = df.filter(valueCol.isNotNull)
       .select(idCol.cast("string").as("id"), vd.as("v"))

@@ -117,15 +117,26 @@ object Rank {
     * sums the weight instead of counting rows, so the plan shape — and
     * its 100 TB story — is identical.
     *
-    * @param weight integral-valued column (cast to long); NULL weight
-    *               rows are dropped with NULL values
+    * @param weight integral-valued column (cast to long); NULL-weight
+    *               rows are dropped with NULL values, and rows with
+    *               weight <= 0 are dropped too (a zero weight must not
+    *               be an eligible percentile answer and a negative one
+    *               would make the cumulative mass non-monotone). A
+    *               fractional weight raises at runtime — silently
+    *               truncating it would mis-mass the distribution.
     */
   def weightedPercentiles(df: DataFrame, group: Column, value: Column,
                           weight: Column, ps: Seq[(String, Double)],
                           nParts: Int = 32): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
-    val g = df.select(group.as("g"), value.as("v"),
-        weight.cast("long").as("w")).na.drop(Seq("v", "w"))
+    val wl = weight.cast("long")
+    // lossless-cast guard: NULL weight keeps NULL (then drops); a
+    // fractional weight fails loudly instead of truncating
+    val w = when(wl.cast("double") =!= weight.cast("double"),
+      raise_error(concat(lit("weightedPercentiles: non-integral weight "),
+        weight.cast("string")))).otherwise(wl)
+    val g = df.select(group.as("g"), value.as("v"), w.as("w"))
+      .na.drop(Seq("v", "w")).filter(col("w") > 0)
       .groupBy(col("g"), col("v")).agg(sum(col("w")).as("c"))
     percentilesFromCounts(g, ps, nParts)
   }

@@ -66,6 +66,32 @@ class EntityMatchSpec extends AnyFunSuite {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
 
+  test("a degenerate (low-cardinality) block key fails loudly, not quadratically") {
+    // 8 rows, constant block key, maxBlock = 4: the guard must throw
+    // at materialization instead of silently running an 8x8 block
+    val df = (1L to 8L).map(i => (i, f"name-$i%04d")).toDF("id", "name")
+    val ex = intercept[Exception] {
+      EntityMatch.candidatePairs(df, "id", "name", _ => lit("all"),
+        maxDistance = 1, maxBlock = 4).count()
+    }
+    assert(String.valueOf(ex.getMessage).contains("too coarse") ||
+      String.valueOf(ex.getCause).contains("too coarse"))
+    val ex2 = intercept[Exception] {
+      EntityMatch.bestMatch(df, df, "id", "name", _ => lit("all"),
+        maxDistance = 1, maxBlock = 4).count()
+    }
+    assert(String.valueOf(ex2.getMessage).contains("too coarse") ||
+      String.valueOf(ex2.getCause).contains("too coarse"))
+  }
+
+  test("blocks at exactly maxBlock pass the guard") {
+    val df = (1L to 4L).map(i => (i, f"name-$i%04d")).toDF("id", "name")
+    // all 4 rows share one block; bound is 4 → no throw, pairs flow
+    val got = EntityMatch.candidatePairs(df, "id", "name", _ => lit("all"),
+      maxDistance = 1, maxBlock = 4).count()
+    assert(got == 6L) // C(4,2): every pair within distance 1 of pattern
+  }
+
   // textbook Levenshtein DP — the reference the blocked join must agree
   // with on every candidate it admits or rejects
   private def lev(a: String, b: String): Int = {

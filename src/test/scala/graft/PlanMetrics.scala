@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Whole-inventory plan-shape metrics (see PlanGateSpec): per-query
+  * counts of the operators that decide the 100 TB story — exchanges,
+  * windows, join strategies, sorts, aggregates — extracted from the
+  * PRE-EXECUTION physical plan (AQE's initial plan), so the numbers
+  * are a deterministic function of the code + fixture schemas/sizes
+  * and never of runtime statistics. PlanSpec pins ~20 hand-picked
+  * shapes precisely; this gate pins the OTHER 250 queries coarsely, so
+  * a future edit that re-introduces, say, a global window below an
+  * aggregate or turns a broadcast join into a sort-merge join fails a
+  * spec instead of shipping silently.
+  *
+  * Streaming queries cannot produce a batch physical plan (Spark
+  * requires writeStream for that), so they are counted on the
+  * OPTIMIZED LOGICAL plan instead — coarser, but join/aggregate/window
+  * counts still pin the dataflow shape. The mode is recorded per query
+  * so a query silently switching granularity is itself a diff.
+  */
+object PlanMetrics {
+
+  /** Physical node names counted (word-boundary, so `Sort` does not
+    * match `SortMergeJoin`/`SortAggregate`, and `Exchange` — Spark's
+    * print name for the shuffle — does not match `BroadcastExchange`).
+    */
+  val physicalTokens: Seq[String] = Seq(
+    "Exchange", "BroadcastExchange", "ReusedExchange",
+    "Window", "WindowGroupLimit", "Sort",
+    "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct",
+    "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+    "Generate")
+
+  /** Logical node names counted for streaming plans. */
+  val logicalTokens: Seq[String] = Seq(
+    "Join", "Aggregate", "Window", "Deduplicate", "Generate", "Sort",
+    "Repartition", "FlatMapGroupsWithState", "TransformWithState")
+
+  def tokenCounts(plan: String, tokens: Seq[String]): Map[String, Int] =
+    tokens.map { t =>
+      t -> ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(t) +
+        "(?![A-Za-z0-9_])").r.findAllMatchIn(plan).size
+    }.filter(_._2 > 0).toMap
+
+  /** (mode, counts) for one query's DataFrame. */
+  def metrics(df: DataFrame): (String, Map[String, Int]) =
+    if (df.isStreaming)
+      ("logical", tokenCounts(df.queryExecution.optimizedPlan.toString, logicalTokens))
+    else
+      ("physical", tokenCounts(df.queryExecution.executedPlan.toString, physicalTokens))
+
+  /** Deterministic one-line-per-query JSON of the whole inventory. */
+  def inventoryJson(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (mode, counts) = metrics(fn(spark, sfDir))
+      val kvs = (Seq("\"mode\":\"" + mode + "\"") ++
+        counts.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v })
+        .mkString("{", ",", "}")
+      "\"" + name + "\": " + kvs
+    }
+    rows.mkString("{\n", ",\n", "\n}\n")
+  }
+
+  val goldenPath = "src/test/resources/plan-metrics-sf0.001.json"
+}
+
+/** Regenerate the golden plan-metrics file after an INTENDED plan
+  * change: `sbt "Test/runMain graft.PlanGate"` — then review the git
+  * diff of the golden like any other code change.
+  */
+object PlanGate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val json = PlanMetrics.inventoryJson(TestSpark.spark, sfDir)
+    val p = java.nio.file.Paths.get(PlanMetrics.goldenPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+    println(s"wrote ${PlanMetrics.goldenPath}")
+    TestSpark.spark.stop()
+  }
+}

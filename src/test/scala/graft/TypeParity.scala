@@ -46,6 +46,8 @@ object TypeParity {
     */
   def duckdbToSpark(sql: String): String = {
     var s = sql
+    // recursion first: it gates whether the analyzer sees the rest
+    s = unrollRecursiveCtes(s)
     // composites before the generic renames they'd otherwise collide with
     s = s.replaceAll("(?i)unnest\\(generate_series\\(([^()]*)\\)\\)", "explode(sequence($1))")
     s = s.replaceAll("(?i)(?<![A-Za-z0-9_])generate_series\\(([^()]*)\\)", "explode(sequence($1))")
@@ -102,6 +104,72 @@ object TypeParity {
     // foldable literal — the row count never affects the schema
     s = stubUnfoldableLimit(s)
     quoteAwarePass(s)
+  }
+
+  /** TYPE-ANALYSIS unrolling of `WITH RECURSIVE`: Spark rejects the
+    * plain-UNION recursion the closure oracles run in DuckDB, but a
+    * recursive CTE's schema IS its base branch's schema (SQL requires
+    * the branches union-compatible), so for typing it suffices to drop
+    * the RECURSIVE keyword and truncate every SELF-REFERENCING CTE
+    * body at its first top-level UNION — the recursive branch
+    * disappears, the base branch carries the kinds. Non-recursive CTEs
+    * in the same WITH clause (e.g. the symmetrized `edges` UNION) are
+    * left intact.
+    */
+  private def unrollRecursiveCtes(sql: String): String = {
+    if (!"(?i)\\bWITH\\s+RECURSIVE\\b".r.findFirstIn(sql).isDefined) return sql
+    val s = sql.replaceAll("(?i)\\bWITH\\s+RECURSIVE\\b", "WITH")
+    val out = new StringBuilder
+    // position after "WITH "
+    val withM = "(?i)\\bWITH\\s+".r.findFirstMatchIn(s).get
+    out.append(s.substring(0, withM.end))
+    var i = withM.end
+    var more = true
+    while (more) {
+      // identifier
+      val nameStart = i
+      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      val name = s.substring(nameStart, i)
+      // up to and including the opening paren of "AS ("
+      val bodyOpen = s.indexOf('(', i)
+      out.append(s.substring(nameStart, bodyOpen + 1))
+      // balanced, quote-aware body scan recording top-level UNIONs
+      var j = bodyOpen + 1; var depth = 0; var inQ = false
+      var firstUnion = -1
+      while (j < s.length && !(depth == 0 && !inQ && s.charAt(j) == ')')) {
+        val c = s.charAt(j)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'U' | 'u' if depth == 0 && firstUnion < 0 &&
+              s.regionMatches(true, j, "UNION", 0, 5) &&
+              (j == 0 || !s.charAt(j - 1).isLetterOrDigit) &&
+              (j + 5 >= s.length || !s.charAt(j + 5).isLetterOrDigit) =>
+            firstUnion = j
+          case _ =>
+        }
+        j += 1
+      }
+      val body = s.substring(bodyOpen + 1, j)
+      val selfRef = ("(?i)(?<![A-Za-z0-9_])" +
+        java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
+        .findFirstIn(body).isDefined
+      out.append(
+        if (selfRef && firstUnion >= 0) s.substring(bodyOpen + 1, firstUnion)
+        else body)
+      out.append(')')
+      i = j + 1
+      // next CTE or the main query
+      var k = i
+      while (k < s.length && s.charAt(k).isWhitespace) k += 1
+      if (k < s.length && s.charAt(k) == ',') { out.append(s.substring(i, k + 1)); i = k + 1 }
+      else { out.append(s.substring(i)); more = false }
+      // skip whitespace before the next identifier
+      if (more) { while (i < s.length && s.charAt(i).isWhitespace) { out.append(s.charAt(i)); i += 1 } }
+    }
+    out.toString
   }
 
   /** `LIMIT <non-numeric expression>` → `LIMIT 100`, consuming the
@@ -323,13 +391,13 @@ object TypeParity {
     * rejects even after [[duckdbToSpark]] — these get rows/hash coverage
     * from the driver but no in-JVM type-parity coverage. Keep this list
     * justified: each entry should name the construct.
+    *
+    * EMPTY since round 9: the recursive-closure oracles type through
+    * [[unrollRecursiveCtes]] and `q_dq_checks` was rewritten from
+    * LATERAL VALUES to a plain UNION ALL stack (identical DuckDB
+    * results) — every declared oracle is canary-covered. Keep the set
+    * (and its pinning test) so any future DuckDB-only construct must
+    * be named here to opt out.
     */
-  val duckdbOnlyOracles: Set[String] = Set(
-    "dedup_clusters",        // WITH RECURSIVE ... UNION (Spark: UNION unsupported in recursion)
-    "dedup_source_stats",    // WITH RECURSIVE ... UNION
-    "dedup_fuzzy_clusters",  // WITH RECURSIVE ... UNION
-    "graph_components",      // WITH RECURSIVE ... UNION
-    "graph_component_sizes", // WITH RECURSIVE ... UNION
-    "q_dq_checks"            // inline VALUES table referencing an outer column
-  )
+  val duckdbOnlyOracles: Set[String] = Set.empty
 }
