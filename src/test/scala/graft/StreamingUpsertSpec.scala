@@ -237,4 +237,62 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(latest("k2").payload == "v2@2" && latest("k2").order == 2,
       "stale post-restart event must lose to the checkpointed state")
   }
+
+  test("upsert survives a restart with a CHANGED spark.sql.shuffle.partitions: " +
+      "the checkpoint pins the original state partitioning, results unchanged") {
+    // The operational failure mode a real deployment hits first: ops
+    // bumps shuffle partitions (cluster resize, conf cleanup) and
+    // restarts the job on its old checkpoint. Spark HANDLES this for
+    // stateful queries by pinning the state partition count in the
+    // offset log at first run — the session conf is ignored on resume
+    // — so the LWW fold must behave exactly as if nothing changed.
+    // This test proves both halves: identical results, and the state
+    // directory still laid out at the ORIGINAL partition count.
+    import org.apache.spark.sql.functions.col
+    val root = s"target/tmp/upsert-rescale-${System.nanoTime()}"
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key STRING, order BIGINT, op STRING, payload STRING")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    def runWith(parts: Int)(data: KeyedEvent*): Unit = {
+      spark.conf.set(partsKey, parts.toString)
+      data.toDS().write.mode("append").parquet(in)
+      val q = StreamingUpsert.upsert(
+        spark.readStream.schema(schema).parquet(in).as[KeyedEvent])
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeyState], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      // run 1 at 3 state partitions: establish k1..k3
+      runWith(3)(KeyedEvent("k1", 1, "c", "v1@1"),
+        KeyedEvent("k2", 2, "c", "v2@2"), KeyedEvent("k3", 3, "c", "v3@3"))
+      // run 2 at 11: a genuine update, a stale event, and a tombstone —
+      // every transition that depends on the checkpointed state
+      runWith(11)(KeyedEvent("k1", 5, "u", "v1@5"),
+        KeyedEvent("k2", 1, "u", "STALE"), KeyedEvent("k3", 7, "d", ""))
+
+      val latest = StreamingUpsert.latestPerKey(
+        spark.read.parquet(out).as[KeyState]).collect().map(s => s.key -> s).toMap
+      assert(latest("k1").payload == "v1@5" && latest("k1").order == 5)
+      assert(latest("k2").payload == "v2@2" && latest("k2").order == 2,
+        "stale event must lose to state restored under the NEW conf")
+      assert(latest("k3").op == "d", "tombstone must land on restored state")
+
+      // the state store is still laid out at run 1's partition count —
+      // proof the rescaled conf was ignored rather than half-applied
+      val statePartDirs = new java.io.File(s"$ckpt/state/0")
+        .listFiles().count(f => f.isDirectory && f.getName.forall(_.isDigit))
+      assert(statePartDirs == 3,
+        s"state dir shows $statePartDirs partitions; expected the " +
+          "checkpoint-pinned 3 regardless of the restart conf 11")
+    } finally spark.conf.set(partsKey, prevParts)
+  }
 }
