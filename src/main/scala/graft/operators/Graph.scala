@@ -40,13 +40,29 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // node count + BOTH closure guards in ONE job: full-outer the
-    // out-degree keys against the distinct destinations — a dst-only
-    // row is a dangling sink (leaks rank), a src-only row never
-    // receives contributions (would vanish without an outer join in
-    // the iteration)
-    val guard = deg.select(col("src").as("ns"))
-      .join(e.select(col("dst").as("nd")).distinct(),
+
+    // degree pre-joined into the edge relation ONCE and hash-
+    // partitioned by source: each iteration then shuffles only the
+    // 2-column rank relation into this partitioning plus one map-side-
+    // combined aggregate by destination — two exchanges per iteration,
+    // edges at rest. (Disjoint column names: the iteration self-joins
+    // lineage-shared frames, which trips the ambiguous-column check
+    // under qualified references.) The inner join drops nothing: deg's
+    // keys are exactly e's srcs by construction.
+    val eW = e.join(deg, "src")
+      .select(col("src").as("esrc"), col("dst").as("edst"), col("deg"))
+      .repartition(col("esrc")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // node count + BOTH closure guards in ONE job — a dst-only node is
+    // a dangling sink (leaks rank), a src-only node never receives
+    // contributions (would vanish without an outer join in the
+    // iteration) — computed OVER eW so the guard's collect doubles as
+    // eW's cache materialization: one pass over the edges total, where
+    // building the guard from `e` re-aggregated the degree relation
+    // and re-scanned the raw edges in a second job (measured ~25% of
+    // the query at sf0.1, round-9 profiling).
+    val guard = eW.select(col("esrc").as("ns")).distinct()
+      .join(eW.select(col("edst").as("nd")).distinct(),
         col("ns") === col("nd"), "full_outer")
       .agg(count(lit(1)).as("n"),
         sum(when(col("ns").isNull, 1L).otherwise(0L)).as("noOut"),
@@ -62,26 +78,15 @@ object Graph {
         "contribution-less node(s) found) — symmetrize the edge set first")
     val teleport = (1.0 - damping) / n
 
-    // degree pre-joined into the edge relation ONCE and hash-
-    // partitioned by source: each iteration then shuffles only the
-    // 2-column rank relation into this partitioning plus one map-side-
-    // combined aggregate by destination — two exchanges per iteration,
-    // edges at rest. Persist is LAZY: the single materializing action
-    // below computes eW once and every iteration's stages read the
-    // cache. (Disjoint column names: the iteration self-joins lineage-
-    // shared frames, which trips the ambiguous-column check under
-    // qualified references.)
-    val eW = e.join(deg, "src")
-      .select(col("src").as("esrc"), col("dst").as("edst"), col("deg"))
-      .repartition(col("esrc")).persist(StorageLevel.MEMORY_AND_DISK)
-
     // iterations CHAIN LAZILY into one multi-stage job (measured ~2×
     // cheaper than checkpointing each: no per-iteration job submit +
     // block write), with a lineage cap every 8 iterations so a large
     // `iters` cannot blow up analysis time; one final localCheckpoint
     // materializes the result so e/eW can be unpersisted safely before
     // the caller evaluates.
-    var ranks = deg.select(col("src").as("node"))
+    // seed from the CACHED eW (same key set as deg — its srcs), so the
+    // iteration job never re-aggregates the raw edge relation
+    var ranks = eW.select(col("esrc").as("node")).distinct()
       .withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
       // closure guarantees every node receives ≥1 contribution, so the

@@ -132,6 +132,22 @@ class InventorySpec extends AnyFunSuite {
     assert(TypeParity.mismatches(oracle, oracle).isEmpty)
   }
 
+  // MANIFEST.json is the mechanical round-diff surface; a query added
+  // without regenerating it (sbt "Test/runMain graft.GateManifest")
+  // would silently fall out of the diffable record.
+  test("gate manifest: MANIFEST.json covers exactly the declared inventory") {
+    val f = new java.io.File(GateManifest.path)
+    assume(f.exists())
+    val names = "^\"([A-Za-z0-9_]+)\": \\{".r
+    val inManifest = java.nio.file.Files.readString(f.toPath)
+      .linesIterator.flatMap(l => names.findFirstMatchIn(l.trim).map(_.group(1))).toSet
+    val declared = SparkEntry.queries.keySet
+    assert(inManifest == declared,
+      s"manifest drift - regenerate: sbt \"Test/runMain graft.GateManifest\"; " +
+        s"missing=${(declared -- inManifest).toSeq.sorted} " +
+        s"stale=${(inManifest -- declared).toSeq.sorted}")
+  }
+
   test("README's query count matches the declared inventory") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
