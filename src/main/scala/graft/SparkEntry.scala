@@ -1938,6 +1938,16 @@ object SparkEntry {
       graft.operators.Eval.kaplanMeier(ld(s, dir, "events"),
         col("ts"), col("user_id"))),
 
+    // Two-arm log-rank churn test (odd vs even user ids as the A/B
+    // arms): did cohort A's lifetimes differ significantly from B's —
+    // the significance companion to q_survival_km's curve.
+    // operators.Eval.logRank: one span groupBy, then the bounded
+    // (time × arm) grid with arm-partitioned reverse-cumulative risk
+    // sets; per-time E/V terms 6-dp-rounded and decimal-summed.
+    "q_logrank" -> ((s, dir) =>
+      graft.operators.Eval.logRank(ld(s, dir, "events"),
+        col("ts"), col("user_id"), pmod(col("user_id"), lit(2)) === 1)),
+
     // Robust anomaly detection: per-type median + MAD (both via the
     // scale-safe Rank.exactPercentiles — no per-group window buffer),
     // flag rows with |v − med| > 3.5·MAD. Medians broadcast back; the
@@ -2027,6 +2037,16 @@ object SparkEntry {
       graft.operators.Eval.ksStatistic(ld(s, dir, "events"), col("value"),
         col("event_type") === "purchase", col("event_type") === "click")),
 
+    // Two-sample Cramér–von Mises statistic over the same cohorts —
+    // the whole-CDF drift readout that completes the PSI/KS/JSD family
+    // (diffuse drift registers even when no single ECDF gap is large).
+    // operators.Eval.cvmStatistic: the ksStatistic machinery (one
+    // distinct-value groupBy + range-partitioned prefix sums), exact
+    // integer Σ c·(caΔnb − cbΔna)², one final double division.
+    "q_cvm_drift" -> ((s, dir) =>
+      graft.operators.Eval.cvmStatistic(ld(s, dir, "events"), col("value"),
+        col("event_type") === "purchase", col("event_type") === "click")),
+
     // Decile lift/gain table of `value` ranking purchases —
     // operators.Eval.liftTable over Rank.ntileExact (range-partition
     // NTILE, no single-partition corpus window).
@@ -2041,6 +2061,54 @@ object SparkEntry {
       val split = lit("2024-01-15 00:00:00").cast("timestamp")
       graft.operators.Eval.psiDrift(ld(s, dir, "events"), col("value"),
         col("ts") < split, col("ts") >= split)
+    }),
+
+    // Jensen-Shannon divergence over the same before/after split and
+    // value bins as q_psi_drift — the symmetric, ln2-bounded drift
+    // readout (PSI is unbounded and smoothing-dependent); empty-bin
+    // terms are exactly 0 so no Laplace smoothing enters.
+    // operators.Eval.jsDivergence rides the psiBinCounts head.
+    "q_jsd_drift" -> ((s, dir) => {
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      graft.operators.Eval.jsDivergence(ld(s, dir, "events"), col("value"),
+        col("ts") < split, col("ts") >= split)
+    }),
+
+    // Cohen's kappa between two document-quality raters (a length
+    // bucketer on n_chars vs a space-count bucketer on the text) — the
+    // inter-annotator-agreement gate before trusting auto-labels.
+    // operators.Eval.cohenKappa: one k x k cell groupBy, exact-integer
+    // marginal products, two double divisions at the end.
+    "q_cohen_kappa" -> ((s, dir) => {
+      val d = ld(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+      graft.operators.Eval.cohenKappa(d,
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 1000, "medium").otherwise("long"),
+        when(spaces < 40, "short")
+          .when(spaces < 200, "medium").otherwise("long"))
+    }),
+
+    // Benjamini-Hochberg FDR correction over one upstream p-value per
+    // (nation, segment) customer cell — the multiple-testing gate a
+    // pipeline runs before acting on "significant" segments. The
+    // per-cell p arrives from upstream (here the deterministic
+    // md5-coin uniform, the corpus_split convention); the operator is
+    // the step-up procedure itself. operators.Eval.bhFdr: rank window
+    // over the aggregate-reduced (bounded) test relation only.
+    "q_bh_fdr" -> ((s, dir) => {
+      val cells = ld(s, dir, "customer")
+        .join(broadcast(ld(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("p", round(
+          (conv(substring(md5(concat(col("nation"), lit("|"), col("segment"))),
+            1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) /
+            lit(4294967296.0), 9))
+      graft.operators.Eval.bhFdr(cells,
+        Seq("nation", "segment", "n_customers"), col("p"), alpha = 0.1)
     }),
 
     // Mutual information between event_type and the binned value —
@@ -2060,6 +2128,22 @@ object SparkEntry {
         sum(dec(col("value"))).as("x"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
       graft.operators.Eval.spearman(u, col("x"), col("y"))
+    }),
+
+    // Kendall τ-b between monthly order count and monthly gross per
+    // nation — the tie-corrected concordance companion to q_spearman.
+    // operators.Eval.kendallTauB over an aggregate-reduced BOUNDED
+    // relation (≤ 25 nations × the fixed date window's months,
+    // SF-independent — the bhFdr/mannKendall boundedness contract);
+    // pairs enumerate distinct (x, y) CELLS, exact integers to one
+    // final sqrt-division.
+    "q_kendall_tau" -> ((s, dir) => {
+      val u = ld(s, dir, "orders")
+        .join(ld(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), date_trunc("month", col("o_orderdate"))
+          .as("mon"))
+        .agg(count(lit(1)).as("x"), sum(dec(col("o_totalprice"))).as("y"))
+      graft.operators.Eval.kendallTauB(u, col("x"), col("y"))
     }),
 
     // Mean NDCG@10 of value ranking purchases within each user's event
@@ -2641,6 +2725,16 @@ object SparkEntry {
         col("doc_id"),
         TF.tokenCount(col("text")).cast("long").as("n_tokens"),
         TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+
+    // Zipf tail exponent of the corpus token-frequency distribution —
+    // the Hill estimator over distinct-token frequencies ≥ 5 (the
+    // vocabulary twin of graph_powerlaw's degree readout): healthy
+    // natural text sits near α ≈ 2; template-spam shards drift.
+    // operators.Corpus.zipfAlpha: one token→frequency shuffle, then the
+    // estimator reduces over the (much smaller) frequency histogram.
+    "text_zipf" -> ((s, dir) =>
+      graft.operators.Corpus.zipfAlpha(ld(s, dir, "documents"),
+        col("text"), fMin = 5)),
 
     // Character-level Shannon entropy per document (nats) — the
     // compressibility screen: near-zero entropy flags degenerate /
@@ -3391,6 +3485,14 @@ object SparkEntry {
     "graph_jaccard_neighbors" -> ((s, dir) =>
       graft.operators.Graph.edgeJaccard(coActivityOrientedCached(s, dir))),
 
+    // Per-vertex local clustering coefficient — the node-level
+    // companion to graph_triangles' global transitivity: C(v) =
+    // 2*T(v)/(d(d-1)). Triangles enumerated once each from the shared
+    // memoized compact-forward DAG; each credits its three corners via
+    // a 3-row explode + map-side-combinable groupBy.
+    "graph_clustering_coeff" -> ((s, dir) =>
+      graft.operators.Graph.vertexClustering(coActivityOrientedCached(s, dir))),
+
     // Component-size histogram — the connectivity readout (is the
     // graph one giant component or fragments?). Two map-side-combined
     // groupBys on top of the memoized component labels.
@@ -3459,6 +3561,19 @@ object SparkEntry {
         .select(col("node"), col("n_reached"), col("total_dist"),
           round(col("n_reached").cast("double") / col("total_dist"), 6)
             .as("closeness"))
+    }),
+
+    // Per-landmark eccentricity (max BFS hop) + reach from the same
+    // bounded-landmark multi-source BFS — max over landmarks is the
+    // textbook diameter LOWER bound, the readout behind choosing
+    // iteration counts for the fixpoint operators. 3 hops; `capped`
+    // marks landmarks whose walk hit the cap (ecc is a floor there).
+    "graph_eccentricity" -> ((s, dir) => {
+      val ev = ld(s, dir, "events")
+      graft.operators.Graph.landmarkEccentricity(coActivityCached(s, dir),
+        ev.select(col("user_id").as("lm")).filter(col("lm") % 41 === 0)
+          .distinct(),
+        maxHops = 3)
     }),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -5421,6 +5536,41 @@ object SparkEntry {
         |  END AS spearman_rho
         |FROM s""".stripMargin,
 
+    // τ-b: identical (x, y) rows collapse into weighted cells; pairs
+    // enumerate cell-against-cell via the strict row-value order, so
+    // each unordered pair counts once; everything exact integers until
+    // the final sqrt-division (integer // keeps n0/n1/n2 exact)
+    "q_kendall_tau" ->
+      """WITH u AS (SELECT c_nationkey, date_trunc('month', o_orderdate) AS mon,
+        |    COUNT(*) AS x, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |cells AS (SELECT x, y, COUNT(*) AS c FROM u
+        |  WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT CAST(l.c AS HUGEINT) * r.c AS w,
+        |    (l.x < r.x) = (l.y < r.y) AS conc,
+        |    l.x = r.x AS tx, l.y = r.y AS ty
+        |  FROM cells l JOIN cells r ON (l.x, l.y) < (r.x, r.y)),
+        |cd AS (SELECT
+        |    COALESCE(SUM(CASE WHEN NOT tx AND NOT ty AND conc THEN w ELSE 0 END), 0) AS cc,
+        |    COALESCE(SUM(CASE WHEN NOT tx AND NOT ty AND NOT conc THEN w ELSE 0 END), 0) AS dd
+        |  FROM p),
+        |txx AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) // 2), 0) AS n1
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+        |tyy AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) // 2), 0) AS n2
+        |  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+        |nn AS (SELECT SUM(c) AS n, COUNT(*) AS n_cells FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+        |  CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+        |  CAST(n1 AS BIGINT) AS ties_x, CAST(n2 AS BIGINT) AS ties_y,
+        |  CASE WHEN CAST(n AS HUGEINT) * (n - 1) // 2 > n1
+        |      AND CAST(n AS HUGEINT) * (n - 1) // 2 > n2 THEN
+        |    round(CAST(cc - dd AS DOUBLE) /
+        |      sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n1 AS DOUBLE)
+        |        * CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n2 AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM nn CROSS JOIN cd CROSS JOIN txx CROSS JOIN tyy""".stripMargin,
+
     "q_ndcg" ->
       """WITH ranked AS (SELECT user_id AS q,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
@@ -5513,6 +5663,66 @@ object SparkEntry {
         |  FROM km JOIN idx i ON i.rn = km.rn + 1)
         |SELECT t AS t_days, n_risk, d AS n_deaths, s AS survival
         |FROM km""".stripMargin,
+
+    // log-rank: the KM span/censoring conventions split into two arms
+    // (odd/even user id); dense (time x arm) grid, per-arm reverse-
+    // cumulative risk sets, per-death-time E/V terms 6-dp-rounded then
+    // decimal-summed (order-free) — mirrors operators.Eval.logRank
+    // step for step.
+    "q_logrank" ->
+      """WITH life AS (SELECT user_id,
+        |    MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS f,
+        |    MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS l,
+        |    MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS arm
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |hz AS (SELECT MAX(l) AS m FROM life),
+        |sizes AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM life),
+        |dur AS (SELECT arm, CAST(l - f AS BIGINT) AS t, COUNT(*) AS n_at,
+        |    CAST(SUM(CASE WHEN l < m THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM life CROSS JOIN hz GROUP BY 1, 2),
+        |grid AS (SELECT a.arm, tt.t,
+        |    CAST(COALESCE(dur.n_at, 0) AS BIGINT) AS n_at,
+        |    CAST(COALESCE(dur.d, 0) AS BIGINT) AS d
+        |  FROM (SELECT DISTINCT t FROM dur) tt
+        |  CROSS JOIN (SELECT DISTINCT arm FROM dur) a
+        |  LEFT JOIN dur ON dur.arm = a.arm AND dur.t = tt.t),
+        |risked AS (SELECT arm, t, n_at, d,
+        |    CAST(SUM(n_at) OVER (PARTITION BY arm ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM grid),
+        |bytime AS (SELECT t,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN n_risk ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(n_risk) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(d) AS BIGINT) AS dd
+        |  FROM risked GROUP BY 1),
+        |terms AS (SELECT t, d1,
+        |    round(CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)),
+        |      6) AS e1,
+        |    CASE WHEN n > 1 THEN
+        |      round(CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST(n - dd AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+        |    ELSE 0.0 END AS v
+        |  FROM bytime WHERE dd > 0),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+        |    CAST(SUM(d1) AS BIGINT) AS o_a,
+        |    SUM(CAST(e1 AS DECIMAL(25,12))) AS e_raw,
+        |    SUM(CAST(v AS DECIMAL(25,12))) AS v_raw
+        |  FROM terms)
+        |SELECT n_a, n_b, n_times, o_a,
+        |  round(CAST(e_raw AS DOUBLE), 6) AS e_a,
+        |  round(CAST(v_raw AS DOUBLE), 6) AS var_a,
+        |  CASE WHEN v_raw > 0 THEN
+        |    round((CAST(o_a AS DOUBLE) - CAST(e_raw AS DOUBLE)) *
+        |      (CAST(o_a AS DOUBLE) - CAST(e_raw AS DOUBLE)) /
+        |      CAST(v_raw AS DOUBLE), 6) END AS chi2
+        |FROM agg CROSS JOIN sizes""".stripMargin,
 
     "q_funnel_latency" ->
       """WITH fc AS (SELECT user_id, MIN(ts) AS ta FROM events
@@ -5750,6 +5960,100 @@ object SparkEntry {
         |    AS psi FROM t2)
         |SELECT bin, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b, term, psi
         |FROM t2 CROSS JOIN p""".stripMargin,
+
+    // JSD over the identical split/bins as q_psi_drift: unsmoothed
+    // shares, 0-valued empty-bin terms, 6-dp terms decimal-summed;
+    // jsd_bits re-rounds jsd/ln 2 (mirrors operators.Eval.jsDivergence)
+    "q_jsd_drift" ->
+      """WITH s AS (SELECT value AS v,
+        |    CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT CAST(least(greatest(floor(v), -5), 5) AS BIGINT) AS bin,
+        |    SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY 1),
+        |axis AS (SELECT CAST(u.i AS BIGINT) AS bin FROM unnest(range(-5, 6)) u(i)),
+        |f AS (SELECT axis.bin, CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+        |    CAST(COALESCE(cb, 0) AS BIGINT) AS cb FROM axis LEFT JOIN g USING (bin)),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nbt FROM f),
+        |probs AS (SELECT bin, ca, cb,
+        |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(cb AS DOUBLE) / CAST(nbt AS DOUBLE) AS pb
+        |  FROM f CROSS JOIN t),
+        |t2 AS (SELECT bin, ca, cb, pa, pb, (pa + pb) / 2.0 AS mid FROM probs),
+        |t3 AS (SELECT bin, ca, cb, pa, pb,
+        |    round((CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / mid) ELSE 0.0 END) +
+        |          (CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / mid) ELSE 0.0 END),
+        |      6) AS term
+        |  FROM t2),
+        |j AS (SELECT round(CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6)
+        |    AS jsd FROM t3)
+        |SELECT bin, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b, term,
+        |  jsd, round(jsd / ln(2.0), 6) AS jsd_bits
+        |FROM t3 CROSS JOIN j""".stripMargin,
+
+    // Cohen's kappa: k x k rater cells, exact-integer marginal
+    // products (DECIMAL(19,0) keeps the DuckDB product width at 38),
+    // two double divisions then the kappa combination (mirrors
+    // operators.Eval.cohenKappa)
+    "q_cohen_kappa" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |      WHEN n_chars < 1000 THEN 'medium' ELSE 'long' END AS a,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) < 40
+        |        THEN 'short'
+        |      WHEN length(text) - length(replace(text, ' ', '')) < 200
+        |        THEN 'medium' ELSE 'long' END AS b
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |cells AS (SELECT a, b, COUNT(*) AS o FROM d GROUP BY 1, 2),
+        |am AS (SELECT a AS k, SUM(o) AS na FROM cells GROUP BY 1),
+        |bm AS (SELECT b AS k, SUM(o) AS nb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cells),
+        |lab AS (SELECT CAST(COALESCE(na, 0) AS DECIMAL(19,0)) AS na,
+        |    CAST(COALESCE(nb, 0) AS DECIMAL(19,0)) AS nb
+        |  FROM am FULL JOIN bm ON am.k = bm.k),
+        |pe AS (SELECT SUM(na * nb) AS pe_num,
+        |    CAST(COUNT(*) AS BIGINT) AS n_labels FROM lab),
+        |po AS (SELECT n, n_labels, agree,
+        |    round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_o,
+        |    round(CAST(pe_num AS DOUBLE) /
+        |      CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+        |        AS DOUBLE), 6) AS p_e
+        |  FROM tot CROSS JOIN pe)
+        |SELECT n, n_labels, agree, p_o, p_e,
+        |  CASE WHEN p_e < 1.0 THEN round((p_o - p_e) / (1.0 - p_e), 6) END
+        |    AS kappa
+        |FROM po""".stripMargin,
+
+    // BH step-up: deterministic md5-coin p per (nation, segment) cell,
+    // rank by (p, keys), largest passing rank rejects its prefix
+    // (mirrors operators.Eval.bhFdr; the rank window runs over the
+    // 125-cell aggregate only)
+    "q_bh_fdr" ->
+      """WITH cells AS (SELECT n_name AS nation, c_mktsegment AS segment,
+        |    CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |pv AS (SELECT nation, segment, n_customers,
+        |    round((CAST(CAST('0x' || substr(md5(nation || '|' || segment), 1, 8)
+        |        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0, 9) AS p
+        |  FROM cells),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pv),
+        |ranked AS (SELECT nation, segment, n_customers, pv.p, mm.m,
+        |    CAST(row_number() OVER
+        |      (ORDER BY pv.p, nation, segment, n_customers) AS INTEGER) AS rank
+        |  FROM pv CROSS JOIN mm),
+        |thresh AS (SELECT *,
+        |    round(CAST(rank AS DOUBLE) * 0.1 / CAST(m AS DOUBLE), 6)
+        |      AS bh_thresh
+        |  FROM ranked),
+        |k AS (SELECT COALESCE(MAX(CASE WHEN p <= bh_thresh THEN rank END), 0)
+        |    AS kmax FROM thresh)
+        |SELECT nation, segment, n_customers, p AS p_value, rank, m, bh_thresh,
+        |  rank <= kmax AS rejected
+        |FROM thresh CROSS JOIN k""".stripMargin,
 
     // the streaming PSI monitor must agree with the batch definition —
     // identical oracle text by construction
@@ -6076,6 +6380,32 @@ object SparkEntry {
         |  v AS at_value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
         |FROM m WHERE rn = 1""".stripMargin,
 
+    // CvM: same distinct-value ECDF machinery as KS; the statistic is
+    // the exact-integer sum c·(ca·nb − cb·na)² over all distinct
+    // values, one final double division (÷ na·nb·(na+nb)²)
+    "q_cvm_drift" ->
+      """WITH s AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'click')),
+        |g AS (SELECT v, SUM(a) AS a, SUM(b) AS b FROM s GROUP BY v),
+        |c AS (SELECT v, a, b, SUM(a) OVER w AS ca, SUM(b) OVER w AS cb FROM g
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT MAX(ca) AS na, MAX(cb) AS nb, COUNT(*) AS nd FROM c),
+        |x AS (SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(nd) AS nd,
+        |    SUM(CAST(a + b AS HUGEINT)
+        |      * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |      * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS s
+        |  FROM c CROSS JOIN t)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(nd AS BIGINT) AS n_distinct,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(CAST(s AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)), 6)
+        |  END AS cvm_t
+        |FROM x""".stripMargin,
+
     "q_stats_moments" ->
       """SELECT event_type, COUNT(*) AS n,
         |  round(stddev_samp(value), 6) AS stddev_value,
@@ -6285,6 +6615,29 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token HAVING COUNT(*) >= 50""".stripMargin,
+
+    // Zipf/Hill exponent over distinct-token frequencies — the
+    // graph_powerlaw formula replayed on the vocabulary (same 6-dp
+    // log terms summed as exact decimal)
+    "text_zipf" ->
+      """WITH f AS (SELECT token, COUNT(*) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |h AS (SELECT f, COUNT(*) AS n_toks FROM f GROUP BY f),
+        |agg AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS n_vocab,
+        |    CAST(SUM(CASE WHEN f >= 5 THEN n_toks END) AS BIGINT) AS n_tail,
+        |    CAST(MAX(CASE WHEN f >= 5 THEN f END) AS BIGINT) AS f_max,
+        |    SUM(CASE WHEN f >= 5 THEN
+        |      CAST(round(CAST(n_toks AS DOUBLE)
+        |          * ln(CAST(f AS DOUBLE) / 5.0), 6)
+        |        AS DECIMAL(25,12)) END) AS lsum
+        |  FROM h)
+        |SELECT n_vocab, COALESCE(n_tail, 0) AS n_tail,
+        |  CAST(5 AS BIGINT) AS f_min, f_max,
+        |  CASE WHEN lsum > 0 THEN
+        |    round(1.0 + CAST(COALESCE(n_tail, 0) AS DOUBLE)
+        |      / CAST(lsum AS DOUBLE), 6) END AS alpha
+        |FROM agg""".stripMargin,
 
     "q_json_extract" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k_val, COUNT(*) AS n
@@ -7604,6 +7957,44 @@ FROM cand GROUP BY 1""",
         |  round(CAST(COUNT(*) AS DOUBLE) / SUM(hop), 6) AS closeness
         |FROM d GROUP BY node""".stripMargin,
 
+    // the closeness landmark BFS unrolled to 3 hops, read out per
+    // LANDMARK (max hop = eccentricity floor, capped marks walks that
+    // hit the cap); hop-0 self rows included in n_reached
+    "graph_eccentricity" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |e AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |h0 AS (SELECT DISTINCT user_id AS lm, user_id AS node
+        |       FROM events WHERE user_id % 41 = 0),
+        |h1 AS (SELECT DISTINCT h0.lm, s.dst AS node
+        |       FROM h0 JOIN sym s ON h0.node = s.src
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 x
+        |         WHERE x.lm = h0.lm AND x.node = s.dst)),
+        |h2 AS (SELECT DISTINCT h1.lm, s.dst AS node
+        |       FROM h1 JOIN sym s ON h1.node = s.src
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 x
+        |         WHERE x.lm = h1.lm AND x.node = s.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h1 x
+        |         WHERE x.lm = h1.lm AND x.node = s.dst)),
+        |h3 AS (SELECT DISTINCT h2.lm, s.dst AS node
+        |       FROM h2 JOIN sym s ON h2.node = s.src
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 x
+        |         WHERE x.lm = h2.lm AND x.node = s.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h1 x
+        |         WHERE x.lm = h2.lm AND x.node = s.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h2 x
+        |         WHERE x.lm = h2.lm AND x.node = s.dst)),
+        |d AS (SELECT lm, node, 0 AS hop FROM h0
+        |      UNION ALL SELECT lm, node, 1 FROM h1
+        |      UNION ALL SELECT lm, node, 2 FROM h2
+        |      UNION ALL SELECT lm, node, 3 FROM h3)
+        |SELECT lm, COUNT(*) AS n_reached, CAST(MAX(hop) AS BIGINT) AS ecc,
+        |  MAX(hop) = 3 AS capped
+        |FROM d GROUP BY lm""".stripMargin,
+
     // id-ordered triangle join: the count is orientation-independent,
     // so the oracle needn't replay the degree-ordered Spark plan
     "graph_jaccard_neighbors" ->
@@ -7644,6 +8035,32 @@ FROM cand GROUP BY 1""",
         |SELECT n_nodes, n_edges, t AS n_triangles,
         |  CASE WHEN wedges = 0 THEN 0.0 ELSE round(3.0 * t / wedges, 6) END AS clustering
         |FROM agg, ec, tri""".stripMargin,
+
+    // per-vertex LCC: id-ordered triangle enumeration (the count per
+    // corner is orientation-independent), each triangle credits its
+    // three corners, C(v) = 2*T(v)/(d(d-1))
+    "graph_clustering_coeff" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts) AS h, event_type AS et, user_id
+        |           FROM events),
+        |ed AS (SELECT a.user_id AS a, b.user_id AS b
+        |      FROM u a JOIN u b ON a.h = b.h AND a.et = b.et AND a.user_id < b.user_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+        |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1
+        |        JOIN ed e2 ON e1.b = e2.a
+        |        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM
+        |         (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri)
+        |         GROUP BY 1)
+        |SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(COALESCE(pern.triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.d >= 2 THEN
+        |    round(2.0 * CAST(COALESCE(pern.triangles, 0) AS DOUBLE) /
+        |      CAST(deg.d * (deg.d - 1) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS lcc
+        |FROM deg LEFT JOIN pern ON pern.node = deg.node""".stripMargin,
     "dedup_semantic" -> OracleGen.dedupSemantic(),
     "embed_pca" -> OracleGen.embedPca(),
     "embed_pca2" -> OracleGen.embedPca2(),

@@ -879,4 +879,45 @@ object Corpus {
         round(coalesce(col("n_masked"), lit(0L)).cast("double") / col("n"), 6)
           .as("mask_ratio"))
   }
+
+  /** Zipf tail exponent of the corpus token-frequency distribution —
+    * the Hill maximum-likelihood estimator
+    * `α = 1 + n_tail / Σ ln(f_i / f_min)` over distinct tokens with
+    * frequency ≥ `fMin`, the vocabulary twin of the graph-side
+    * hub-explosion readout (`Graph.powerLawTail`, same estimator on
+    * degrees): a healthy natural-language corpus sits near α ≈ 2;
+    * boilerplate-flooded or template-spam shards drift visibly.
+    *
+    * Scale shape: ONE corpus shuffle (token → frequency), then the
+    * estimator reduces over the distinct-frequency histogram —
+    * `Σ n_f · ln(f/f_min)` — whose row count is bounded by the max
+    * token frequency's divisor structure (≪ vocabulary size), so the
+    * log arithmetic never touches a vocabulary-sized relation twice.
+    * Per-frequency log terms are 6-dp rounded and summed as
+    * DECIMAL(25,12) (the [[Graph.powerLawTail]] parity discipline).
+    *
+    * Returns one row `(n_vocab, n_tail, f_min, f_max, alpha)`;
+    * α NULL when the tail is flat (every tail token at exactly f_min).
+    */
+  def zipfAlpha(docs: DataFrame, textCol: Column, fMin: Int = 5): DataFrame = {
+    require(fMin >= 1, s"fMin must be >= 1: $fMin")
+    val freq = docs.select(explode(split(textCol, " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val hist = freq.groupBy(col("f")).agg(count(lit(1)).as("n_toks"))
+    hist.agg(
+        sum(col("n_toks")).as("n_vocab"),
+        sum(when(col("f") >= fMin, col("n_toks"))).as("n_tail"),
+        max(when(col("f") >= fMin, col("f"))).as("f_max"),
+        sum(when(col("f") >= fMin,
+          round(col("n_toks").cast("double") *
+            log(col("f").cast("double") / lit(fMin.toDouble)), 6)
+            .cast("decimal(25,12)"))).as("lsum"))
+      .select(col("n_vocab"),
+        coalesce(col("n_tail"), lit(0L)).as("n_tail"),
+        lit(fMin.toLong).as("f_min"), col("f_max"),
+        when(col("lsum") > 0,
+          round(lit(1.0) + coalesce(col("n_tail"), lit(0L)).cast("double") /
+            col("lsum").cast("double"), 6)).as("alpha"))
+  }
 }

@@ -1086,4 +1086,336 @@ object Eval {
           (acc, x) => round(acc * x.getField("factor"), 6)).as("survival"))
     pinAndRelease(out, life)
   }
+
+  /** Two-arm log-rank test over per-subject event spans — the
+    * "did cohort A churn faster than cohort B" significance readout
+    * that pairs with [[kaplanMeier]]'s curve. Spans, lifetimes, and
+    * right-censoring are exactly the KM conventions (lifetime =
+    * last−first day; a subject whose last day IS the global horizon is
+    * censored); `isA` must be constant per subject (enforced by
+    * reducing with max over the subject's rows).
+    *
+    * At each distinct lifetime with ≥ 1 death, with `n1/n` at risk in
+    * arm A / overall and `d1/d` arm-A / total deaths:
+    * `E1 += d·n1/n`, `V += d·(n1/n)·(1−n1/n)·(n−d)/(n−1)`, and
+    * `χ² = (O1−E1)²/V` (1 dof). Parity discipline: each per-time E/V
+    * term is one chain of double ops mirrored by the oracle, 6-dp
+    * rounded, and summed as DECIMAL(25,12) (order-independent exact —
+    * the [[chiSquareIndependence]] convention); O1 is an exact long.
+    *
+    * Scale shape: ONE groupBy reduces the event log to per-subject
+    * spans; everything after runs on the ≤ #days × 2 arm-duration grid
+    * (dense via crossJoin of the bounded time axis with the 2-row arm
+    * relation; per-arm reverse-cumulative risk sets are arm-partitioned
+    * windows over that bounded grid).
+    *
+    * Returns one row
+    * `(n_a, n_b, n_times, o_a, e_a, var_a, chi2)`; χ² NULL when V = 0.
+    */
+  def logRank(df: DataFrame, tsCol: Column, idCol: Column,
+              isA: Column): DataFrame = {
+    val day = datediff(to_date(tsCol), lit("1970-01-01").cast("date"))
+    val life = df.filter(tsCol.isNotNull && idCol.isNotNull)
+      .select(idCol.as("id"), day.as("d"), when(isA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("id"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"), max(col("a")).as("arm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val horizon = life.agg(max(col("l")).as("m"))
+    val armSizes = life.groupBy(col("arm")).agg(count(lit(1)).as("n_subj"))
+    val dur = life.crossJoin(broadcast(horizon))
+      .select(col("arm"), (col("l") - col("f")).cast("long").as("t"),
+        when(col("l") < col("m"), 1L).otherwise(0L).as("death"))
+      .groupBy(col("arm"), col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("death")).as("d"))
+    // dense (time × arm) grid: an arm with no subjects at a time still
+    // carries its reverse-cumulative risk mass there
+    val times = dur.select(col("t")).distinct()
+    val arms = dur.select(col("arm")).distinct()
+    val grid = times.crossJoin(arms)
+      .join(dur, Seq("arm", "t"), "left")
+      .select(col("arm"), col("t"),
+        coalesce(col("n_at"), lit(0L)).as("n_at"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val atRisk = Window.partitionBy(col("arm")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = grid.withColumn("n_risk", sum(col("n_at")).over(atRisk))
+    // one row per death time: pivot the 2 arms via conditional sums
+    val byTime = risked.groupBy(col("t")).agg(
+        sum(when(col("arm") === 1, col("n_risk")).otherwise(0L)).as("n1"),
+        sum(col("n_risk")).as("n"),
+        sum(when(col("arm") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(col("d")).as("dd"))
+      .filter(col("dd") > 0)
+    val share = col("n1").cast("double") / col("n").cast("double")
+    val terms = byTime.select(col("t"), col("d1"),
+      round(col("dd").cast("double") * share, 6).as("e1"),
+      when(col("n") > 1,
+        round(col("dd").cast("double") * share * (lit(1.0) - share) *
+          (col("n") - col("dd")).cast("double") /
+          (col("n") - lit(1)).cast("double"), 6)).otherwise(lit(0.0)).as("v"))
+    val agg = terms.agg(count(lit(1)).as("n_times"),
+      sum(col("d1")).as("o_a"),
+      sum(col("e1").cast("decimal(25,12)")).as("e_raw"),
+      sum(col("v").cast("decimal(25,12)")).as("v_raw"))
+    val out = agg.crossJoin(broadcast(
+        armSizes.groupBy().agg(
+          sum(when(col("arm") === 1, col("n_subj")).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0, col("n_subj")).otherwise(0L)).as("n_b"))))
+      .select(col("n_a"), col("n_b"), col("n_times"), col("o_a"),
+        round(col("e_raw").cast("double"), 6).as("e_a"),
+        round(col("v_raw").cast("double"), 6).as("var_a"),
+        when(col("v_raw") > 0,
+          round((col("o_a").cast("double") - col("e_raw").cast("double")) *
+            (col("o_a").cast("double") - col("e_raw").cast("double")) /
+            col("v_raw").cast("double"), 6)).as("chi2"))
+    pinAndRelease(out, life)
+  }
+
+  /** Cohen's kappa between two categorical raters — the
+    * inter-annotator-agreement readout a labeling pipeline runs before
+    * trusting auto-labels: observed agreement corrected for the
+    * agreement two independent raters with these marginals would reach
+    * by chance. `κ = (p_o − p_e) / (1 − p_e)` with
+    * `p_o = Σ_k o_kk / n`, `p_e = Σ_k n_{A=k}·n_{B=k} / n²`.
+    *
+    * Scale shape: ONE map-side-combinable groupBy on the (a, b) label
+    * cells is the only corpus shuffle; marginals reduce from the
+    * bounded k² cell table and join on the label. Exactness: agreement
+    * and marginal products stay exact integers/DECIMAL(38,0); the two
+    * divisions and the κ combination are the only doubles, mirrored
+    * step-for-step by the oracle.
+    *
+    * Returns one row `(n, n_labels, agree, p_o, p_e, kappa)`;
+    * κ NULL when p_e = 1 (both raters constant — κ undefined).
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(raterA.as("a"), raterB.as("b"))
+      .na.drop(Seq("a", "b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val am = cells.groupBy(col("a")).agg(sum(col("o")).as("na"))
+    val bm = cells.groupBy(col("b")).agg(sum(col("o")).as("nb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("agree"))
+    val labels = am.select(col("a").as("k"), col("na"))
+      .join(bm.select(col("b").as("k"), col("nb")), Seq("k"), "full")
+      .select(coalesce(col("na"), lit(0L)).cast(dec).as("na"),
+        coalesce(col("nb"), lit(0L)).cast(dec).as("nb"))
+    val pe = labels.agg(sum(col("na") * col("nb")).as("pe_num"),
+      count(lit(1)).as("n_labels"))
+    val out = tot.crossJoin(broadcast(pe))
+      .select(col("n"), col("n_labels"), col("agree"),
+        round(col("agree").cast("double") / col("n").cast("double"), 6)
+          .as("p_o"),
+        round(col("pe_num").cast("double") /
+          (col("n").cast(dec) * col("n").cast(dec)).cast("double"), 6)
+          .as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e") < 1.0,
+          round((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")), 6)))
+    pinAndRelease(out, cells)
+  }
+
+  /** Benjamini-Hochberg step-up FDR correction over a BOUNDED per-test
+    * relation `(keys..., p)` — the multiple-testing gate a pipeline
+    * runs over per-segment test results before acting on "significant"
+    * cells. Ranks tests by ascending p (ties broken by the key columns,
+    * so the rank is deterministic), finds the largest rank i with
+    * `p_(i) ≤ i·α/m`, and rejects tests 1..i.
+    *
+    * The input must already be aggregate-reduced (one row per test —
+    * the [[mannKendallTrend]] boundedness contract): the rank window
+    * is a single-partition sort over m rows, fine for m up to ~10⁶
+    * tests and REQUIRED by BH itself (the procedure is a global order
+    * statistic). All comparisons are double arithmetic mirrored by the
+    * oracle (`i·α/m` with exact-integer i, m).
+    *
+    * Returns one row per test:
+    * `(keys..., p_value, rank, m, bh_thresh, rejected)`.
+    */
+  def bhFdr(tests: DataFrame, keyCols: Seq[String], pCol: Column,
+            alpha: Double): DataFrame = {
+    val m = tests.groupBy().agg(count(lit(1)).as("m"))
+    val ranked = tests.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(pCol.asc +: keyCols.map(col(_).asc): _*)))
+      .withColumn("bh_thresh",
+        round(col("rank").cast("double") * lit(alpha) /
+          col("m").cast("double"), 6))
+      .withColumn("pass", when(pCol <= col("bh_thresh"), col("rank")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kmax = ranked.agg(coalesce(max(col("pass")), lit(0)).as("kmax"))
+    val out = ranked.crossJoin(broadcast(kmax))
+      .select(keyCols.map(col) ++ Seq(pCol.as("p_value"), col("rank"),
+        col("m"), col("bh_thresh"),
+        (col("rank") <= col("kmax")).as("rejected")): _*)
+    pinAndRelease(out, ranked)
+  }
+
+  /** Jensen-Shannon divergence between the `valueCol` distributions of
+    * rows where `isA` and `isB`, over the same clamped integer bins as
+    * [[psiDrift]] — the symmetric, bounded-by-ln 2 drift readout that
+    * complements PSI (unbounded, asymmetric-smoothing) and KS
+    * (CDF-based): `JSD = ½Σ p_A·ln(p_A/m) + ½Σ p_B·ln(p_B/m)` with
+    * `m = (p_A+p_B)/2`; empty-bin terms are exactly 0, so no smoothing
+    * is needed.
+    *
+    * Scale shape: rides [[psiBinCounts]] — one map-side-combinable
+    * groupBy on ≤ #bins rows is the only corpus shuffle. Per-bin terms
+    * are double chains mirrored by the oracle, 6-dp rounded, summed as
+    * DECIMAL(25,12); `jsd_bits = jsd/ln 2` re-rounds at the end.
+    *
+    * Returns one row per bin (counts, shares, 6-dp term) plus the
+    * totals repeated on each row ([[psiDrift]]'s output convention).
+    */
+  def jsDivergence(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+                   loBin: Int = -5, hiBin: Int = 5): DataFrame = {
+    val bins = psiBinCounts(df, valueCol, isA, isB, loBin, hiBin)
+    val axis = df.sparkSession.range(loBin, hiBin + 1).toDF("bin")
+    val filled = axis.join(bins, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = filled.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val half = (p: Column, mm: Column) =>
+      when(p > 0, lit(0.5) * p * log(p / mm)).otherwise(lit(0.0))
+    val terms = filled.crossJoin(broadcast(tot))
+      .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("mid", (col("pa") + col("pb")) / lit(2.0))
+      .withColumn("term",
+        round(half(col("pa"), col("mid")) + half(col("pb"), col("mid")), 6))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val jsd = terms.agg(
+      round(sum(col("term").cast("decimal(25,12)")).cast("double"), 6).as("jsd"))
+    val out = terms.crossJoin(broadcast(jsd))
+      .select(col("bin"), col("ca"), col("cb"),
+        round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+        col("term"), col("jsd"),
+        round(col("jsd") / log(lit(2.0)), 6).as("jsd_bits"))
+    pinAndRelease(out, terms)
+  }
+
+  /** Two-sample Cramér–von Mises statistic between the `valueCol`
+    * distributions of the `isA` and `isB` cohorts — the whole-CDF
+    * companion to [[ksStatistic]] (KS reads only the single worst
+    * point; CvM integrates the squared ECDF gap over the pooled
+    * sample, so diffuse drift that never produces one big gap still
+    * registers): `T = Σ_v c_v·(ca_v·nb − cb_v·na)² / (na·nb·(na+nb)²)`
+    * with `c_v` the pooled count at distinct value v and `ca/cb` the
+    * inclusive cumulative cohort counts — algebraically
+    * `(nm/N)·∫(F_n−G_m)² dH_N` with every term an exact integer.
+    *
+    * Scale shape: identical to [[ksStatistic]] — one groupBy to the
+    * distinct-value relation, [[withCumBelow]]'s range-partitioned
+    * prefix sums (no global window), one scalar reduce. Exactness: the
+    * numerator sums `c·d²` as DECIMAL(38,0); that stays within
+    * capacity while `(na+nb)·(na·nb)² < 10³⁸`, i.e. cohorts up to
+    * ~5×10⁷ rows each — ENFORCED with a raise_error, not a comment;
+    * beyond it, pre-bin through [[psiBinCounts]] first. The one
+    * division is double, mirrored by the oracle.
+    *
+    * Returns one row `(n_a, n_b, n_distinct, cvm_t)`; T NULL when a
+    * cohort is empty.
+    */
+  def cvmStatistic(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+                   nParts: Int = 32): DataFrame = {
+    val g = df.select(valueCol.as("v"),
+        when(isA, 1L).otherwise(0L).as("a"),
+        when(isB, 1L).otherwise(0L).as("b"))
+      .na.drop(Seq("v"))
+      .filter(col("a") + col("b") > 0)
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+    val (cumRaw, pinned) = withCumBelow(g, "v", Seq("a", "b"), nParts)
+    val cum = cumRaw
+      .select(col("v"), col("a"), col("b"),
+        (col("cum_a") + col("a")).as("ca"),
+        (col("cum_b") + col("b")).as("cb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dec = "decimal(38,0)"
+    val tot = cum.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"),
+      count(lit(1)).as("n_distinct"))
+    val d = (col("ca").cast(dec) * col("nb") - col("cb").cast(dec) * col("na"))
+    // global agg (not groupBy the scalars) so empty input still yields
+    // one all-NULL row — the ksStatistic convention
+    val s = cum.crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum((col("a") + col("b")).cast(dec) * (d * d).cast(dec)).as("s"))
+    val h = (col("na") + col("nb")).cast("double")
+    // the guard lives INSIDE the emitted column so column pruning
+    // cannot optimize it away
+    val out = s.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      col("n_distinct"),
+      when(h > 1e8, raise_error(lit(
+          "cvmStatistic: > 1e8 pooled rows exceeds the DECIMAL(38,0) " +
+            "exactness bound - pre-bin via psiBinCounts")).cast("double"))
+        .when(col("na") > 0 && col("nb") > 0,
+          round(col("s").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double") * h * h), 6))
+        .as("cvm_t"))
+    pinAndRelease(out, cum, pinned)
+  }
+
+  /** Kendall's τ-b rank correlation over a BOUNDED aggregate-reduced
+    * relation — the concordance companion to [[spearmanRho]]-style rank
+    * stats when ties are heavy (τ-b corrects both margins). The input
+    * must already be one row per unit (the [[bhFdr]] /
+    * [[mannKendallTrend]] boundedness contract): pairs are enumerated
+    * cell-against-cell, so the join is |distinct (x,y) cells|², NOT
+    * |rows|² — identical (x, y) rows collapse into weighted cells
+    * first, which is also what makes the enumeration exact under ties.
+    *
+    * With cell counts c_i at points (x_i, y_i): concordant/discordant
+    * pair weights are c_i·c_j over cell pairs with
+    * (x_i−x_j)(y_i−y_j) > 0 / < 0; tie corrections n1 = Σ_x t_x(t_x−1)/2,
+    * n2 = Σ_y t_y(t_y−1)/2, n0 = n(n−1)/2;
+    * `τ_b = (C−D)/√((n0−n1)(n0−n2))`. Everything is exact
+    * integer/DECIMAL arithmetic until the one final sqrt-division.
+    *
+    * Returns one row
+    * `(n, n_cells, concordant, discordant, ties_x, ties_y, tau_b)`;
+    * τ NULL when either margin is constant.
+    */
+  def kendallTauB(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(xCol.as("x"), yCol.as("y"))
+      .na.drop(Seq("x", "y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = cells.select(col("x").as("x1"), col("y").as("y1"), col("c").as("c1"))
+    val r = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+    // each unordered cell pair once: strict struct order on the cell key
+    val pairs = l.join(r,
+        struct(col("x1"), col("y1")) < struct(col("x2"), col("y2")))
+      .select((col("c1").cast(dec) * col("c2")).as("w"),
+        ((col("x1") < col("x2")) === (col("y1") < col("y2"))).as("conc"),
+        (col("x1") === col("x2")).as("tx"), (col("y1") === col("y2")).as("ty"))
+    val cd = pairs.agg(
+      sum(when(!col("tx") && !col("ty") && col("conc"), col("w"))
+        .otherwise(lit(0L).cast(dec))).as("cc"),
+      sum(when(!col("tx") && !col("ty") && !col("conc"), col("w"))
+        .otherwise(lit(0L).cast(dec))).as("dd"))
+    val tx = cells.groupBy(col("x")).agg(sum(col("c")).as("t"))
+      .agg(sum((col("t").cast(dec) * (col("t") - 1)) / 2).as("n1"))
+    val ty = cells.groupBy(col("y")).agg(sum(col("c")).as("t"))
+      .agg(sum((col("t").cast(dec) * (col("t") - 1)) / 2).as("n2"))
+    val nn = cells.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val out = nn.crossJoin(broadcast(cd)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n"), col("n_cells"),
+        coalesce(col("cc"), lit(0).cast(dec)).cast("long").as("concordant"),
+        coalesce(col("dd"), lit(0).cast(dec)).cast("long").as("discordant"),
+        col("n1").cast("long").as("ties_x"), col("n2").cast("long").as("ties_y"),
+        ((col("n").cast(dec) * (col("n") - 1)) / 2).as("n0"))
+      .select(col("n"), col("n_cells"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        when(col("n0") > col("ties_x") && col("n0") > col("ties_y"),
+          round((col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n0") - col("ties_x")).cast("double") *
+              (col("n0") - col("ties_y")).cast("double")), 6)).as("tau_b"))
+    pinAndRelease(out, cells)
+  }
 }

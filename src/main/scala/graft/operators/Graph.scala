@@ -334,6 +334,44 @@ object Graph {
             .cast("double"), 6).as("jaccard"))
   }
 
+  /** Per-vertex local clustering coefficient over a pre-built
+    * [[orientByDegree]] relation — "how clique-like is each node's
+    * neighborhood", the node-level companion to [[triangleStats]]'s
+    * global transitivity: `C(v) = 2·T(v) / (d(v)·(d(v)−1))` with T(v)
+    * the number of triangles through v (0 when d < 2).
+    *
+    * Scale shape: triangles are enumerated ONCE each from the
+    * compact-forward DAG (O(√m) wedge fan-out — the
+    * [[triangleStatsOriented]] join), then each triangle credits its
+    * three corners via a 3-row explode and a map-side-combinable
+    * groupBy; degrees ride the endpoint structs, so nothing outside
+    * the oriented relation is scanned. All arithmetic is exact
+    * integers until the one 6-dp-rounded double division.
+    *
+    * Returns `(node, degree, triangles, lcc)` for every node.
+    */
+  def vertexClustering(oriented: DataFrame): DataFrame = {
+    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
+      .filter(col("v") < col("w"))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+    val perNode = triangles
+      .select(explode(array(col("u.id"), col("v.id"), col("w.id"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val deg = oriented.select(col("src.id").as("node"), col("src.d").as("d"))
+      .union(oriented.select(col("dst.id").as("node"), col("dst.d").as("d")))
+      .distinct()
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** Link prediction over NON-adjacent pairs by the Resource-Allocation
     * index (Zhou, Lü & Zhang 2009): RA(v,w) = Σ_{u ∈ N(v)∩N(w)} 1/deg(u),
     * the top link-prediction score on co-occurrence graphs and — unlike
@@ -476,6 +514,29 @@ object Graph {
     sym.unpersist()
     visited
   }
+
+  /** Per-landmark eccentricity from one [[landmarkDistances]] pass —
+    * `ecc(lm)` = the farthest hop the landmark's BFS reached, plus how
+    * many nodes it reached at all. The max over landmarks is the
+    * textbook diameter LOWER bound and the min is (within its
+    * component) a radius estimate — the "how many hops across is this
+    * graph really" readout behind picking iteration counts for the
+    * fixpoint operators ([[kHopDistances]] radius, label-prop iters).
+    *
+    * Scale shape: everything is the bounded-landmark BFS (≤
+    * |landmarks|×|nodes| rows, node-shuffled per round) followed by ONE
+    * map-side-combinable groupBy on `lm`. `maxHops` caps the walk; a
+    * landmark whose ecc EQUALS maxHops may be truncated (`capped`
+    * flags it) — callers read capped=false rows as exact.
+    *
+    * Returns `(lm, n_reached, ecc, capped)`, one row per landmark.
+    */
+  def landmarkEccentricity(edges: DataFrame, landmarks: DataFrame,
+                           maxHops: Int): DataFrame =
+    landmarkDistances(edges, landmarks, maxHops)
+      .groupBy(col("lm"))
+      .agg(count(lit(1)).as("n_reached"), max(col("hop")).as("ecc"))
+      .withColumn("capped", col("ecc") === maxHops.toLong)
 
   /** The symmetric customer↔supplier co-purchase graph: an edge per
     * distinct (customer, supplier) pair observed in orders⋈lineitem,

@@ -434,4 +434,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(totalMasked / totalToks > 0.02 && totalMasked / totalToks < 0.40,
       s"corpus mask rate ${totalMasked / totalToks} out of plausible band")
   }
+
+  test("zipfAlpha: exact Hill estimator on a constructed frequency mix, " +
+      "tokens below fMin excluded") {
+    // frequencies: t1=40, t2=20, t3=10, t4=5 (tail), t5=3, t6=1 (below)
+    val toks = Seq.fill(40)("t1") ++ Seq.fill(20)("t2") ++
+      Seq.fill(10)("t3") ++ Seq.fill(5)("t4") ++ Seq.fill(3)("t5") ++ Seq("t6")
+    // spread across 4 docs so the token count is a genuine corpus agg
+    val docs = toks.grouped(20).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = Corpus.zipfAlpha(docs, col("text"), fMin = 5).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 4L, 5L, 40L)))
+    val lsum = Seq(40.0, 20.0, 10.0, 5.0)
+      .map(f => BigDecimal(round6(math.log(f / 5.0)))).sum
+    assert(r.getDouble(4) == round6(1.0 + 4.0 / lsum.toDouble))
+  }
+
+  test("zipfAlpha: a flat tail (every tail token exactly at fMin) gives " +
+      "NULL alpha, not Infinity") {
+    val docs = Seq.fill(5)("a b c").toDF("text")  // a,b,c each freq 5
+    val r = Corpus.zipfAlpha(docs, col("text"), fMin = 5).collect()(0)
+    assert(r.getLong(1) == 3L && r.isNullAt(4))
+  }
 }

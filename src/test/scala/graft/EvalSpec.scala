@@ -707,4 +707,271 @@ class EvalSpec extends AnyFunSuite {
       col("v"), col("g")).collect()(0)
     assert(flat.isNullAt(4), "SSW 0 => F undefined, not Inf")
   }
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Textbook two-arm log-rank mirrored step-for-step (same per-term
+    * 6-dp rounding, exact-decimal sums, same double associativity).
+    * Subjects are (id, event-day offsets, isArmA).
+    */
+  private def bruteLogRank(subj: Seq[(String, Seq[Int], Boolean)])
+      : (Long, Long, Long, Long, Double, Double, Option[Double]) = {
+    val life = subj.map { case (_, ds, a) => (ds.min, ds.max, if (a) 1 else 0) }
+    val m = life.map(_._2).max
+    val byArmT = life.groupBy(l => (l._3, l._2 - l._1)).map { case ((arm, t), ls) =>
+      (arm, t, ls.size.toLong, ls.count(_._2 < m).toLong) }.toSeq
+    val times = byArmT.map(_._2).distinct
+    def nRisk(arm: Int, t: Int) =
+      byArmT.filter(x => x._1 == arm && x._2 >= t).map(_._3).sum
+    def dAt(arm: Int, t: Int) =
+      byArmT.filter(x => x._1 == arm && x._2 == t).map(_._4).sum
+    val rows = times.map { t =>
+      val n1 = nRisk(1, t); val n = n1 + nRisk(0, t)
+      val d1 = dAt(1, t); val dd = d1 + dAt(0, t)
+      (n1, n, d1, dd)
+    }.filter(_._4 > 0)
+    val oA = rows.map(_._3).sum
+    val eRaw = rows.map { case (n1, n, _, dd) =>
+      BigDecimal(r6(dd.toDouble * (n1.toDouble / n.toDouble))) }.sum
+    val vRaw = rows.map { case (n1, n, _, dd) =>
+      val sh = n1.toDouble / n.toDouble
+      BigDecimal(if (n > 1)
+        r6(dd.toDouble * sh * (1.0 - sh) * (n - dd).toDouble / (n - 1).toDouble)
+      else 0.0) }.sum
+    val chi2 = if (vRaw > 0)
+      Some(r6((oA - eRaw.toDouble) * (oA - eRaw.toDouble) / vRaw.toDouble))
+    else None
+    (life.count(_._3 == 1).toLong, life.count(_._3 == 0).toLong,
+      rows.size.toLong, oA, r6(eRaw.toDouble), r6(vRaw.toDouble), chi2)
+  }
+
+  private def logRankDf(subj: Seq[(String, Seq[Int], Boolean)]) = {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong).atStartOfDay())
+    subj.flatMap { case (id, ds, a) => ds.map(d => (id, ts(d), a)) }
+      .toDF("id", "ts", "a")
+  }
+
+  test("logRank matches the textbook statistic on a random two-arm mix") {
+    val rnd = new scala.util.Random(11)
+    val subj = (1 to 40).map { i =>
+      val f = rnd.nextInt(10)
+      val days = Seq(f) ++ (1 to 1 + rnd.nextInt(2)).map(_ => f + rnd.nextInt(12))
+      (s"u$i", days, rnd.nextBoolean())
+    }
+    val (nA, nB, nT, oA, eA, vA, chi2) = bruteLogRank(subj)
+    val r = Eval.logRank(logRankDf(subj), col("ts"), col("id"), col("a"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nA, nB, nT, oA)))
+    assert(r.getDouble(4) == eA && r.getDouble(5) == vA)
+    assert(Option(r.get(6)).map(_.asInstanceOf[Double]) == chi2)
+    assert(chi2.isDefined, "fixture must exercise the non-degenerate path")
+  }
+
+  test("logRank: perfectly symmetric arms give chi2 exactly 0") {
+    // each arm: one subject dying at t=1, one at t=2, one censored at
+    // the horizon (t=3); share is 0.5 at every death time so O == E
+    val subj = Seq(
+      ("a1", Seq(0, 1), true), ("a2", Seq(0, 2), true), ("a3", Seq(0, 3), true),
+      ("b1", Seq(0, 1), false), ("b2", Seq(0, 2), false), ("b3", Seq(0, 3), false))
+    val r = Eval.logRank(logRankDf(subj), col("ts"), col("id"), col("a"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 2L, 2L)))
+    assert(r.getDouble(4) == 2.0 && r.getDouble(6) == 0.0)
+  }
+
+  test("cohenKappa matches the marginal-chance definition on random labels") {
+    val rnd = new scala.util.Random(3)
+    val labs = Array("x", "y", "z", "w")
+    val pairs = (1 to 300).map { _ =>
+      val a = labs(rnd.nextInt(4))
+      // correlated second rater: agree 60% of the time
+      val b = if (rnd.nextInt(10) < 6) a else labs(rnd.nextInt(4))
+      (a, b)
+    }
+    val n = pairs.size
+    val agree = pairs.count(p => p._1 == p._2)
+    val na = pairs.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nb = pairs.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val keys = na.keySet ++ nb.keySet
+    val peNum = keys.toSeq
+      .map(k => BigInt(na.getOrElse(k, 0)) * BigInt(nb.getOrElse(k, 0))).sum
+    val pO = r6(agree.toDouble / n.toDouble)
+    val pE = r6(peNum.toDouble / (n.toLong * n.toLong).toDouble)
+    val kap = r6((pO - pE) / (1.0 - pE))
+    val r = Eval.cohenKappa(pairs.toDF("ra", "rb"), col("ra"), col("rb"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((n.toLong, keys.size.toLong, agree.toLong)))
+    assert(r.getDouble(3) == pO && r.getDouble(4) == pE)
+    assert(r.getDouble(5) == kap)
+  }
+
+  test("cohenKappa: perfect agreement gives 1; constant raters give NULL; " +
+      "null-label rows are dropped") {
+    val perfect = (1 to 60).map(i => (s"l${i % 3}", s"l${i % 3}"))
+    val p = Eval.cohenKappa(perfect.toDF("ra", "rb"), col("ra"), col("rb"))
+      .collect()(0)
+    assert(p.getDouble(3) == 1.0 && p.getDouble(5) == 1.0)
+    val const = (1 to 20).map(_ => ("same", "same"))
+    val c = Eval.cohenKappa(const.toDF("ra", "rb"), col("ra"), col("rb"))
+      .collect()(0)
+    assert(c.getDouble(4) == 1.0 && c.isNullAt(5), "p_e = 1 => kappa undefined")
+    val withNulls = Seq(("a", "a"), ("a", null), (null, "b"), ("b", "b"))
+    val w = Eval.cohenKappa(withNulls.toDF("ra", "rb"), col("ra"), col("rb"))
+      .collect()(0)
+    assert(w.getLong(0) == 2L && w.getLong(2) == 2L)
+  }
+
+  test("bhFdr implements STEP-UP rejection: a test above its own threshold " +
+      "is still rejected when a later rank passes") {
+    // m=4, alpha=0.2 -> thresholds 0.05/0.10/0.15/0.20; p2=0.12 > 0.10
+    // but p3=0.14 <= 0.15, so kmax=3 rejects tests 1..3 INCLUDING #2
+    val tests = Seq(("t1", 0.01), ("t2", 0.12), ("t3", 0.14), ("t4", 0.9))
+    val got = Eval.bhFdr(tests.toDF("k", "p"), Seq("k"), col("p"), 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(2), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got("t1") == ((1, 0.05, true)))
+    assert(got("t2") == ((2, 0.1, true)), "step-up must reject rank 2")
+    assert(got("t3") == ((3, 0.15, true)))
+    assert(got("t4") == ((4, 0.2, false)))
+  }
+
+  test("bhFdr matches the brute-force procedure on random p-values, and " +
+      "rejects nothing when all p exceed alpha") {
+    val rnd = new scala.util.Random(5)
+    // a cluster of true signals (small p) among uniform noise — BH must
+    // reject the cluster plus whatever noise the step-up sweeps in
+    val tests = (1 to 50).map { i =>
+      val p = if (i <= 12) rnd.nextDouble() * 0.03 else rnd.nextDouble()
+      (f"t$i%03d", r6(p))
+    }
+    val alpha = 0.25
+    val m = tests.size
+    val sorted = tests.sortBy(t => (t._2, t._1))
+    val thr = sorted.zipWithIndex.map { case (_, i) =>
+      r6((i + 1).toDouble * alpha / m.toDouble) }
+    val kmax = sorted.zipWithIndex
+      .filter { case ((_, p), i) => p <= thr(i) }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    val expect = sorted.zipWithIndex.map { case ((k, p), i) =>
+      k -> (i + 1 <= kmax) }.toMap
+    val got = Eval.bhFdr(tests.toDF("k", "p"), Seq("k"), col("p"), alpha)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(got == expect)
+    assert(expect.values.exists(identity), "fixture must reject something")
+    val none = Eval.bhFdr(Seq(("a", 0.8), ("b", 0.9)).toDF("k", "p"),
+      Seq("k"), col("p"), 0.05).collect()
+    assert(none.forall(!_.getBoolean(5)))
+  }
+
+  test("jsDivergence: identical distributions give 0; disjoint give ln 2 " +
+      "(up to the pinned 6-dp term rounding); the bin axis is dense") {
+    val rnd = new scala.util.Random(9)
+    val same = (1 to 200).map(_ => rnd.nextGaussian() * 2)
+      .toDF("v").withColumn("g", lit("both"))
+    val s = Eval.jsDivergence(same, col("v"), lit(true), lit(true))
+      .collect()
+    assert(s.length == 11, "one row per bin of the default [-5,5] axis")
+    assert(s.forall(r => r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0))
+    val disj = ((1 to 100).map(_ => (0.5, "a")) ++
+      (1 to 100).map(_ => (1.5, "b"))).toDF("v", "g")
+    val d = Eval.jsDivergence(disj, col("v"), col("g") === "a",
+      col("g") === "b").collect()
+    assert(d.length == 11)
+    // per-bin term = round6(0.5*ln 2) = 0.346574; their exact-decimal
+    // sum is 0.693148 (one ulp above ln 2 from the two roundings)
+    assert(d.forall(_.getDouble(6) == 0.693148))
+    assert(d.forall(_.getDouble(7) == 1.000001))
+  }
+
+  test("cvmStatistic matches the exact-integer definition on random ties") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextInt(40).toDouble / 4.0, rnd.nextInt(2)))
+    // brute force with the operator's exact arithmetic: per distinct v
+    // inclusive cohort cums; S = Σ c·(ca·nb − cb·na)² exact; one division
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, rs) =>
+      (v, rs.count(_._2 == 1).toLong, rs.count(_._2 == 0).toLong) }
+    val cums = byV.scanLeft((0.0, 0L, 0L)) { case ((_, ca, cb), (v, a, b)) =>
+      (v, ca + a, cb + b) }.drop(1)
+    val na = cums.last._2; val nb = cums.last._3
+    val s = byV.zip(cums).map { case ((_, a, b), (_, ca, cb)) =>
+      val d = BigInt(ca) * nb - BigInt(cb) * na
+      BigInt(a + b) * d * d }.sum
+    val h = (na + nb).toDouble
+    val expT = BigDecimal(s.toDouble / (na.toDouble * nb.toDouble * h * h))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Eval.cvmStatistic(rows.toDF("v", "y"), col("v"),
+      col("y") === 1, col("y") === 0).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((na, nb, byV.size.toLong)))
+    assert(r.getDouble(3) == expT)
+  }
+
+  test("cvmStatistic: coincident cohorts give exactly 0; an empty cohort " +
+      "gives NULL") {
+    // every row counts in BOTH cohorts -> a == b per value -> every
+    // cross-product difference is exactly 0
+    val rnd = new scala.util.Random(23)
+    val same = (1 to 300).map(_ => rnd.nextGaussian()).toDF("v")
+    val r = Eval.cvmStatistic(same, col("v"), lit(true), lit(true))
+      .collect()(0)
+    assert(r.getDouble(3) == 0.0)
+    val onesided = Eval.cvmStatistic((1 to 50).map(i => (i.toDouble, 1))
+      .toDF("v", "y"), col("v"), col("y") === 1, col("y") === 0).collect()(0)
+    assert(onesided.isNullAt(3))
+  }
+
+  test("kendallTauB matches the brute-force pair count under heavy ties, " +
+      "and hits ±1 on monotone data") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 200).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+    val n = rows.size
+    var cc = 0L; var dd = 0L; var t1 = 0L; var t2 = 0L
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val ((x1, y1), (x2, y2)) = (rows(i), rows(j))
+      if (x1 == x2) t1 += 1
+      if (y1 == y2) t2 += 1
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) cc += 1 else dd += 1
+      }
+    }
+    val n0 = n.toLong * (n - 1) / 2
+    val tau = r6((cc - dd).toDouble /
+      math.sqrt((n0 - t1).toDouble * (n0 - t2).toDouble))
+    val r = Eval.kendallTauB(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((n.toLong, cc, dd, t1, t2)))
+    assert(r.getDouble(6) == tau)
+    val mono = (1 to 40).map(i => (i.toLong, (i * 3).toLong))
+    assert(Eval.kendallTauB(mono.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0).getDouble(6) == 1.0)
+    val anti = (1 to 40).map(i => (i.toLong, (100 - i).toLong))
+    assert(Eval.kendallTauB(anti.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0).getDouble(6) == -1.0)
+  }
+
+  test("kendallTauB: a constant margin gives NULL tau (n0 == ties)") {
+    val const = (1 to 30).map(i => (5L, i.toLong))
+    val r = Eval.kendallTauB(const.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0)
+    assert(r.getLong(4) == 30L * 29 / 2 && r.isNullAt(6))
+  }
+
+  test("jsDivergence is symmetric in the two cohorts") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextGaussian() * (if (rnd.nextBoolean()) 1.0 else 2.5),
+        if (rnd.nextBoolean()) "a" else "b")).toDF("v", "g")
+    val ab = Eval.jsDivergence(rows, col("v"), col("g") === "a",
+      col("g") === "b").collect()(0).getDouble(6)
+    val ba = Eval.jsDivergence(rows, col("v"), col("g") === "b",
+      col("g") === "a").collect()(0).getDouble(6)
+    assert(ab == ba && ab > 0.0)
+  }
 }

@@ -130,6 +130,66 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("vertexClustering: K4 is fully clique-like; triangle plus pendant " +
+      "splits by degree") {
+    val k4 = und(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val gotK4 = Graph.vertexClustering(Graph.orientByDegree(k4)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(gotK4.size == 4)
+    // every K4 vertex: degree 3, in C(3,2)=3 triangles, lcc 2*3/(3*2)=1
+    gotK4.foreach { case (v, t) => assert(t == ((3L, 3L, 1.0)), s"node $v") }
+    val g = und(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L)
+    val got = Graph.vertexClustering(Graph.orientByDegree(g)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((3L, 1L, 0.333333)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)), "degree-1 node: lcc pinned to 0")
+  }
+
+  test("vertexClustering equals the brute-force per-vertex count") {
+    val rnd = new scala.util.Random(19)
+    val pairs = (0 until 140).map { _ =>
+      val a = rnd.nextInt(16).toLong; val b = rnd.nextInt(16).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val nbrs = pairs.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val got = Graph.vertexClustering(Graph.orientByDegree(und(pairs: _*)))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == nbrs.keySet)
+    nbrs.foreach { case (v, ns) =>
+      val d = ns.size
+      val t = ns.toSeq.combinations(2)
+        .count { case Seq(u, w) => nbrs(u).contains(w) }.toLong
+      val lcc = if (d >= 2)
+        BigDecimal(2.0 * t.toDouble / (d.toLong * (d - 1)).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(got(v) == ((d.toLong, t, lcc)), s"node $v")
+    }
+  }
+
+  test("landmarkEccentricity: path-graph distances, hop cap flagged, " +
+      "isolated landmark reaches only itself") {
+    val path = und(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val lms = Seq(1L, 3L, 9L).toDF("lm")  // 9 is not in the graph
+    val got = Graph.landmarkEccentricity(path, lms, maxHops = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1L) == ((5L, 4L, false)), "end of the path: ecc 4")
+    assert(got(3L) == ((5L, 2L, false)), "center: ecc 2")
+    assert(got(9L) == ((1L, 0L, false)), "isolated: self only, ecc 0")
+    val capped = Graph.landmarkEccentricity(path, Seq(1L).toDF("lm"),
+      maxHops = 2).collect()(0)
+    assert((capped.getLong(1), capped.getLong(2), capped.getBoolean(3)) ==
+      ((3L, 2L, true)), "cap hit: ecc is a floor and capped flags it")
+  }
+
   test("linkPredictRA: exact RA scores, edges excluded, ordered") {
     // path 1-2-3-4 plus spur 2-5; non-edges with common neighbors:
     // (2,4) via 3 (deg 2) -> 0.5; (1,3),(1,5),(3,5) via 2 (deg 3) -> 1/3

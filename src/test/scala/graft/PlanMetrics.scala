@@ -51,10 +51,25 @@ object PlanMetrics {
     else
       ("physical", tokenCounts(df.queryExecution.executedPlan.toString, physicalTokens))
 
-  /** Deterministic one-line-per-query JSON of the whole inventory. */
+  /** Deterministic one-line-per-query JSON of the whole inventory.
+    *
+    * Plan shapes must be a function of the code + fixture schemas, not
+    * of whatever an earlier suite left behind: Spark's CacheManager is
+    * plan-keyed and shared across ALL sessions of the context, so a
+    * relation another spec persisted (a memoized edge relation, a
+    * pinned Eval output) would collapse the matching subtree here to an
+    * InMemoryTableScan and change the counts — the gate then fails or
+    * passes depending on suite ORDER. Wipe the shared cache and score
+    * the inventory on a fresh session (fresh SparkEntry memo keys) —
+    * exactly the state a fresh `PlanGate` JVM sees, so the golden
+    * matches in any order. Other suites' cached frames recompute
+    * afterwards (slower, never incorrect).
+    */
   def inventoryJson(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    spark.sharedState.cacheManager.clearCache()
+    val s = spark.newSession()
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (mode, counts) = metrics(fn(spark, sfDir))
+      val (mode, counts) = metrics(fn(s, sfDir))
       val kvs = (Seq("\"mode\":\"" + mode + "\"") ++
         counts.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v })
         .mkString("{", ",", "}")
