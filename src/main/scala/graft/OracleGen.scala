@@ -903,6 +903,39 @@ FROM m LEFT JOIN drp ON drp.id = m.id"""
   // Multimodal stub codec (mirror of Multimodal.StubCodec)
   // ------------------------------------------------------------------
 
+  /** Oracle for `mm_phash_pairs`: replays the 16-slot frame signature
+    * (at dim = 16 each slot is ONE md5 byte, so the mid-scale
+    * threshold `feature >= 0.5f` is exactly `byte >= 128` — integer
+    * compare, no float emulation needed) and finds the distance-≤1
+    * pairs by brute-force all-pairs xor/bit_count — the oracle needn't
+    * replay the Spark side's multi-probe join, only its semantics
+    * (recall there is 1.0 by construction).
+    */
+  def mmPhashPairs: String = {
+    def hexv(pos: Int) = s"(strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1)"
+    val bytes = (0 until 16).map(k =>
+      s"CAST(16 * ${hexv(2 * k + 1)} + ${hexv(2 * k + 2)} AS INT)")
+      .mkString("[", ", ", "]")
+    val sig = (0 until 16).map { s =>
+      s"(CASE WHEN bl[((($s - frame_idx) % 16 + 16) % 16) + 1] >= 128 " +
+        s"THEN CAST(${1L << s} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+bytes AS (SELECT doc_id, $bytes AS bl FROM h),
+meta AS (SELECT doc_id, bl, CAST(1 + (bl[4] % 16) AS BIGINT) AS n_frames
+  FROM bytes),
+frames AS (SELECT doc_id, bl,
+    CAST(u.i * GREATEST(CAST(n_frames AS INT) // LEAST(CAST(n_frames AS INT), 4), 1) AS BIGINT) AS frame_idx
+  FROM meta, LATERAL unnest(range(0, LEAST(CAST(n_frames AS INT), 4))) AS u(i)),
+sigs AS (SELECT doc_id, frame_idx, $sig AS sig FROM frames),
+p AS (SELECT bit_count(xor(a.sig, b.sig)) AS dist
+  FROM sigs a JOIN sigs b
+    ON (a.doc_id, a.frame_idx) < (b.doc_id, b.frame_idx)
+   AND bit_count(xor(a.sig, b.sig)) <= 1)
+SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_pairs
+FROM p GROUP BY dist"""
+  }
+
   /** Oracle for `mm_frame_features`. The blob is unhex(md5(text)) — 16
     * bytes extracted here from the md5 hex digits. Float32 arithmetic
     * (`b/255.0f` accumulation in [[graft.operators.Multimodal.StubCodec]])

@@ -4596,6 +4596,24 @@ object SparkEntry {
       frames.join(meta, "doc_id")
     }),
 
+    // Perceptual-hash NEAR-dup frame pairs (hamming distance ≤ 1 over
+    // 16-bit frame signatures), read out as the distance histogram —
+    // the cross-video near-dup companion to mm_frame_dedup's exact
+    // fingerprint match. operators.Multimodal.frameSignatures +
+    // hammingNearDupPairs: exact multi-probe (17 keys/frame), one
+    // signature-keyed equi-join, recall 1.0 by construction — never an
+    // all-pairs product (the oracle brute-forces all pairs instead;
+    // same result set proves the probe scheme loses nothing).
+    "mm_phash_pairs" -> ((s, dir) => {
+      val blobs = ld(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("blob"))
+      val sigs = Multimodal.frameSignatures(
+        Multimodal.sampleFrames(blobs, "blob", "doc_id",
+          maxFrames = 4, dim = 16), "doc_id")
+      Multimodal.hammingNearDupPairs(sigs, "doc_id", width = 16)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Training-pair manifest (WebDataset-shard readout): every blob
     // paired with its caption, rolled up per (format, lang) with byte /
     // token volume and min/max pairing fingerprints — the integrity
@@ -8141,6 +8159,7 @@ FROM cand GROUP BY 1""",
     },
     "knn_ivfpq" -> OracleGen.knnIvfPq(),
     "mm_frame_features" -> OracleGen.mmFrameFeatures,
+    "mm_phash_pairs" -> OracleGen.mmPhashPairs,
 
     "mm_frame_dedup" -> OracleGen.mmFrameDedup
   )

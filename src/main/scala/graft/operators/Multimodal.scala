@@ -228,6 +228,59 @@ object Multimodal {
           col("frame_idx") === col("c.frame_idx")).as("keep"))
   }
 
+  /** Perceptual-hash-style bit signature per sampled frame: bit s is
+    * set iff feature slot s crosses mid-scale — the binarization step
+    * of every real pHash/aHash pipeline (there it's DCT coefficients
+    * vs their median; here the [[StubCodec]] features stand in, and
+    * the threshold compare is monotone in the underlying integer byte,
+    * so both engines binarize identically with no float-tie risk).
+    * Input is [[sampleFrames]] output; `dim` there sets the signature
+    * width (≤ 64 bits in a long).
+    *
+    * Returns `(<idCol>, frame_idx, sig)`.
+    */
+  def frameSignatures(frames: DataFrame, idCol: String): DataFrame =
+    frames.select(col(idCol), col("frame_idx").cast("long").as("frame_idx"),
+      expr("""aggregate(
+        transform(features, (f, i) -> if(f >= 0.5F, shiftleft(1L, i), 0L)),
+        0L, (acc, x) -> acc + x)""").as("sig"))
+
+  /** All frame pairs whose signatures differ by ≤ 1 bit, by EXACT
+    * multi-probe: every frame emits its own signature plus the
+    * `width` one-bit flips (17 probe keys at width 16), and a probe
+    * hitting another frame's exact signature IS a distance-≤1 pair —
+    * identity probes find distance 0, flip probes exactly distance 1,
+    * so no verification join is needed and recall is 1.0 by
+    * construction (the bit-sampling LSH guarantee, cf. Indyk–Motwani).
+    * Canonical (a < b) ordering keeps each unordered pair once.
+    *
+    * Scale shape: probes are a `width+1`-way Generate (linear in
+    * frames), and the one equi-join shuffles on the signature key —
+    * near-dup-density-bounded fan-out, never an all-pairs product.
+    * For ≥ 64-bit production hashes at higher distance thresholds,
+    * band the signature (the [[graft.operators.Dedup]] SimHash
+    * rotation scheme) instead of widening the probe set
+    * combinatorially.
+    *
+    * Returns `(id_a, frame_a, id_b, frame_b, dist)`.
+    */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String,
+                          width: Int): DataFrame = {
+    require(width >= 1 && width <= 64, s"width must be in [1, 64]: $width")
+    val probes = sigs.select(col(idCol).as("id_a"),
+        col("frame_idx").as("frame_a"), col("sig").as("sig_a"),
+        explode(array(col("sig") +: (0 until width).map(b =>
+          col("sig").bitwiseXOR(shiftleft(lit(1L), b))): _*)).as("probe"))
+    probes.join(sigs.select(col(idCol).as("id_b"),
+        col("frame_idx").as("frame_b"), col("sig").as("sig_b")),
+        col("probe") === col("sig_b"))
+      .filter(struct(col("id_a"), col("frame_a")) <
+        struct(col("id_b"), col("frame_b")))
+      .select(col("id_a"), col("frame_a"), col("id_b"), col("frame_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("dist"))
+  }
+
   /** Fixed-size window segmentation of an audio blob — the PCM framing
     * pass every audio pipeline runs before feature extraction (VAD,
     * loudness normalization, silence trimming). The stub treats each

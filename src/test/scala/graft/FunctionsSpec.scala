@@ -135,6 +135,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(f1.nonEmpty && f1.forall(_.getSeq[Float](2).length == 4))
   }
 
+  test("multimodal: frameSignatures binarizes at mid-scale; " +
+      "hammingNearDupPairs equals brute force and never double-counts") {
+    // hand-built feature frames: bit s set iff features(s) >= 0.5f
+    val frames = Seq(
+      (1L, 0, Seq(0.6f, 0.4f, 0.5f, 0.49f)), // bits 1,0,1,0 -> sig 5
+      (2L, 0, Seq(0.0f, 0.0f, 0.0f, 0.0f)))  // sig 0
+      .toDF("doc_id", "frame_idx", "features")
+    val sigs = Multimodal.frameSignatures(frames, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sigs == Map(1L -> 5L, 2L -> 0L))
+
+    // signature fixture: dist-0 twins, two dist-1 pairs, dist-2 excluded
+    val fix = Seq((1L, 0L, 0L), (2L, 0L, 1L), (3L, 0L, 3L), (4L, 0L, 15L),
+      (5L, 0L, 1L)) // 5 duplicates 2's signature
+      .toDF("doc_id", "frame_idx", "sig")
+    val got = Multimodal.hammingNearDupPairs(fix, "doc_id", width = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(4))).toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 5L) -> 1L, (2L, 3L) -> 1L,
+      (3L, 5L) -> 1L, (2L, 5L) -> 0L), s"got $got")
+
+    // random sigs: operator == brute-force all-pairs at dist <= 1
+    val rnd = new scala.util.Random(31)
+    val rs = (1 to 80).map(i => (i.toLong, 0L, rnd.nextInt(64).toLong))
+    val brute = (for {
+      a <- rs; b <- rs
+      if a._1 < b._1 &&
+        java.lang.Long.bitCount(a._3 ^ b._3) <= 1
+    } yield ((a._1, b._1), java.lang.Long.bitCount(a._3 ^ b._3).toLong)).toMap
+    val got2 = Multimodal.hammingNearDupPairs(
+        rs.toDF("doc_id", "frame_idx", "sig"), "doc_id", width = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(4))).toMap
+    assert(got2 == brute)
+  }
+
   test("multimodal: dedupFrames shares fingerprints across identical blobs " +
       "and keeps the lexicographic lowest (doc, frame)") {
     val payload = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
