@@ -55,6 +55,9 @@ object Bench {
     }
 
     (1 to warmups).foreach(_ => names.foreach(runOnce)) // discarded
+    // discard warmup-only failures too: a transient warmup error must
+    // not flag a query whose every TIMED pass succeeds
+    errors.clear()
     val times: Map[String, Seq[Double]] = {
       val all = (1 to passes).map(_ => names.map(n => n -> runOnce(n)).toMap)
       names.map(n => n -> all.map(_(n)).filter(_ >= 0)).toMap

@@ -1345,12 +1345,19 @@ object Eval {
         sum((col("a") + col("b")).cast(dec) * (d * d).cast(dec)).as("s"))
     val h = (col("na") + col("nb")).cast("double")
     // the guard lives INSIDE the emitted column so column pruning
-    // cannot optimize it away
+    // cannot optimize it away, and tests the DOCUMENTED capacity bound
+    // directly — a single worst-case term is c·d² ≤ h·(na·nb)², so
+    // h·(na·nb)² < 10³⁸ keeps every term AND the sum inside
+    // DECIMAL(38,0) (a pooled-row-count proxy like h > 1e8 admits
+    // skew-split cohorts whose terms overflow to NULL and silently
+    // shrink the sum under non-ANSI)
+    val cap = h * (col("na").cast("double") * col("nb").cast("double")) *
+      (col("na").cast("double") * col("nb").cast("double"))
     val out = s.select(
       col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
       col("n_distinct"),
-      when(h > 1e8, raise_error(lit(
-          "cvmStatistic: > 1e8 pooled rows exceeds the DECIMAL(38,0) " +
+      when(cap > 9e37, raise_error(lit(
+          "cvmStatistic: (na+nb)*(na*nb)^2 exceeds the DECIMAL(38,0) " +
             "exactness bound - pre-bin via psiBinCounts")).cast("double"))
         .when(col("na") > 0 && col("nb") > 0,
           round(col("s").cast("double") /

@@ -61,21 +61,31 @@ object Graph {
     // building the guard from `e` re-aggregated the degree relation
     // and re-scanned the raw edges in a second job (measured ~25% of
     // the query at sf0.1, round-9 profiling).
-    val guard = eW.select(col("esrc").as("ns")).distinct()
-      .join(eW.select(col("edst").as("nd")).distinct(),
-        col("ns") === col("nd"), "full_outer")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("ns").isNull, 1L).otherwise(0L)).as("noOut"),
-        sum(when(col("nd").isNull, 1L).otherwise(0L)).as("noIn"))
-      .collect()(0)
-    val n = guard.getAs[Long]("n")
-    require(n > 0, "empty graph")
-    require(guard.getAs[Long]("noOut") == 0L,
-      s"pageRank requires every dst to appear as a src (${guard.getAs[Long]("noOut")} " +
-        "dangling node(s) found) — symmetrize the edge set or add self-loops first")
-    require(guard.getAs[Long]("noIn") == 0L,
-      s"pageRank requires every src to also appear as a dst (${guard.getAs[Long]("noIn")} " +
-        "contribution-less node(s) found) — symmetrize the edge set first")
+    // release the persisted edge relations on the THROW path too —
+    // eW is already cached when the guard evaluates, so a rejected
+    // edge set must not pin a full edge copy for the session lifetime
+    val n = try {
+      val guard = eW.select(col("esrc").as("ns")).distinct()
+        .join(eW.select(col("edst").as("nd")).distinct(),
+          col("ns") === col("nd"), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ns").isNull, 1L).otherwise(0L)).as("noOut"),
+          sum(when(col("nd").isNull, 1L).otherwise(0L)).as("noIn"))
+        .collect()(0)
+      require(guard.getAs[Long]("n") > 0, "empty graph")
+      require(guard.getAs[Long]("noOut") == 0L,
+        s"pageRank requires every dst to appear as a src (${guard.getAs[Long]("noOut")} " +
+          "dangling node(s) found) — symmetrize the edge set or add self-loops first")
+      require(guard.getAs[Long]("noIn") == 0L,
+        s"pageRank requires every src to also appear as a dst (${guard.getAs[Long]("noIn")} " +
+          "contribution-less node(s) found) — symmetrize the edge set first")
+      guard.getAs[Long]("n")
+    } catch {
+      case t: Throwable =>
+        e.unpersist(blocking = false)
+        eW.unpersist(blocking = false)
+        throw t
+    }
     val teleport = (1.0 - damping) / n
 
     // iterations CHAIN LAZILY into one multi-stage job (measured ~2×
@@ -272,6 +282,21 @@ object Graph {
         greatest(col("ka"), col("kb")).as("dst"))
   }
 
+  /** The triangle relation `(u, v, w)` of a pre-built
+    * [[orientByDegree]] DAG — each triangle exactly once, corners in
+    * orientation (degree, id) order. The ONE place that encodes the
+    * compact-forward invariant (the `v < w` wedge comparison must be
+    * in the same struct order the orientation used); the global,
+    * per-edge, and per-vertex triangle operators all consume it, so a
+    * future change cannot diverge their counts.
+    */
+  private def trianglesOriented(oriented: DataFrame): DataFrame =
+    oriented.select(col("src").as("u"), col("dst").as("v"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
+      .filter(col("v") < col("w"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+
   /** [[triangleStats]] body over a pre-built (ideally persisted)
     * [[orientByDegree]] relation — node count, degrees, and wedge
     * totals all come from the struct endpoints, so nothing else is
@@ -281,12 +306,7 @@ object Graph {
     val deg = oriented.select(col("src.id").as("node"), col("src.d").as("d"))
       .union(oriented.select(col("dst.id").as("node"), col("dst.d").as("d")))
       .distinct()
-    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
-      .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
-      .filter(col("v") < col("w"))
-    val triangles = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
+    val triangles = trianglesOriented(oriented)
       .agg(count(lit(1)).as("n_triangles"))
     // wedge total from the degree relation (k-choose-2 per node) — no
     // second pass over the wedge join
@@ -311,13 +331,7 @@ object Graph {
     * union size is the exact-integer da+db−common.
     */
   def edgeJaccard(oriented: DataFrame): DataFrame = {
-    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
-      .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
-      .filter(col("v") < col("w"))
-    val triangles = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-    val commonPerEdge = triangles
+    val commonPerEdge = trianglesOriented(oriented)
       .select(explode(array(
         struct(col("u").as("x"), col("v").as("y")),
         struct(col("u").as("x"), col("w").as("y")),
@@ -351,13 +365,7 @@ object Graph {
     * Returns `(node, degree, triangles, lcc)` for every node.
     */
   def vertexClustering(oriented: DataFrame): DataFrame = {
-    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"))
-      .join(oriented.select(col("src").as("u"), col("dst").as("w")), "u")
-      .filter(col("v") < col("w"))
-    val triangles = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-    val perNode = triangles
+    val perNode = trianglesOriented(oriented)
       .select(explode(array(col("u.id"), col("v.id"), col("w.id"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
     val deg = oriented.select(col("src.id").as("node"), col("src.d").as("d"))

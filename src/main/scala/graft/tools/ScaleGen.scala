@@ -50,7 +50,6 @@ object ScaleGen {
       df.crossJoin(Seq.range(0, factor).toDF("__r"))
     def off(c: String, stride: Long) = col(c) + col("__r") * stride
 
-    val nineDigits = format_string("Customer#%09d", off("c_custkey", 15000L))
     val out: Seq[(String, DataFrame)] = Seq(
       "region" -> t("region"),
       "nation" -> t("nation"),
@@ -59,9 +58,13 @@ object ScaleGen {
         .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey"))),
       "part" -> rep(t("part"))
         .withColumn("p_partkey", off("p_partkey", 20000L)),
+      // name regenerated from the ALREADY-offset key (the supplier
+      // pattern) — formatting off(...) here would double-apply the
+      // replica offset and break the name↔key contract
       "customer" -> rep(t("customer"))
         .withColumn("c_custkey", off("c_custkey", 15000L))
-        .withColumn("c_name", nineDigits),
+        .withColumn("c_name",
+          format_string("Customer#%09d", col("c_custkey"))),
       "orders" -> rep(t("orders"))
         .withColumn("o_orderkey", off("o_orderkey", 150000L))
         .withColumn("o_custkey", off("o_custkey", 15000L)),
