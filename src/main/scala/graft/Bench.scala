@@ -54,6 +54,26 @@ object Bench {
       }
     }
 
+    // host-speed calibration probe: a fixed, SF-independent CPU-bound
+    // reference job (hash + groupBy over a deterministic range — the
+    // engine's hot path, none of the engine's operators). Measured
+    // median-of-3 BEFORE the warmup and again AFTER the timed passes,
+    // it separates "the code got slower" from "the host got slower":
+    // two rounds' totals divide by their calibration to compare
+    // like-for-like (today's measured 216 vs 236 s back-to-back drift
+    // was host-side; this probe makes that attribution mechanical).
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus)
+        .selectExpr("xxhash64(id) % 1024 AS k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrate(): Double =
+      (1 to 3).map(_ => calibrateOnce()).sorted.apply(1)
+    val calibBefore = calibrate()
+
     (1 to warmups).foreach(_ => names.foreach(runOnce)) // discarded
     // discard warmup-only failures too: a transient warmup error must
     // not flag a query whose every TIMED pass succeeds
@@ -62,6 +82,7 @@ object Bench {
       val all = (1 to passes).map(_ => names.map(n => n -> runOnce(n)).toMap)
       names.map(n => n -> all.map(_(n)).filter(_ >= 0)).toMap
     }
+    val calibAfter = calibrate()
     def r3(x: Double): String = f"$x%.3f"
     def agg(f: Seq[Double] => Double): Seq[(String, String)] =
       names.map(n => n -> (if (times(n).isEmpty) "-1" else r3(f(times(n)))))
@@ -86,7 +107,7 @@ object Bench {
 
     // the durable complete copy: medians (the headline protocol), best,
     // and max-min spread per query
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"protocol":"median_of_$passes","warmups":$warmups,"errors":$errJson,"queries":${jmap(median)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"protocol":"median_of_$passes","warmups":$warmups,"calib_before_s":${r3(calibBefore)},"calib_after_s":${r3(calibAfter)},"errors":$errJson,"queries":${jmap(median)}}"""
     val full =
       s"""{"headline":$line,
          |"best":${jmap(best)},

@@ -63,6 +63,37 @@ object SparkEntry {
   // (bounded ~N^2); the SQUARE happens in DOUBLE -- squaring the integer
   // would be N^4, an ANSI/HUGEINT overflow past ~3e9 observations
   // (mirrors operators.Eval.chiSquareIndependence).
+  // shared by q_jsd_drift and stream_jsd_drift: a complete-mode
+  // streaming aggregate's final state IS the batch bin relation, so
+  // both queries verify against ONE SQL text and cannot drift
+  private val jsdDriftOracle: String =
+    """WITH s AS (SELECT value AS v,
+      |    CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT CAST(least(greatest(floor(v), -5), 5) AS BIGINT) AS bin,
+      |    SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY 1),
+      |axis AS (SELECT CAST(u.i AS BIGINT) AS bin FROM unnest(range(-5, 6)) u(i)),
+      |f AS (SELECT axis.bin, CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+      |    CAST(COALESCE(cb, 0) AS BIGINT) AS cb FROM axis LEFT JOIN g USING (bin)),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nbt FROM f),
+      |probs AS (SELECT bin, ca, cb,
+      |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+      |    CAST(cb AS DOUBLE) / CAST(nbt AS DOUBLE) AS pb
+      |  FROM f CROSS JOIN t),
+      |t2 AS (SELECT bin, ca, cb, pa, pb, (pa + pb) / 2.0 AS mid FROM probs),
+      |t3 AS (SELECT bin, ca, cb, pa, pb,
+      |    round((CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / mid) ELSE 0.0 END) +
+      |          (CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / mid) ELSE 0.0 END),
+      |      6) AS term
+      |  FROM t2),
+      |j AS (SELECT round(CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6)
+      |    AS jsd FROM t3)
+      |SELECT bin, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b, term,
+      |  jsd, round(jsd / ln(2.0), 6) AS jsd_bits
+      |FROM t3 CROSS JOIN j""".stripMargin
+
   private val chi2OracleTail: String =
     """rm AS (SELECT r, SUM(o) AS nr FROM cells GROUP BY r),
         |cm AS (SELECT c, SUM(o) AS nc FROM cells GROUP BY c),
@@ -2434,6 +2465,30 @@ object SparkEntry {
       try {
         q.awaitTermination()
         graft.operators.Eval.psiFromBinCounts(
+          s.table(sinkName).localCheckpoint(true), -5, 5)
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(sinkName)
+      }
+    }),
+
+    // JSD drift as a stream: the SAME complete-mode bin-count state as
+    // stream_psi_drift (≤ 11 rows of state), read out through the
+    // shared operators.Eval.jsdFromBinCounts tail — one tail for the
+    // batch and streaming twins, one oracle SQL for both.
+    "stream_jsd_drift" -> ((s, dir) => withStateParts(s) {
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      val counts = graft.operators.Eval.psiBinCounts(
+        eventsStream(s, dir), col("value"),
+        col("ts") < split, col("ts") >= split)
+      val sinkName = s"graft_sjsd_${System.nanoTime()}"
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        graft.operators.Eval.jsdFromBinCounts(
           s.table(sinkName).localCheckpoint(true), -5, 5)
       } finally {
         if (q.isActive) q.stop()
@@ -5982,33 +6037,7 @@ object SparkEntry {
     // JSD over the identical split/bins as q_psi_drift: unsmoothed
     // shares, 0-valued empty-bin terms, 6-dp terms decimal-summed;
     // jsd_bits re-rounds jsd/ln 2 (mirrors operators.Eval.jsDivergence)
-    "q_jsd_drift" ->
-      """WITH s AS (SELECT value AS v,
-        |    CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS a,
-        |    CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS b
-        |  FROM events WHERE value IS NOT NULL),
-        |g AS (SELECT CAST(least(greatest(floor(v), -5), 5) AS BIGINT) AS bin,
-        |    SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY 1),
-        |axis AS (SELECT CAST(u.i AS BIGINT) AS bin FROM unnest(range(-5, 6)) u(i)),
-        |f AS (SELECT axis.bin, CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
-        |    CAST(COALESCE(cb, 0) AS BIGINT) AS cb FROM axis LEFT JOIN g USING (bin)),
-        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
-        |    CAST(SUM(cb) AS BIGINT) AS nbt FROM f),
-        |probs AS (SELECT bin, ca, cb,
-        |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
-        |    CAST(cb AS DOUBLE) / CAST(nbt AS DOUBLE) AS pb
-        |  FROM f CROSS JOIN t),
-        |t2 AS (SELECT bin, ca, cb, pa, pb, (pa + pb) / 2.0 AS mid FROM probs),
-        |t3 AS (SELECT bin, ca, cb, pa, pb,
-        |    round((CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / mid) ELSE 0.0 END) +
-        |          (CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / mid) ELSE 0.0 END),
-        |      6) AS term
-        |  FROM t2),
-        |j AS (SELECT round(CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6)
-        |    AS jsd FROM t3)
-        |SELECT bin, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b, term,
-        |  jsd, round(jsd / ln(2.0), 6) AS jsd_bits
-        |FROM t3 CROSS JOIN j""".stripMargin,
+    "q_jsd_drift" -> jsdDriftOracle,
 
     // Cohen's kappa: k x k rater cells, exact-integer marginal
     // products (DECIMAL(19,0) keeps the DuckDB product width at 38),
@@ -6072,6 +6101,10 @@ object SparkEntry {
         |SELECT nation, segment, n_customers, p AS p_value, rank, m, bh_thresh,
         |  rank <= kmax AS rejected
         |FROM thresh CROSS JOIN k""".stripMargin,
+
+    // the streaming JSD monitor shares the batch oracle VAL — one SQL
+    // text, zero copy-drift surface
+    "stream_jsd_drift" -> jsdDriftOracle,
 
     // the streaming PSI monitor must agree with the batch definition —
     // identical oracle text by construction

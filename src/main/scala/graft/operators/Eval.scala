@@ -1270,9 +1270,17 @@ object Eval {
     * totals repeated on each row ([[psiDrift]]'s output convention).
     */
   def jsDivergence(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
-                   loBin: Int = -5, hiBin: Int = 5): DataFrame = {
-    val bins = psiBinCounts(df, valueCol, isA, isB, loBin, hiBin)
-    val axis = df.sparkSession.range(loBin, hiBin + 1).toDF("bin")
+                   loBin: Int = -5, hiBin: Int = 5): DataFrame =
+    jsdFromBinCounts(psiBinCounts(df, valueCol, isA, isB, loBin, hiBin),
+      loBin, hiBin)
+
+  /** The JSD tail over a `(bin, ca, cb)` relation (batch or the
+    * materialized final state of the streaming aggregate) — the
+    * [[psiFromBinCounts]] split, so the batch and streaming drift
+    * queries share one tail and cannot diverge.
+    */
+  def jsdFromBinCounts(bins: DataFrame, loBin: Int, hiBin: Int): DataFrame = {
+    val axis = bins.sparkSession.range(loBin, hiBin + 1).toDF("bin")
     val filled = axis.join(bins, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
