@@ -203,4 +203,54 @@ class EvalPropertySpec extends AnyFunSuite {
       got == bruteKM(spans)
     })
   }
+
+  test("cvmStatistic is symmetric under cohort swap") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("s", "y")
+      def t(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        Eval.cvmStatistic(df, col("s"), a, b).collect()(0).getDouble(3)
+      t(col("y"), !col("y")) == t(!col("y"), col("y"))
+    })
+  }
+
+  test("kendallTauB is invariant under strictly increasing transforms " +
+      "of either margin") {
+    val xyGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(15, 80)
+      rows <- Gen.listOfN(n, for {
+        x <- Gen.choose(0L, 9L); y <- Gen.choose(0L, 9L)
+      } yield (x, y))
+    } yield (0L, 0L) :: (1L, 1L) :: rows
+    check(Prop.forAll(xyGen) { rows =>
+      val df = rows.toDF("x", "y")
+      def tau(xc: org.apache.spark.sql.Column,
+              yc: org.apache.spark.sql.Column): Any =
+        Eval.kendallTauB(df, xc, yc).collect()(0).get(6)
+      // τ is rank-based: affine-positive x and a strictly increasing
+      // cubic-ish y (monotone for y >= 0) must not move it
+      tau(col("x"), col("y")) ==
+        tau(col("x") * 3 + 7, col("y") * col("y") * col("y") + col("y"))
+    })
+  }
+
+  test("logRank chi2 is invariant under swapping the two arms") {
+    val subjGen: Gen[List[(Int, Int, Boolean)]] = for {
+      n <- Gen.choose(8, 40)
+      rows <- Gen.listOfN(n, for {
+        f <- Gen.choose(0, 6); d <- Gen.choose(0, 9)
+        a <- Gen.oneOf(true, false)
+      } yield (f, f + d, a))
+    } yield (0, 3, true) :: (0, 4, false) :: rows
+    check(Prop.forAll(subjGen) { subj =>
+      def ts(d: Int) = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong).atStartOfDay())
+      val ev = subj.zipWithIndex.flatMap { case ((f, l, a), i) =>
+        Seq((s"u$i", ts(f), a), (s"u$i", ts(l), a)) }.toDF("id", "ts", "a")
+      def chi2(arm: org.apache.spark.sql.Column): Any =
+        Eval.logRank(ev, col("ts"), col("id"), arm).collect()(0).get(6)
+      // (O_b − E_b) = −(O_a − E_a) and V is arm-symmetric, so the
+      // statistic cannot depend on which arm is called A
+      chi2(col("a")) == chi2(!col("a"))
+    })
+  }
 }
