@@ -54,4 +54,23 @@ class WindowGuardSpec extends AnyFunSuite {
     try assert(sfDocs.withColumn("rn", row_number().over(w)).count() > 0)
     finally spark.conf.set(GlobalWindowGuard.ConfKey, "true")
   }
+
+  test("bhFdr's boundedness contract is machine-enforced: a RAW corpus " +
+      "input fails at optimization time, an aggregate-reduced one passes") {
+    import graft.operators.Eval
+    // misuse: per-test p-values straight off an unbounded scan — the
+    // rank window is global, so the guard must refuse to plan it
+    // the operator pins eagerly, so the guard fires inside the call
+    val e = intercept[Exception] {
+      Eval.bhFdr(sfDocs.select(col("doc_id").cast("string").as("k"),
+        ((col("n_chars") % 100).cast("double") / 100.0).as("p")), Seq("k"),
+        col("p"), 0.1)
+    }
+    assert(e.getMessage.contains("GlobalWindowGuard"), e.getMessage)
+    // contract use: one row per (bounded) language group
+    val agg = sfDocs.groupBy(col("lang"))
+      .agg(((count(lit(1)) % 97).cast("double") / 97.0).as("p"))
+      .select(col("lang").as("k"), col("p"))
+    assert(Eval.bhFdr(agg, Seq("k"), col("p"), 0.1).count() > 0)
+  }
 }
