@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares ONE heap between the driver and all 32 executor
+  // threads; at 8g the storage pool churns (round-9: graph-family
+  // queries swung 2.6x same-day on unchanged plans — iteration persists
+  // evicted + GC pressure). The host has 128 GiB; size the default so
+  // the unified memory pool (~0.6*(Xmx-300m)) comfortably holds the
+  // bench suite's working set. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

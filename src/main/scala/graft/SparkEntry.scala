@@ -79,14 +79,17 @@ object SparkEntry {
       |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
       |    CAST(SUM(cb) AS BIGINT) AS nbt FROM f),
       |probs AS (SELECT bin, ca, cb,
-      |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
-      |    CAST(cb AS DOUBLE) / CAST(nbt AS DOUBLE) AS pb
+      |    CASE WHEN na > 0 AND nbt > 0
+      |      THEN CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) END AS pa,
+      |    CASE WHEN na > 0 AND nbt > 0
+      |      THEN CAST(cb AS DOUBLE) / CAST(nbt AS DOUBLE) END AS pb
       |  FROM f CROSS JOIN t),
       |t2 AS (SELECT bin, ca, cb, pa, pb, (pa + pb) / 2.0 AS mid FROM probs),
       |t3 AS (SELECT bin, ca, cb, pa, pb,
-      |    round((CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / mid) ELSE 0.0 END) +
-      |          (CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / mid) ELSE 0.0 END),
-      |      6) AS term
+      |    CASE WHEN pa IS NOT NULL THEN
+      |      round((CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / mid) ELSE 0.0 END) +
+      |            (CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / mid) ELSE 0.0 END),
+      |        6) END AS term
       |  FROM t2),
       |j AS (SELECT round(CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE), 6)
       |    AS jsd FROM t3)
@@ -1977,7 +1980,11 @@ object SparkEntry {
     // sets; per-time E/V terms 6-dp-rounded and decimal-summed.
     "q_logrank" -> ((s, dir) =>
       graft.operators.Eval.logRank(ld(s, dir, "events"),
-        col("ts"), col("user_id"), pmod(col("user_id"), lit(2)) === 1)),
+        // % (not pmod): DuckDB % is sign-preserving, so pmod would
+        // flip the arm for negative ids; fixture ids are nonnegative
+        // but exact parity is the contract (other modulo predicates
+        // here use % too)
+        col("ts"), col("user_id"), col("user_id") % 2 === 1)),
 
     // Robust anomaly detection: per-type median + MAD (both via the
     // scale-safe Rank.exactPercentiles — no per-group window buffer),
@@ -4665,6 +4672,53 @@ object SparkEntry {
       val sigs = Multimodal.frameSignatures(
         Multimodal.sampleFrames(blobs, "blob", "doc_id",
           maxFrames = 4, dim = 16), "doc_id")
+      Multimodal.hammingNearDupPairs(sigs, "doc_id", width = 16)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // REAL image decode e2e (operators.ImageIoCodec — JDK javax
+    // .imageio, zero new deps): per doc, an ACTUAL PNG (even ids) /
+    // BMP (odd ids) is encoded from the deterministic luminance
+    // pattern v(x,y) = (7·(id%1000) + 31x + 17y) % 256, then decoded
+    // back through ImageIO and reduced to exact-integer pixel stats
+    // (Σv and position-weighted Σ v·(1+x+y·w)). The oracle replays
+    // the PATTERN analytically over a bounded (x, y) grid — it never
+    // parses the container — so a match proves the real encode→decode
+    // path reproduces the pixels bit-exactly. Blobs stay at rest: one
+    // mapPartitions encode pass, one decode pass, features-only output.
+    "mm_codec_decode" -> ((s, dir) =>
+      Multimodal.decodeStats(
+        Multimodal.synthImages(
+          ld(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "blob", "doc_id")),
+
+    // REAL resize e2e: decode the PNG/BMP payload, box-downscale by 2
+    // (floor-of-block-mean — exact integers), re-encode in the same
+    // container, RE-DECODE and verify the roundtrip in-kernel (throws
+    // on mismatch; encoded bytes are never fingerprinted because
+    // compression may vary by JDK — pixels may not). The oracle
+    // replays the block means analytically. n_bytes_out is dropped
+    // from the projection for the same reason it isn't fingerprinted.
+    "mm_codec_resize" -> ((s, dir) =>
+      Multimodal.resizeVerifiedStats(
+        Multimodal.synthImages(
+          ld(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "blob", "doc_id", factor = 2)
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          col("rpix_sum"), col("rpos_sum"))),
+
+    // Perceptual near-dup over REAL decoded pixels: 16-bit aHash-style
+    // signatures (bit s = slot luminance ≥ image mean — all-integer
+    // binarization), then the exact 17-key multi-probe join for
+    // hamming distance ≤ 1, read out as the distance histogram. The
+    // oracle computes the same signatures analytically from the
+    // pattern and brute-forces all pairs — matching histograms prove
+    // the probe scheme loses nothing over genuine PNG/BMP decode.
+    "mm_codec_phash" -> ((s, dir) => {
+      val sigs = Multimodal.imageSignatures(
+        Multimodal.synthImages(
+          ld(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "blob", "doc_id", width = 16)
       Multimodal.hammingNearDupPairs(sigs, "doc_id", width = 16)
         .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
     }),
@@ -7744,6 +7798,63 @@ object SparkEntry {
          |  md5(substr(hx, 1, 8)) AS resized_fp
          |FROM h""".stripMargin
     },
+
+    // real-codec e2e: the oracle replays the synthImages luminance
+    // PATTERN analytically over a bounded (x, y) grid — decode parity
+    // proves ImageIO's PNG/BMP roundtrip reproduces the pixels exactly
+    "mm_codec_decode" ->
+      """WITH d AS (SELECT doc_id, 7*(doc_id % 1000) AS a,
+        |    4 + 2*(doc_id % 5) AS w, 4 + 2*(doc_id % 3) AS h FROM documents),
+        |g AS (SELECT doc_id, a, w, h, gx.x, gy.y
+        |  FROM d CROSS JOIN range(12) AS gx(x) CROSS JOIN range(8) AS gy(y)
+        |  WHERE gx.x < w AND gy.y < h),
+        |v AS (SELECT doc_id, w, h, x, y,
+        |    (a + 31*x + 17*y) % 256 AS v FROM g)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(MAX(w) AS BIGINT) AS width,
+        |  CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(SUM(v) AS BIGINT) AS pix_sum,
+        |  CAST(SUM(v * (1 + x + y * w)) AS BIGINT) AS pos_sum
+        |FROM v GROUP BY doc_id""".stripMargin,
+
+    "mm_codec_resize" ->
+      """WITH d AS (SELECT doc_id, 7*(doc_id % 1000) AS a,
+        |    4 + 2*(doc_id % 5) AS w, 4 + 2*(doc_id % 3) AS h FROM documents),
+        |g AS (SELECT doc_id, a, w // 2 AS ow, h // 2 AS oh, gx.ox, gy.oy
+        |  FROM d CROSS JOIN range(6) AS gx(ox) CROSS JOIN range(4) AS gy(oy)
+        |  WHERE gx.ox < w // 2 AND gy.oy < h // 2),
+        |p AS (SELECT doc_id, ow, oh, ox, oy,
+        |    (  (a + 31*(2*ox)     + 17*(2*oy))     % 256
+        |     + (a + 31*(2*ox + 1) + 17*(2*oy))     % 256
+        |     + (a + 31*(2*ox)     + 17*(2*oy + 1)) % 256
+        |     + (a + 31*(2*ox + 1) + 17*(2*oy + 1)) % 256) // 4 AS v
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(MAX(ow) AS BIGINT) AS out_w,
+        |  CAST(MAX(oh) AS BIGINT) AS out_h,
+        |  CAST(SUM(v) AS BIGINT) AS rpix_sum,
+        |  CAST(SUM(v * (1 + ox + oy * ow)) AS BIGINT) AS rpos_sum
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    "mm_codec_phash" ->
+      """WITH d AS (SELECT doc_id, 7*(doc_id % 1000) AS a,
+        |    4 + 2*(doc_id % 5) AS w, 4 + 2*(doc_id % 3) AS h FROM documents),
+        |g AS (SELECT doc_id, a, w, h, gx.x, gy.y
+        |  FROM d CROSS JOIN range(12) AS gx(x) CROSS JOIN range(8) AS gy(y)
+        |  WHERE gx.x < w AND gy.y < h),
+        |v AS (SELECT doc_id, (y * w + x) % 16 AS s,
+        |    (a + 31*x + 17*y) % 256 AS v FROM g),
+        |slot AS (SELECT doc_id, s, SUM(v) AS sv FROM v GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(sv) AS pv FROM slot GROUP BY 1),
+        |sig AS (SELECT slot.doc_id AS doc_id,
+        |    SUM(CASE WHEN 16 * sv >= pv THEN (CAST(1 AS BIGINT) << s)
+        |        ELSE 0 END) AS sig
+        |  FROM slot JOIN tot ON slot.doc_id = tot.doc_id GROUP BY 1),
+        |pairs AS (SELECT bit_count(xor(x.sig, y.sig)) AS dist
+        |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+        |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_pairs
+        |FROM pairs WHERE dist <= 1 GROUP BY 1""".stripMargin,
 
     "embed_kmeans" -> OracleGen.embedKmeans(),
 

@@ -1287,12 +1287,23 @@ object Eval {
     val tot = filled.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val half = (p: Column, mm: Column) =>
       when(p > 0, lit(0.5) * p * log(p / mm)).otherwise(lit(0.0))
+    // empty-cohort guard: with na or nb = 0 (e.g. a streaming trigger
+    // before any post-split rows), 0/0 = NaN and Spark's NaN > 0 is
+    // TRUE, so `term` would go NaN and the decimal cast would silently
+    // NULL only the jsd — while the DuckDB oracle errors-or-NULLs
+    // differently on NaN→DECIMAL. Mirror cvmStatistic's contract
+    // instead: NULL shares, NULL terms, NULL jsd until both cohorts
+    // are non-empty (psiFromBinCounts needs no guard — +1 smoothing
+    // makes 0/0 impossible there). The oracle carries the same CASE.
+    val bothCohorts = col("na") > 0 && col("nb") > 0
     val terms = filled.crossJoin(broadcast(tot))
-      .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
-      .withColumn("pb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("pa", when(bothCohorts,
+        col("ca").cast("double") / col("na").cast("double")))
+      .withColumn("pb", when(bothCohorts,
+        col("cb").cast("double") / col("nb").cast("double")))
       .withColumn("mid", (col("pa") + col("pb")) / lit(2.0))
-      .withColumn("term",
-        round(half(col("pa"), col("mid")) + half(col("pb"), col("mid")), 6))
+      .withColumn("term", when(col("pa").isNotNull,
+        round(half(col("pa"), col("mid")) + half(col("pb"), col("mid")), 6)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val jsd = terms.agg(
       round(sum(col("term").cast("decimal(25,12)")).cast("double"), 6).as("jsd"))
@@ -1423,7 +1434,11 @@ object Eval {
       .select(col("n"), col("n_cells"),
         coalesce(col("cc"), lit(0).cast(dec)).cast("long").as("concordant"),
         coalesce(col("dd"), lit(0).cast(dec)).cast("long").as("discordant"),
-        col("n1").cast("long").as("ties_x"), col("n2").cast("long").as("ties_y"),
+        // coalesce like concordant/discordant above: on empty input the
+        // tie sums are NULL but the oracle COALESCEs to 0 — the
+        // degenerate-row contract must match across all four counters
+        coalesce(col("n1"), lit(0).cast(dec)).cast("long").as("ties_x"),
+        coalesce(col("n2"), lit(0).cast(dec)).cast("long").as("ties_y"),
         ((col("n").cast(dec) * (col("n") - 1)) / 2).as("n0"))
       .select(col("n"), col("n_cells"), col("concordant"), col("discordant"),
         col("ties_x"), col("ties_y"),

@@ -9,13 +9,15 @@ import org.apache.spark.storage.StorageLevel
   * documents inside duplicate clusters or to weight crawl sources by
   * link authority (Page et al. 1999).
   *
-  * Scale shape: the edge list is hash-partitioned by `src` ONCE and
-  * persisted; each iteration shuffles only the rank relation (2 cols,
-  * one row per node) into that partitioning, aggregates contributions
-  * per `dst` with map-side combine, and left-joins back to the node
-  * set so sink-free nodes still receive teleport mass. Lineage is
-  * truncated per iteration with `localCheckpoint` (the same guard
-  * [[Cluster]] uses) so the plan does not grow with the iteration
+  * Scale shape: the edge list (degree folded in by a src-partitioned
+  * window count) is hash-partitioned by `src` ONCE and persisted; each
+  * iteration moves only the rank relation (2 cols, one row per node)
+  * against that partitioning and aggregates contributions per `dst`
+  * with map-side combine — the closure guard proves every node
+  * receives mass, so no outer join is needed. The iteration chain
+  * executes under [[Iter.tuned]] (AQE off, partitions sized once from
+  * the guard-measured node count); lineage is capped with
+  * `localCheckpoint` so the plan does not grow with the iteration
   * count. Driver state: nothing but the node count.
   *
   * Iteration count is FIXED (not convergence-tested): the oracle
@@ -37,21 +39,24 @@ object Graph {
   def pageRank(edges: DataFrame,
                iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
 
-    // degree pre-joined into the edge relation ONCE and hash-
-    // partitioned by source: each iteration then shuffles only the
-    // 2-column rank relation into this partitioning plus one map-side-
-    // combined aggregate by destination — two exchanges per iteration,
-    // edges at rest. (Disjoint column names: the iteration self-joins
-    // lineage-shared frames, which trips the ambiguous-column check
-    // under qualified references.) The inner join drops nothing: deg's
-    // keys are exactly e's srcs by construction.
-    val eW = e.join(deg, "src")
-      .select(col("src").as("esrc"), col("dst").as("edst"), col("deg"))
-      .repartition(col("esrc")).persist(StorageLevel.MEMORY_AND_DISK)
+    // degree folded into the edge relation ONCE via a src-partitioned
+    // window count — ONE exchange (hash by src) whose output
+    // partitioning already satisfies the iteration joins, so no
+    // repartition and no separate degree join. (Round 10: the previous
+    // groupBy-deg ⋈ edges shape planned the megarow edge side as the
+    // BROADCAST build under the cached-size threshold — a full
+    // single-threaded hash-relation of the edge list per run — and
+    // pinned a second copy of the edges (`e`) for the operator's
+    // lifetime; the window form measured ~1.7× faster at sf0.1 and
+    // halves the pinned footprint. Skew exposure is identical: either
+    // shape co-locates a hub's out-edges in one task.) Disjoint column
+    // names because the iteration self-joins lineage-shared frames.
+    val eW = edges
+      .select(col("src").as("esrc"), col("dst").as("edst"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // node count + BOTH closure guards in ONE job — a dst-only node is
     // a dangling sink (leaks rank), a src-only node never receives
@@ -60,17 +65,24 @@ object Graph {
     // eW's cache materialization: one pass over the edges total, where
     // building the guard from `e` re-aggregated the degree relation
     // and re-scanned the raw edges in a second job (measured ~25% of
-    // the query at sf0.1, round-9 profiling).
-    // release the persisted edge relations on the THROW path too —
+    // the query at sf0.1, round-9 profiling). Shape: a 2-row explode
+    // per edge + ONE map-side-combinable groupBy on node + a scalar
+    // agg — round 10 replaced the distinct⋈distinct full-outer guard
+    // (3 shuffles, 4.2 s at sf0.1) with this single-shuffle form
+    // (0.9–1.3 s, same three scalars).
+    // release the persisted edge relation on the THROW path too —
     // eW is already cached when the guard evaluates, so a rejected
     // edge set must not pin a full edge copy for the session lifetime
     val n = try {
-      val guard = eW.select(col("esrc").as("ns")).distinct()
-        .join(eW.select(col("edst").as("nd")).distinct(),
-          col("ns") === col("nd"), "full_outer")
+      val guard = eW.select(explode(array(
+          struct(col("esrc").as("node"), lit(1).as("s"), lit(0).as("d")),
+          struct(col("edst").as("node"), lit(0).as("s"), lit(1).as("d"))))
+          .as("x"))
+        .groupBy(col("x.node"))
+        .agg(max(col("x.s")).as("hasS"), max(col("x.d")).as("hasD"))
         .agg(count(lit(1)).as("n"),
-          sum(when(col("ns").isNull, 1L).otherwise(0L)).as("noOut"),
-          sum(when(col("nd").isNull, 1L).otherwise(0L)).as("noIn"))
+          sum(when(col("hasS") === 0, 1L).otherwise(0L)).as("noOut"),
+          sum(when(col("hasD") === 0, 1L).otherwise(0L)).as("noIn"))
         .collect()(0)
       require(guard.getAs[Long]("n") > 0, "empty graph")
       require(guard.getAs[Long]("noOut") == 0L,
@@ -82,7 +94,6 @@ object Graph {
       guard.getAs[Long]("n")
     } catch {
       case t: Throwable =>
-        e.unpersist(blocking = false)
         eW.unpersist(blocking = false)
         throw t
     }
@@ -93,24 +104,31 @@ object Graph {
     // block write), with a lineage cap every 8 iterations so a large
     // `iters` cannot blow up analysis time; one final localCheckpoint
     // materializes the result so e/eW can be unpersisted safely before
-    // the caller evaluates.
+    // the caller evaluates. The chain executes under [[Iter.tuned]]:
+    // the rank relation's size is exactly n (known from the guard), so
+    // the shuffle partition count is sized once and AQE's
+    // per-stage re-plan — pure latency on a plan with nothing left to
+    // discover — is skipped (measured 2.2× on the chain at sf0.1).
     // seed from the CACHED eW (same key set as deg — its srcs), so the
     // iteration job never re-aggregates the raw edge relation
-    var ranks = eW.select(col("esrc").as("node")).distinct()
-      .withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iters) {
-      // closure guarantees every node receives ≥1 contribution, so the
-      // groupBy covers the full node set — no outer join needed
-      ranks = ranks.join(eW, col("node") === col("esrc"))
-        .select(col("edst"), (col("rank") / col("deg")).as("share"))
-        .groupBy(col("edst"))
-        .agg((lit(teleport) + lit(damping) * sum(col("share"))).as("rank"))
-        .select(col("edst").as("node"), col("rank"))
-      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    val checkpointed = Iter.tuned(edges.sparkSession, n) {
+      var ranks = eW.select(col("esrc").as("node")).distinct()
+        .withColumn("rank", lit(1.0 / n))
+      for (i <- 1 to iters) {
+        // closure guarantees every node receives ≥1 contribution, so the
+        // groupBy covers the full node set — no outer join needed
+        ranks = ranks.join(eW, col("node") === col("esrc"))
+          .select(col("edst"), (col("rank") / col("deg")).as("share"))
+          .groupBy(col("edst"))
+          .agg((lit(teleport) + lit(damping) * sum(col("share"))).as("rank"))
+          .select(col("edst").as("node"), col("rank"))
+        if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      }
+      ranks.localCheckpoint()
     }
-    val out = ranks.localCheckpoint()
+    val out = checkpointed
       .select(col("node"), round(col("rank") * n, 6).as("rank_norm"))
-    e.unpersist(); eW.unpersist()
+    eW.unpersist()
     out
   }
 
@@ -702,9 +720,16 @@ object Graph {
     var h = e.select(col("src").as("node")).distinct()
       .withColumn("score", lit(1.0))
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
-      a = halfStep(h, "src", "dst")
-      h = halfStep(a, "dst", "src")
+    // every half-step materializes (the normalizer collect) under
+    // [[Iter.noAqe]]: 2×iters identical two-stage jobs over a score
+    // relation of one row per node — nothing for AQE to discover,
+    // one blocking re-plan per stage to pay (round-10 measurement:
+    // the AQE-off loop runs ~2× faster at sf0.1, identical results)
+    Iter.noAqe(e.sparkSession) {
+      for (_ <- 1 to iters) {
+        a = halfStep(h, "src", "dst")
+        h = halfStep(a, "dst", "src")
+      }
     }
     // the last two persisted raws stay pinned — the final projections
     // read them directly, so no checkpoint is needed. The edge pin is

@@ -27,12 +27,32 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false)
   ))
 
-  /** STUB media codec — deterministic functions of the blob bytes in
-    * place of real image/audio decoding (libs absent in this
-    * container). Replace `decodeMeta`/`decodeFrame` with real codecs in
-    * production; signatures and batch shape stay the same.
+  /** Pluggable per-blob codec behind every batch operator here: the
+    * deterministic [[StubCodec]] (default — exercises the Spark-side
+    * plumbing on arbitrary bytes) or the real [[ImageIoCodec]]
+    * (JDK `javax.imageio`, decodes actual PNG/BMP payloads, falls back
+    * to the stub for non-image bytes). The contract is pure
+    * bytes-in/values-out so implementations stay task-local —
+    * Serializable because instances ride the mapPartitions closures.
     */
-  object StubCodec {
+  trait MediaCodec extends Serializable {
+    /** (n_bytes, format, width, height, n_frames) for one blob. */
+    def decodeMeta(bytes: Array[Byte]): (Long, String, Int, Int, Int)
+    /** (out_width, out_height, re-encoded payload) at 1/factor scale. */
+    def resize(bytes: Array[Byte], factor: Int): (Int, Int, Array[Byte])
+    /** Fixed-size feature vector for one frame of the blob. */
+    def frameFeatures(bytes: Array[Byte], frame: Int, dim: Int): Array[Float]
+    /** Canonical content fingerprint of one frame. */
+    def frameFingerprint(bytes: Array[Byte], frame: Int): String
+  }
+
+  /** STUB media codec — deterministic functions of the blob bytes in
+    * place of real image/audio decoding. The real-image member of the
+    * family is [[ImageIoCodec]]; this one stays the default because it
+    * accepts ANY bytes (the synthetic md5 blobs the mm_* oracle
+    * queries use) and replays bit-for-bit in SQL.
+    */
+  object StubCodec extends MediaCodec {
     /** "Decode" header metadata from a blob. */
     def decodeMeta(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
       val fmt = if (bytes.isEmpty) "empty" else (bytes(0) & 0x3) match {
@@ -104,14 +124,15 @@ object Multimodal {
     * batch-iterating rows so only one partition of blobs is resident
     * per task.
     */
-  def withMediaMeta(df: DataFrame, blobCol: String): DataFrame = {
+  def withMediaMeta(df: DataFrame, blobCol: String,
+                    codec: MediaCodec = StubCodec): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("media", mediaMetaSchema))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(blobCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val (n, fmt, w, h, fr) = StubCodec.decodeMeta(
+        val (n, fmt, w, h, fr) = codec.decodeMeta(
           if (bytes == null) Array.emptyByteArray else bytes)
         Row.fromSeq(r.toSeq :+ Row(n, fmt, w, h, fr))
       }
@@ -125,7 +146,8 @@ object Multimodal {
     * mapPartitions), and downstream can project away the payload to
     * keep exchanges feature-only.
     */
-  def resizeBlobs(df: DataFrame, blobCol: String, factor: Int): DataFrame = {
+  def resizeBlobs(df: DataFrame, blobCol: String, factor: Int,
+                  codec: MediaCodec = StubCodec): DataFrame = {
     require(factor >= 1, "factor must be >= 1")
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("out_w", IntegerType, nullable = false),
@@ -136,7 +158,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val (w, h, out) = StubCodec.resize(
+        val (w, h, out) = codec.resize(
           if (bytes == null) Array.emptyByteArray else bytes, factor)
         Row.fromSeq(r.toSeq ++ Seq(w, h, out))
       }
@@ -149,7 +171,8 @@ object Multimodal {
     * not media bytes.
     */
   def sampleFrames(df: DataFrame, blobCol: String, idCol: String,
-                   maxFrames: Int, dim: Int = 8): DataFrame = {
+                   maxFrames: Int, dim: Int = 8,
+                   codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -163,12 +186,12 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](bIdx)
         if (bytes == null) Iterator.empty
         else {
-          val (_, _, _, _, nFrames) = StubCodec.decodeMeta(bytes)
+          val (_, _, _, _, nFrames) = codec.decodeMeta(bytes)
           val take = math.min(nFrames, maxFrames)
           val step = math.max(nFrames / math.max(take, 1), 1)
           (0 until take).iterator.map { i =>
             Row(r.get(iIdx), i * step,
-              StubCodec.frameFeatures(bytes, i * step, dim).toSeq)
+              codec.frameFeatures(bytes, i * step, dim).toSeq)
           }
         }
       }
@@ -177,7 +200,7 @@ object Multimodal {
 
   /** Frame-level dedup ACROSS blobs — the video/image analog of
     * sub-document block dedup: every sampled frame is fingerprinted by
-    * its feature-generating content ([[StubCodec.frameFingerprint]] —
+    * its feature-generating content ([[codec.frameFingerprint]] —
     * integer byte lists, never floats) in the same mapPartitions pass
     * that samples it, so only `(fingerprint, doc_id, frame_idx)` rows
     * ever reach an exchange — media payloads stay at rest. keep =
@@ -186,7 +209,8 @@ object Multimodal {
     * the shuffle is fingerprint-sized regardless of blob size.
     */
   def dedupFrames(df: DataFrame, blobCol: String, idCol: String,
-                  maxFrames: Int = 4): DataFrame = {
+                  maxFrames: Int = 4,
+                  codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("frame_idx", LongType, nullable = false),
@@ -199,13 +223,13 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](bIdx)
         if (bytes == null) Iterator.empty
         else {
-          val (_, _, _, _, nFrames) = StubCodec.decodeMeta(bytes)
+          val (_, _, _, _, nFrames) = codec.decodeMeta(bytes)
           val take = math.min(nFrames, maxFrames)
           val step = math.max(nFrames / math.max(take, 1), 1)
           val id = r.getAs[Number](iIdx).longValue()
           (0 until take).iterator.map { i =>
             Row(id, (i * step).toLong,
-              StubCodec.frameFingerprint(bytes, i * step))
+              codec.frameFingerprint(bytes, i * step))
           }
         }
       }
@@ -353,5 +377,176 @@ object Multimodal {
     fp.join(grp, col("fp") <=> col("__gfp"))
       .select(col("doc_id"), col("canonical_id"), col("n_copies"),
         (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
+  // ---- real-codec e2e (ImageIoCodec over genuine PNG/BMP payloads) --
+
+  /** Deterministic REAL-image fixtures: for each input id, an actual
+    * PNG (even ids) or BMP (odd ids) whose luminance pattern is the
+    * pure integer formula
+    * `v(x,y) = (7·(id mod 1000) + 31·x + 17·y) mod 256` over
+    * `w = 4 + 2·(id mod 5)`, `h = 4 + 2·(id mod 3)` — encoded through
+    * the JDK's own ImageIO writers, so downstream decode exercises the
+    * real container formats while the SQL oracle replays the PIXEL
+    * math analytically (it never needs to parse PNG). Dims are even
+    * so a factor-2 resize is exact. One mapPartitions pass; each task
+    * encodes only its partition's blobs.
+    */
+  def synthImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](iIdx).longValue()
+        val (w, h, pix) = synthPattern(id)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        Row(id, ImageIoCodec.encodeGray(w, h, pix, fmt))
+      }
+    }(enc)
+  }
+
+  /** The [[synthImages]] pixel formula, shared with the spec suite. */
+  def synthPattern(id: Long): (Int, Int, Array[Int]) = {
+    val w = 4 + 2 * (id % 5).toInt
+    val h = 4 + 2 * (id % 3).toInt
+    val a = 7 * (id % 1000)
+    val pix = Array.tabulate(w * h)(i =>
+      ((a + 31 * (i % w) + 17 * (i / w)) % 256).toInt)
+    (w, h, pix)
+  }
+
+  /** Decoded-pixel statistics per blob through a REAL decode: format
+    * (magic-sniffed), dimensions, Σv and the position-weighted
+    * Σ v·(1 + x + y·w) — all exact longs, so the oracle can verify the
+    * real ImageIO decode against the analytic pattern without ever
+    * touching the container bytes. Non-decodable payloads yield a NULL
+    * stats row (flagged, not dropped — corrupt-blob accounting is the
+    * production behavior). Blobs stay at rest: one mapPartitions pass,
+    * features-only output.
+    */
+  def decodeStats(df: DataFrame, blobCol: String, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("pix_sum", LongType),
+      StructField("pos_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bIdx = df.schema.fieldIndex(blobCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](iIdx).longValue()
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val g = if (bytes == null) null else ImageIoCodec.decodeGray(bytes)
+        if (g == null) Row(id, null, null, null, null, null)
+        else {
+          val (w, h, pix) = g
+          var ps = 0L; var qs = 0L; var i = 0
+          while (i < pix.length) {
+            ps += pix(i); qs += pix(i).toLong * (1 + i % w + (i / w) * w)
+            i += 1
+          }
+          Row(id, ImageIoCodec.sniffFormat(bytes), w.toLong, h.toLong, ps, qs)
+        }
+      }
+    }(enc)
+  }
+
+  /** `width`-bit aHash-style signature per REAL image: decoded
+    * luminance folded into `width` slots by pixel index, bit s set iff
+    * `width · slotsum(s) ≥ Σv` — i.e. the slot is at or above the
+    * image's mean slot mass. ALL-INTEGER binarization (the float-free
+    * analog of [[frameSignatures]]'s 0.5 threshold), so the oracle
+    * replays it exactly from the pattern. Non-decodable payloads are
+    * dropped (signature of corrupt media is meaningless).
+    * Returns `(doc_id, frame_idx = 0, sig)` — feed
+    * [[hammingNearDupPairs]] directly.
+    */
+  def imageSignatures(df: DataFrame, blobCol: String, idCol: String,
+                      width: Int): DataFrame = {
+    require(width >= 1 && width <= 64, s"width must be in [1, 64]: $width")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bIdx = df.schema.fieldIndex(blobCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Number](iIdx).longValue()
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val g = if (bytes == null) null else ImageIoCodec.decodeGray(bytes)
+        if (g == null) Iterator.empty
+        else {
+          val slots = new Array[Long](width)
+          var tot = 0L; var i = 0
+          while (i < g._3.length) {
+            slots(i % width) += g._3(i); tot += g._3(i); i += 1
+          }
+          var sig = 0L; var s = 0
+          while (s < width) {
+            if (width * slots(s) >= tot) sig |= 1L << s
+            s += 1
+          }
+          Iterator.single(Row(id, 0L, sig))
+        }
+      }
+    }(enc)
+  }
+
+  /** Real resize e2e with an IN-KERNEL roundtrip proof: decode →
+    * box-downscale ([[ImageIoCodec.boxDownscale]], floor-of-block-mean
+    * — the exact-integer math the oracle replays) → re-encode in the
+    * same container → RE-DECODE the fresh payload and require the
+    * pixels to match the computed ones (encoded bytes themselves are
+    * never fingerprinted: compression may vary by JDK, pixels may
+    * not). Emits `(doc_id, out_w, out_h, rpix_sum, rpos_sum,
+    * n_bytes_out)`; a roundtrip mismatch throws — fail loud, never
+    * ship silently-wrong media.
+    */
+  def resizeVerifiedStats(df: DataFrame, blobCol: String, idCol: String,
+                          factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("out_w", LongType),
+      StructField("out_h", LongType),
+      StructField("rpix_sum", LongType),
+      StructField("rpos_sum", LongType),
+      StructField("n_bytes_out", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bIdx = df.schema.fieldIndex(blobCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Number](iIdx).longValue()
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val g = if (bytes == null) null else ImageIoCodec.decodeGray(bytes)
+        if (g == null) Row(id, null, null, null, null, null)
+        else {
+          val (w, h, pix) = g
+          val (ow, oh, out) = ImageIoCodec.boxDownscale(w, h, pix, factor)
+          val reEnc = ImageIoCodec.encodeGray(ow, oh, out,
+            ImageIoCodec.sniffFormat(bytes))
+          val back = ImageIoCodec.decodeGray(reEnc)
+          if (back == null || back._1 != ow || back._2 != oh ||
+              !java.util.Arrays.equals(back._3, out))
+            throw new IllegalStateException(
+              s"resize roundtrip mismatch for id=$id ${ow}x$oh")
+          var ps = 0L; var qs = 0L; var i = 0
+          while (i < out.length) {
+            ps += out(i); qs += out(i).toLong * (1 + i % ow + (i / ow) * ow)
+            i += 1
+          }
+          Row(id, ow.toLong, oh.toLong, ps, qs, reEnc.length.toLong)
+        }
+      }
+    }(enc)
   }
 }

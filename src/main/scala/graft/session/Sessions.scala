@@ -23,6 +23,18 @@ object Sessions {
     */
   private val common: Seq[(String, String)] = Seq(
     "spark.sql.session.timeZone" -> "UTC",
+    // Whole-stage-codegen class cache (STATIC conf — takes effect only
+    // at session build). The 100-entry default thrashes on any
+    // many-query workload: one pass of this engine's 281-query suite
+    // pushes ~3000 generated classes through it, so by the time a
+    // query's NEXT pass runs its classes are long evicted and every
+    // pass pays Janino recompilation plus a cold-JIT execution of the
+    // fresh classes (round-10 measurement: the same pageRank run is
+    // 3.5 s with warm classes, 7.5-8.3 s after an eviction — the
+    // round-9 "graph family swings 2.6x on an unchanged plan" mystery
+    // in full). Sized to hold the whole suite's classes; a long-lived
+    // production driver wants the same headroom.
+    "spark.sql.codegen.cache.maxEntries" -> "8192",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",

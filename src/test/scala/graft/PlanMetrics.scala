@@ -44,12 +44,55 @@ object PlanMetrics {
         "(?![A-Za-z0-9_])").r.findAllMatchIn(plan).size
     }.filter(_._2 > 0).toMap
 
-  /** (mode, counts) for one query's DataFrame. */
+  /** Physical counts are REUSE-AWARE (round-10, verdict item 6): a
+    * lazily-unrolled iteration chain references the same cached/
+    * broadcast subtree from every iteration, and the flat tree print
+    * then counts it once per reference (`graph_hits` read as 708
+    * BroadcastExchange, `q_rfm` as 147 Exchange) — unroll noise that
+    * buries a REAL extra exchange in the golden diff. Here each
+    * counted node is deduplicated by its canonicalized subtree (the
+    * same semantic identity Spark's ReuseExchange rule uses), so the
+    * count is "how many DISTINCT exchanges/joins/windows does this
+    * query run", which is the number that scales. Subquery plans are
+    * included; AQE wrappers are unwrapped to their pre-execution input
+    * plan so counts stay runtime-independent.
+    */
+  def physicalCounts(plan: org.apache.spark.sql.execution.SparkPlan): Map[String, Int] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val tokens = physicalTokens.toSet
+    val seen = scala.collection.mutable.Map[String, scala.collection.mutable.Set[SparkPlan]]()
+    val visited = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Unit = if (visited.add(p)) {
+      if (tokens.contains(p.nodeName))
+        seen.getOrElseUpdate(p.nodeName,
+          scala.collection.mutable.Set[SparkPlan]()) += p.canonicalized
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        // cached relations embed the plan that materializes them — an
+        // exchange hidden inside a persisted edge relation is still a
+        // real exchange of the query that materializes it
+        case s: InMemoryTableScanExec => walk(s.relation.cachedPlan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(plan)
+    seen.map { case (k, set) => k -> set.size }.toMap
+  }
+
+  /** (mode, counts) for one query's DataFrame. Streaming queries keep
+    * the coarser string-token counts over the optimized logical plan
+    * (no batch physical plan exists pre-writeStream).
+    */
   def metrics(df: DataFrame): (String, Map[String, Int]) =
     if (df.isStreaming)
       ("logical", tokenCounts(df.queryExecution.optimizedPlan.toString, logicalTokens))
     else
-      ("physical", tokenCounts(df.queryExecution.executedPlan.toString, physicalTokens))
+      ("physical", physicalCounts(df.queryExecution.executedPlan))
 
   /** Deterministic one-line-per-query JSON of the whole inventory.
     *
