@@ -40,9 +40,14 @@ object Cluster {
       var labels = sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
         .localCheckpoint(true)
+      // node count: a narrow scan of the just-materialized checkpoint;
+      // sizes the loop's shuffles once and licenses [[Iter.tuned]]
+      // (AQE off — the per-round plan is fixed, its state size now
+      // known, so per-stage re-planning is pure latency; see Iter)
+      val n = labels.count()
       var iter = 0
       var converged = false
-      while (!converged && iter < maxIter) {
+      Iter.tuned(edges.sparkSession, n) { while (!converged && iter < maxIter) {
         // min label among each node's neighbors
         val nbrMin = sym
           .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
@@ -68,7 +73,7 @@ object Cluster {
         unpersistLocalCheckpoint(labels)
         labels = next.drop("__changed")
         iter += 1
-      }
+      } }
       // Partial labels are silently WRONG (two nodes of one component
       // can still carry different labels), so non-convergence is an
       // error, never a degraded result. Min-label propagation needs

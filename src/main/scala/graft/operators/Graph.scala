@@ -186,8 +186,11 @@ object Graph {
     var it = 0
     // <= maxIters: detecting the fixpoint costs one extra NO-CHANGE
     // pass, so a peel cascade exactly maxIters deep must still get its
-    // confirming round — maxIters bounds PRODUCTIVE rounds, not passes
-    while (!converged && it <= maxIters) {
+    // confirming round — maxIters bounds PRODUCTIVE rounds, not passes.
+    // The peel rounds run under [[Iter.tuned]] (state = the node
+    // relation, whose size the first count measured; the per-round
+    // plan is fixed, so AQE re-planning is pure latency)
+    Iter.tuned(edges.sparkSession, n) { while (!converged && it <= maxIters) {
       val next = degreesOver(alive).filter(col("deg") >= k)
         .select(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -197,7 +200,7 @@ object Graph {
       converged = m == n
       n = m
       it += 1
-    }
+    } }
     if (!converged) {
       alive.unpersist(blocking = false); sym.unpersist(blocking = false)
       throw new IllegalStateException(
@@ -478,7 +481,9 @@ object Graph {
     var frontier = visited
     var h = 1
     var exhausted = false
-    while (h <= maxHops && !exhausted) {
+    // frontier sizes vary per hop, so only AQE is dropped (the
+    // per-hop plan is fixed; session partitions stay — see Iter)
+    Iter.noAqe(edges.sparkSession) { while (h <= maxHops && !exhausted) {
       val next = frontier.select(col("node"))
         .join(sym, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
@@ -493,7 +498,7 @@ object Graph {
         frontier = next
       }
       h += 1
-    }
+    } }
     sym.unpersist()
     visited
   }
@@ -523,7 +528,8 @@ object Graph {
     var frontier = visited
     var h = 1
     var exhausted = false
-    while (h <= maxHops && !exhausted) {
+    // same fixed-plan/varying-frontier shape as [[kHopDistances]]
+    Iter.noAqe(edges.sparkSession) { while (h <= maxHops && !exhausted) {
       val next = frontier.select(col("lm"), col("node"))
         .join(sym, col("node") === col("src"))
         .select(col("lm"), col("dst").as("node")).distinct()
@@ -536,7 +542,7 @@ object Graph {
         frontier = next
       }
       h += 1
-    }
+    } }
     sym.unpersist()
     visited
   }
@@ -611,7 +617,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    // fixed per-round plan over a label relation of measured size —
+    // the [[Iter.tuned]] contract (count = narrow scan of the fresh
+    // checkpoint)
+    Iter.tuned(edges.sparkSession, labels.count()) { for (_ <- 1 to iters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
         .groupBy(col("src").as("id"))
@@ -619,7 +628,7 @@ object Graph {
       labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-    }
+    } }
     sym.unpersist()
     labels.select(col("id").as("node"), col("lbl").as("label"))
   }
