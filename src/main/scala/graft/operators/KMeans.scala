@@ -74,7 +74,9 @@ object KMeans {
     }
 
     var cents: Seq[(Int, Seq[Double])] = init.zipWithIndex.map(_.swap)
-    for (_ <- 0 until iters) {
+    // one fixed assign+aggregate job per Lloyd round over the cached
+    // vectors — skip AQE's per-stage re-plan for the loop (Iter doc)
+    Iter.noAqe(embs.sparkSession) { for (_ <- 0 until iters) {
       val assigned = e.withColumn("cell", best(cents)(col("v")).getField("cell"))
       // exact-decimal component sums: order-independent, engine-portable
       val aggs = count(lit(1)).as("n") +: (0 until dim).map(j =>
@@ -88,7 +90,7 @@ object KMeans {
         }
         r.getAs[Int]("cell") -> cv
       }.sortBy(_._1).toSeq
-    }
+    } }
 
     val fin = best(cents)(col("v"))
     val out = e.select(col("vec_id"),

@@ -80,7 +80,10 @@ object Pca {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var v: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
-      for (_ <- 1 to iters) {
+      // each power iteration replays ONE fixed aggregate job over the
+      // cached deflated frame — nothing for AQE to discover, one
+      // blocking re-plan per iteration to skip (Iter scaladoc)
+      Iter.noAqe(embs.sparkSession) { for (_ <- 1 to iters) {
         // stage the per-row projection scalar below the aggregate — inlined
         // into all `dim` aggregate expressions it would be folded dim times
         val staged = e.withColumn("__d",
@@ -94,7 +97,7 @@ object Pca {
         val nrm = math.sqrt(raw.map(x => x * x).sum) // ascending-index fold
         require(nrm > 0, "power iteration collapsed to the zero vector")
         v = raw.map(x => round6(x / nrm))
-      }
+      } }
       v
     } finally e.unpersist()
   }
