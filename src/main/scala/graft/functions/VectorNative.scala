@@ -178,6 +178,57 @@ object VectorKernels {
 
   def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** (round-6 cosine, cell) argmax of `v` against the centroid set —
+    * the k-means assignment kernel. Replicates [[cosineSim]]'s exact
+    * IEEE sequence per centroid (same element casts, same dot/sa/sb
+    * single-loop accumulation, same denom, 0.0 on zero norm) followed
+    * by [[round6]], then a strict (sim desc, cell asc) compare — so it
+    * computes bit-for-bit what the per-centroid Column form computed,
+    * in ONE tight JVM loop: expression size O(1) in k where the old
+    * k-arm `greatest(struct…)` collapsed Catalyst analysis beyond
+    * k ≈ 10³, and fully codegen'd where the HOF fold form was
+    * interpreted per row × centroid. Null-sim candidates (length
+    * mismatch / null element) are skipped; if every candidate skips,
+    * the (−∞, Int.MaxValue) floor survives — the HOF fold's exact
+    * degenerate contract.
+    */
+  def cosineArgmax(v: ArrayData, cells: Array[Int],
+                   cents: Array[Array[Double]], vFloat: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var bestSim = Double.NegativeInfinity
+    var bestCell = Int.MaxValue
+    if (!anyNull(v)) {
+      var t = 0
+      while (t < cents.length) {
+        val c = cents(t)
+        if (c.length == n) {
+          var dot = 0.0
+          var sa = 0.0
+          var sb = 0.0
+          var i = 0
+          while (i < n) {
+            val x = elemAsDouble(v, i, vFloat)
+            val y = c(i)
+            dot += x * y
+            sa += x * x
+            sb += y * y
+            i += 1
+          }
+          val denom = math.sqrt(sa) * math.sqrt(sb)
+          val sim = round6(if (denom == 0.0) 0.0 else dot / denom)
+          if (sim > bestSim || (sim == bestSim && cells(t) < bestCell)) {
+            bestSim = sim
+            bestCell = cells(t)
+          }
+        }
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSim, bestCell))
+  }
 }
 
 /** double cosine similarity of two numeric-array columns. */
@@ -276,6 +327,36 @@ case class PqEncodeExpr(child: Expression, cents: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): PqEncodeExpr = copy(child = c)
 }
 
+/** struct(sim double, cell int) k-means assignment of a numeric-array
+  * column against fitted centroids (cells + vectors carried as
+  * reference objects into generated code, like [[PqEncodeExpr]]).
+  */
+case class CosineArgmaxExpr(child: Expression, cells: Array[Int],
+                            cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cells.length == cents.length && cells.nonEmpty,
+    "need one cell label per centroid and at least one centroid")
+  private lazy val vf = VectorKernels.isFloatArray(child)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkVectorInput(child, "input")
+  override def dataType: DataType = StructType(Seq(
+    StructField("sim", DoubleType, nullable = false),
+    StructField("cell", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.cosineArgmax(
+      input.asInstanceOf[ArrayData], cells, cents, vf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("amCells", cells, "int[]")
+    val centsRef = ctx.addReferenceObj("amCents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.cosineArgmax($c, $cellsRef, $centsRef, $vf)")
+  }
+  override protected def withNewChildInternal(c: Expression): CosineArgmaxExpr =
+    copy(child = c)
+}
+
 /** Column-API wrappers. */
 object vecnative {
   def cosine_sim(a: Column, b: Column): Column =
@@ -286,4 +367,7 @@ object vecnative {
     Bridge.column(HyperplaneBucketExpr(Bridge.expression(v), dim, bits, seed))
   def pq_encode(v: Column, cents: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqEncodeExpr(Bridge.expression(v), cents))
+  def cosine_argmax(v: Column, cells: Array[Int],
+                    cents: Array[Array[Double]]): Column =
+    Bridge.column(CosineArgmaxExpr(Bridge.expression(v), cells, cents))
 }

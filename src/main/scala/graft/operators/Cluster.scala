@@ -40,11 +40,13 @@ object Cluster {
       var labels = sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
         .localCheckpoint(true)
-      // node count: a narrow scan of the just-materialized checkpoint;
-      // sizes the loop's shuffles once and licenses [[Iter.tuned]]
-      // (AQE off — the per-round plan is fixed, its state size now
-      // known, so per-stage re-planning is pure latency; see Iter)
-      val n = labels.count()
+      // sizes for [[Iter.tuned]]: both counts are narrow scans (labels
+      // was just checkpointed eagerly, which also materialized sym's
+      // cache). The loop's shuffles are sized by the LARGER of the
+      // label state and the symmetrized edge set — a round's partial
+      // aggregate volume is bounded by the edge join, not the state
+      // alone (Iter.RowsPerPartition scaladoc).
+      val n = math.max(labels.count(), sym.count())
       var iter = 0
       var converged = false
       Iter.tuned(edges.sparkSession, n) { while (!converged && iter < maxIter) {

@@ -73,16 +73,22 @@ object Graph {
     // release the persisted edge relation on the THROW path too —
     // eW is already cached when the guard evaluates, so a rejected
     // edge set must not pin a full edge copy for the session lifetime
-    val n = try {
+    val (n, m) = try {
       val guard = eW.select(explode(array(
-          struct(col("esrc").as("node"), lit(1).as("s"), lit(0).as("d")),
-          struct(col("edst").as("node"), lit(0).as("s"), lit(1).as("d"))))
+          struct(col("esrc").as("node"), lit(1L).as("s"), lit(0).as("d")),
+          struct(col("edst").as("node"), lit(0L).as("s"), lit(1).as("d"))))
           .as("x"))
         .groupBy(col("x.node"))
-        .agg(max(col("x.s")).as("hasS"), max(col("x.d")).as("hasD"))
+        .agg(max(col("x.s")).as("hasS"), max(col("x.d")).as("hasD"),
+          // out-degree rides along so the SAME job also yields the
+          // edge count — Iter.tuned sizes the iteration shuffles by
+          // max(nodes, edges), and a separate count() would be a
+          // second pass over the edge cache
+          sum(col("x.s")).as("outd"))
         .agg(count(lit(1)).as("n"),
-          sum(when(col("hasS") === 0, 1L).otherwise(0L)).as("noOut"),
-          sum(when(col("hasD") === 0, 1L).otherwise(0L)).as("noIn"))
+          sum(when(col("hasS") === 0L, 1L).otherwise(0L)).as("noOut"),
+          sum(when(col("hasD") === 0, 1L).otherwise(0L)).as("noIn"),
+          sum(col("outd")).as("m"))
         .collect()(0)
       require(guard.getAs[Long]("n") > 0, "empty graph")
       require(guard.getAs[Long]("noOut") == 0L,
@@ -91,7 +97,7 @@ object Graph {
       require(guard.getAs[Long]("noIn") == 0L,
         s"pageRank requires every src to also appear as a dst (${guard.getAs[Long]("noIn")} " +
           "contribution-less node(s) found) — symmetrize the edge set first")
-      guard.getAs[Long]("n")
+      (guard.getAs[Long]("n"), guard.getAs[Long]("m"))
     } catch {
       case t: Throwable =>
         eW.unpersist(blocking = false)
@@ -111,7 +117,7 @@ object Graph {
     // discover — is skipped (measured 2.2× on the chain at sf0.1).
     // seed from the CACHED eW (same key set as deg — its srcs), so the
     // iteration job never re-aggregates the raw edge relation
-    val checkpointed = Iter.tuned(edges.sparkSession, n) {
+    val checkpointed = Iter.tuned(edges.sparkSession, math.max(n, m)) {
       var ranks = eW.select(col("esrc").as("node")).distinct()
         .withColumn("rank", lit(1.0 / n))
       for (i <- 1 to iters) {
@@ -187,10 +193,12 @@ object Graph {
     // <= maxIters: detecting the fixpoint costs one extra NO-CHANGE
     // pass, so a peel cascade exactly maxIters deep must still get its
     // confirming round — maxIters bounds PRODUCTIVE rounds, not passes.
-    // The peel rounds run under [[Iter.tuned]] (state = the node
-    // relation, whose size the first count measured; the per-round
-    // plan is fixed, so AQE re-planning is pure latency)
-    Iter.tuned(edges.sparkSession, n) { while (!converged && it <= maxIters) {
+    // The peel rounds run under [[Iter.tuned]], sized by the LARGEST
+    // relation the round shuffles — the symmetrized edge set, not the
+    // node state (Iter.RowsPerPartition scaladoc); sym is already
+    // cached by the count above, so its count is a narrow scan
+    Iter.tuned(edges.sparkSession,
+        math.max(n, sym.count())) { while (!converged && it <= maxIters) {
       val next = degreesOver(alive).filter(col("deg") >= k)
         .select(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -617,10 +625,11 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    // fixed per-round plan over a label relation of measured size —
-    // the [[Iter.tuned]] contract (count = narrow scan of the fresh
-    // checkpoint)
-    Iter.tuned(edges.sparkSession, labels.count()) { for (_ <- 1 to iters) {
+    // fixed per-round plan, sized by the larger of the label state and
+    // the symmetrized edges the rounds join (both cached/checkpointed
+    // by now, so both counts are narrow scans)
+    Iter.tuned(edges.sparkSession,
+        math.max(labels.count(), sym.count())) { for (_ <- 1 to iters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
         .groupBy(col("src").as("id"))

@@ -30,18 +30,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Iter {
 
-  /** Target rows per reduce partition for the iteration-state shuffle —
-    * a few MB of (key, value) pairs: small enough to stay in-memory on
-    * an executor, big enough that task overhead never dominates.
+  /** Target rows per reduce partition — a few MB of (key, value)
+    * pairs: small enough to stay in-memory on an executor, big enough
+    * that task overhead never dominates.
+    *
+    * Callers must size by the LARGEST relation the loop's shuffles
+    * carry, not just the state relation: a per-iteration groupBy's
+    * map-side partial outputs are bounded by (state keys × map
+    * partitions), so a megarow edge side with a tiny conf partition
+    * count funnels tens of millions of partial rows into one or two
+    * reduce tasks (the 100× audit measured pageRank's iteration at
+    * 52 s with state-sized partitions vs 12 s sized by the edge
+    * relation — pass `max(stateRows, edgeRows)`).
     */
-  val RowsPerPartition: Long = 1000000L
+  val RowsPerPartition: Long = 250000L
 
-  /** Shuffle partition count for a loop whose per-iteration state
-    * relation has `stateRows` rows: `ceil(stateRows / 1M)`, floored at
-    * 1, capped at the session's configured `spark.sql.shuffle
-    * .partitions` (the deployment's own parallelism ceiling — a
-    * 1000-executor submit sets it in the thousands and keeps them; a
-    * 16k-node graph on the same cluster provably needs one).
+  /** Shuffle partition count for a loop whose per-iteration shuffles
+    * carry at most `stateRows` rows (see [[RowsPerPartition]] — pass
+    * the max over the relations the loop moves):
+    * `ceil(stateRows / RowsPerPartition)`, floored at 1, capped at the
+    * session's configured `spark.sql.shuffle.partitions` (the
+    * deployment's own parallelism ceiling — a 1000-executor submit
+    * sets it in the thousands and keeps them; a 16k-node graph on the
+    * same cluster provably needs one).
     */
   def partitionsFor(spark: SparkSession, stateRows: Long): Int = {
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -58,15 +69,26 @@ object Iter {
   def tuned[A](spark: SparkSession, stateRows: Long)(body: => A): A = {
     val kAqe = "spark.sql.adaptive.enabled"
     val kParts = "spark.sql.shuffle.partitions"
+    val kSmj = "spark.sql.join.preferSortMergeJoin"
     val prevAqe = spark.conf.get(kAqe)
     val prevParts = spark.conf.get(kParts)
+    val prevSmj = spark.conf.get(kSmj)
     spark.conf.set(kAqe, "false")
+    // an iteration join pairs the at-rest edge/input relation with the
+    // bounded state relation; a sort-merge join would re-SORT the
+    // megarow side EVERY round (the 100× audit measured pageRank at
+    // ~65 s/iteration doing exactly that), where a shuffled-hash join
+    // builds on the state side and streams the big side untouched —
+    // the build side is the smaller by stats, i.e. the state relation,
+    // and it fits by the same partition-sizing contract as above
+    spark.conf.set(kSmj, "false")
     if (stateRows >= 0)
       spark.conf.set(kParts, partitionsFor(spark, stateRows).toString)
     try body
     finally {
       spark.conf.set(kAqe, prevAqe)
       spark.conf.set(kParts, prevParts)
+      spark.conf.set(kSmj, prevSmj)
     }
   }
 

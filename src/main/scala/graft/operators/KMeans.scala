@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{VectorFunctions, vecnative}
 
 /** Spherical k-means (cosine Lloyd iterations) over an embedding
   * column — the training pass behind a real IVF index
@@ -46,10 +46,17 @@ object KMeans {
     // aggregate, and the final projection all read this projected/
     // rounded relation — unpersisted without it each pass re-scans and
     // re-rounds the source (same rationale as Pca.fitPc's persist)
+    // repartition before the per-row work (the Pca.fitPc rationale): a
+    // small parquet arrives as ONE input split, which would run every
+    // n·k·d assignment pass on a single core — the 100× audit caught
+    // dedup_semantic's 1M-vector assignment serialized exactly this
+    // way. The decimal centroid sums are order-independent, so the
+    // exchange cannot move any result.
     val e = embs
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("vec_id"),
         transform(col(vecCol), x => round(x.cast("double"), 6)).as("v"))
+      .repartition(session.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic hash-strided init, labeled 0..k-1 in pick order
@@ -63,15 +70,20 @@ object KMeans {
     require(init.nonEmpty, "k-means needs at least one vector")
     val dim = init.head.size
 
-    // (sim, -cell, cell) lexicographic argmax: max cosine, lowest cell
-    def best(cents: Seq[(Int, Seq[Double])])(vec: Column): Column = {
-      val ss = cents.map { case (cell, cv) =>
-        struct(
-          round(VectorFunctions.cosineSimilarity(vec, typedlit(cv)), 6).as("sim"),
-          lit(-cell).as("neg"), lit(cell).as("cell"))
-      }
-      if (ss.size == 1) ss.head else greatest(ss: _*)
-    }
+    // (sim desc, cell asc) argmax over the whole centroid set in ONE
+    // native codegen'd kernel call (vecnative.cosine_argmax) — NOT a
+    // k-arm greatest(struct…) and NOT a higher-order fold. The k-arm
+    // form's expression size is O(k): the 100× audit's adaptive
+    // k ≈ 15 600 built a 15k-branch expression whose Catalyst analysis
+    // alone took minutes; the HOF fold keeps the plan O(1) but
+    // ArrayAggregate is CodegenFallback — interpreted per row ×
+    // centroid, a 10–50× tax on the inherent n·k·d assignment flops.
+    // The kernel replays cosineSim's exact IEEE sequence + round-6 +
+    // lowest-cell tie-break, so results are bit-identical to both
+    // prior forms (oracle-pinned).
+    def best(cents: Seq[(Int, Seq[Double])])(vec: Column): Column =
+      vecnative.cosine_argmax(vec,
+        cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
 
     var cents: Seq[(Int, Seq[Double])] = init.zipWithIndex.map(_.swap)
     // one fixed assign+aggregate job per Lloyd round over the cached
