@@ -125,6 +125,32 @@ class AdviceRegressionSpec extends AnyFunSuite {
     ok.foreach(r => assert(!r.isNullAt(r.fieldIndex("jsd"))))
   }
 
+  test("advice r9#2: q_logrank's arm predicate is sign-preserving % " +
+    "(pmod would silently flip the arm for negative ids)") {
+    import spark.implicits._
+    // the behavioral fact the fix rests on: Spark % matches DuckDB %
+    // (sign-preserving) while pmod does not — on user_id = -3, the
+    // oracle's `user_id % 2 = 1` is FALSE (-3 % 2 = -1) but
+    // pmod(-3, 2) = 1 would put the row in arm A
+    val rows = Seq(-3L, -2L, 3L).toDF("user_id")
+      .select(col("user_id"),
+        (col("user_id") % 2 === 1).as("arm_mod"),
+        (pmod(col("user_id"), lit(2L)) === 1).as("arm_pmod"))
+      .collect()
+    val m = rows.map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(m(-3L) == ((false, true)), "Spark % and pmod must diverge on -3")
+    assert(m(3L) == ((true, true)))
+    // and the query source pins the sign-preserving form: the q_logrank
+    // arm must not be built from pmod (the r8#5 source-pin precedent)
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    val i = src.indexOf("\"q_logrank\" ->")
+    assert(i > 0, "q_logrank query disappeared")
+    val block = src.substring(i, src.indexOf("\" ->", i + 20) max (i + 400))
+    assert(!block.contains("pmod("), "q_logrank arm regressed to pmod")
+    assert(block.contains("% 2 === 1"), "q_logrank arm predicate changed")
+  }
+
   test("advice r9#3: kendallTauB coalesces the tie counters to 0 on " +
     "empty input, matching the oracle's degenerate-row contract") {
     import spark.implicits._
