@@ -64,8 +64,14 @@ object EntityMatch {
     d.join(c, "__blk")
       .select(col("dirty_id"),
         col("matched_id"),
-        levenshtein(col("dirty_name"), col("clean_name")).cast("long").as("distance"))
-      .filter(col("distance") <= maxDistance)
+        // threshold-bounded kernel: early-exits the DP once the running
+        // distance exceeds maxDistance (O(k·n) vs O(n·m) — the verify
+        // stage is the blocked join's entire cost), returning -1 above
+        // the bound; the filter keeps exactly the pairs the unbounded
+        // form would, with identical distances
+        levenshtein(col("dirty_name"), col("clean_name"), maxDistance)
+          .cast("long").as("distance"))
+      .filter(col("distance") >= 0)
       .groupBy(col("dirty_id"))
       .agg(min_by(struct(col("distance"), col("matched_id")),
         struct(col("distance"), col("matched_id"))).as("__best"))
@@ -97,8 +103,10 @@ object EntityMatch {
     val b = df.select(col(idCol).cast("long").as("id_b"),
       col(nameCol).as("__nb"), block(col(nameCol)).as("__blk"))
     a.join(b, "__blk")
+      // bounded kernel, same contract as in bestMatch: -1 above the
+      // threshold, so >= 0 keeps exactly the <= maxDistance pairs
       .filter(col("id_a") < col("id_b") &&
-        levenshtein(col("__na"), col("__nb")) <= maxDistance)
+        levenshtein(col("__na"), col("__nb"), maxDistance) >= 0)
       .select(col("id_a"), col("id_b"))
   }
 }
