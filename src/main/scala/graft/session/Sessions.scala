@@ -144,6 +144,17 @@ object Sessions {
         s"target/tmp/warehouse-${java.util.UUID.randomUUID()}")
       .config("spark.local.dir", s"$scratchRoot/local")
       .config("spark.sql.streaming.checkpointLocation", s"$scratchRoot/ckpt")
+      // Spark 4.1 defaults every checkpoint-file write to a paired
+      // checksum file (create + write + rename twice per state delta /
+      // offset / commit log entry) plus a per-commit validation
+      // round-trip. On this profile the checkpoint root is ephemeral
+      // tmpfs — bit-rot detection buys nothing and the doubled file
+      // mechanics are the dominant stateful micro-batch floor (measured
+      // round 11: see README bench notes). The cluster profile
+      // (`tuned`) keeps Spark's defaults: on HDFS/S3 a long-lived
+      // checkpoint wants integrity checks.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
     common.foreach { case (k, v) => b.config(k, v) }
     graftManaged.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
