@@ -33,4 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the unified memory pool (~0.6*(Xmx-300m)) comfortably holds the
   // bench suite's working set. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // The 284-query suite JIT-compiles thousands of generated wholestage
+  // classes; the JDK default 240m code cache fills mid-suite and
+  // flushing evicts still-live compiled methods, which then re-warm on
+  // the next bench pass (round-10: graph_hits official median 2.2x its
+  // own best from exactly this churn — Janino recompiles read zero,
+  // JIT time per pass stayed in the seconds). Size it so the whole
+  // suite's compiled code stays resident; a long-lived production
+  // driver wants the same headroom.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -71,8 +71,14 @@ object Bench {
           }
         }
       })
-    // last-completed-pass diagnostics per query: (gc_s, spill_mb)
-    val diag = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // last-completed-pass diagnostics per query: (gc_s, spill_mb, jit_s)
+    // — jit_s is DRIVER-JVM JIT compilation time spent while the pass
+    // ran (local mode: executors share the JVM, so it covers them too):
+    // the counter that separates "the plan is slow" from "the JVM is
+    // still compiling this plan's generated classes" (round-10
+    // graph_hits median-vs-best mystery).
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    val diag = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
 
     // per-trigger phase attribution for streaming queries (round-10
     // verdict item 1: all 21 stream_* queries moved 1.2-1.7x together
@@ -91,6 +97,7 @@ object Bench {
     // would flatter scan-heavy queries)
     def runOnce(name: String, timed: Boolean = true): Double = {
       val (g0, s0, d0) = (gcMs.get, memSpill.get, diskSpill.get)
+      val j0 = jitBean.getTotalCompilationTime
       val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try {
@@ -98,7 +105,8 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (timed) passWindow(name) = (w0, System.currentTimeMillis())
         diag(name) = ((gcMs.get - g0) / 1e3,
-          (memSpill.get - s0 + diskSpill.get - d0) / 1e6)
+          (memSpill.get - s0 + diskSpill.get - d0) / 1e6,
+          (jitBean.getTotalCompilationTime - j0) / 1e3)
         dt
       } catch {
         case e: Throwable =>
@@ -161,6 +169,17 @@ object Bench {
 
     val gcMap = names.map(n => n -> r3(diag.get(n).map(_._1).getOrElse(-1.0)))
     val spillMap = names.map(n => n -> r3(diag.get(n).map(_._2).getOrElse(-1.0)))
+    val jitMap = names.map(n => n -> r3(diag.get(n).map(_._3).getOrElse(-1.0)))
+    // code-cache / metaspace occupancy at end of run: the JDK default
+    // 240m code cache fills mid-suite and flush-evicts live compiled
+    // methods (re-warmed next pass — median inflation); publish the
+    // high-water marks so a regression of that kind is attributable.
+    val memPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+    def poolMb(prefix: String): Double = {
+      var used = 0L
+      memPools.forEach(p => if (p.getName.startsWith(prefix)) used += p.getUsage.getUsed)
+      used / 1e6
+    }
 
     // streaming trigger-phase attribution: the listener bus is async,
     // so give it a beat to drain (the calibrate() above already spent
@@ -188,6 +207,8 @@ object Bench {
     println(s"""{"metric":"spread","passes":$passes,"queries":${jmap(spread)}}""")
     println(s"""{"metric":"gc_s","queries":${jmap(gcMap)}}""")
     println(s"""{"metric":"spill_mb","queries":${jmap(spillMap)}}""")
+    println(s"""{"metric":"jit_s","code_cache_mb":${r3(poolMb("CodeHeap"))},""" +
+      s""""metaspace_mb":${r3(poolMb("Metaspace"))},"queries":${jmap(jitMap)}}""")
     println(s"""{"metric":"stream_phases","queries":$streamJson}""")
 
     val scalars = s""""value":$total,"unit":"sec","sf":$sf,""" +
@@ -209,6 +230,8 @@ object Bench {
          |"spread":${jmap(spread)},
          |"gc_s":${jmap(gcMap)},
          |"spill_mb":${jmap(spillMap)},
+         |"jit_s":${jmap(jitMap)},
+         |"code_cache_mb":${r3(poolMb("CodeHeap"))},
          |"stream":$streamJson}""".stripMargin.replace("\n", "")
     // the line the driver parses: scalar fields + as many of the
     // SLOWEST per-query medians as fit a conservative length budget
