@@ -40,55 +40,30 @@ object Graph {
                iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
 
-    // degree folded into the edge relation ONCE via a src-partitioned
-    // window count — ONE exchange (hash by src) whose output
-    // partitioning already satisfies the iteration joins, so no
-    // repartition and no separate degree join. (Round 10: the previous
-    // groupBy-deg ⋈ edges shape planned the megarow edge side as the
-    // BROADCAST build under the cached-size threshold — a full
-    // single-threaded hash-relation of the edge list per run — and
-    // pinned a second copy of the edges (`e`) for the operator's
-    // lifetime; the window form measured ~1.7× faster at sf0.1 and
-    // halves the pinned footprint. Skew exposure is identical: either
-    // shape co-locates a hub's out-edges in one task.) Disjoint column
-    // names because the iteration self-joins lineage-shared frames.
-    val eW = edges
-      .select(col("src").as("esrc"), col("dst").as("edst"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("src"))).as("deg"))
+    // Per-node relation FIRST: both closure guards (a dst-only node is
+    // a dangling sink that leaks rank; a src-only node never receives
+    // contributions and would vanish without an outer join) AND the
+    // out-degree, in ONE 2-row-explode + map-side-combinable groupBy
+    // over the raw edges. Persisted: it is simultaneously the guard
+    // input, the degree relation, and the iteration's seed node set.
+    val nodeStats = edges.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("s"), lit(0).as("d")),
+        struct(col("dst").as("node"), lit(0L).as("s"), lit(1).as("d"))))
+        .as("x"))
+      .groupBy(col("x.node"))
+      .agg(max(col("x.s")).as("hasS"), max(col("x.d")).as("hasD"),
+        sum(col("x.s")).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // node count + BOTH closure guards in ONE job — a dst-only node is
-    // a dangling sink (leaks rank), a src-only node never receives
-    // contributions (would vanish without an outer join in the
-    // iteration) — computed OVER eW so the guard's collect doubles as
-    // eW's cache materialization: one pass over the edges total, where
-    // building the guard from `e` re-aggregated the degree relation
-    // and re-scanned the raw edges in a second job (measured ~25% of
-    // the query at sf0.1, round-9 profiling). Shape: a 2-row explode
-    // per edge + ONE map-side-combinable groupBy on node + a scalar
-    // agg — round 10 replaced the distinct⋈distinct full-outer guard
-    // (3 shuffles, 4.2 s at sf0.1) with this single-shuffle form
-    // (0.9–1.3 s, same three scalars).
-    // release the persisted edge relation on the THROW path too —
-    // eW is already cached when the guard evaluates, so a rejected
-    // edge set must not pin a full edge copy for the session lifetime
+    // scalar guards materialize nodeStats (n and m ride along so no
+    // second pass sizes Iter.tuned); release it on the throw path —
+    // a rejected edge set must not pin state for the session lifetime
     val (n, m) = try {
-      val guard = eW.select(explode(array(
-          struct(col("esrc").as("node"), lit(1L).as("s"), lit(0).as("d")),
-          struct(col("edst").as("node"), lit(0L).as("s"), lit(1).as("d"))))
-          .as("x"))
-        .groupBy(col("x.node"))
-        .agg(max(col("x.s")).as("hasS"), max(col("x.d")).as("hasD"),
-          // out-degree rides along so the SAME job also yields the
-          // edge count — Iter.tuned sizes the iteration shuffles by
-          // max(nodes, edges), and a separate count() would be a
-          // second pass over the edge cache
-          sum(col("x.s")).as("outd"))
+      val guard = nodeStats
         .agg(count(lit(1)).as("n"),
           sum(when(col("hasS") === 0L, 1L).otherwise(0L)).as("noOut"),
           sum(when(col("hasD") === 0, 1L).otherwise(0L)).as("noIn"),
-          sum(col("outd")).as("m"))
+          sum(col("deg")).as("m"))
         .collect()(0)
       require(guard.getAs[Long]("n") > 0, "empty graph")
       require(guard.getAs[Long]("noOut") == 0L,
@@ -100,10 +75,31 @@ object Graph {
       (guard.getAs[Long]("n"), guard.getAs[Long]("m"))
     } catch {
       case t: Throwable =>
-        eW.unpersist(blocking = false)
+        nodeStats.unpersist(blocking = false)
         throw t
     }
     val teleport = (1.0 - damping) / n
+
+    // Degree folded into the edge relation via a FORCED shuffle-hash
+    // join against the n-row nodeStats — no sort anywhere, which is the
+    // point: the previous src-partitioned window count sorted the whole
+    // edge relation inside its exchange, and the 100× octave measured
+    // that sort as the query's dominant phase (143 s of a 237 s median,
+    // all 48 GB of its spill — sort spill is 8-byte-aligned UnsafeRows,
+    // so int-packing the columns would not have shrunk it). The
+    // SHUFFLE_HASH hint pins the n-row side as the build: without it
+    // the planner broadcasts whichever side fits under the threshold —
+    // at small SF that is the megarow edge side (a single-threaded hash
+    // relation of the whole edge list, the round-10 pathology), at 100×
+    // the deg side, and either choice leaves the cached eW partitioned
+    // by the EDGE INPUT's layout instead of hash(esrc), forcing the
+    // iteration to re-shuffle 117M rows every round. Disjoint column
+    // names because the iteration self-joins lineage-shared frames.
+    val eW = edges.select(col("src").as("esrc"), col("dst").as("edst"))
+      .join(nodeStats.select(col("node"), col("deg")).hint("shuffle_hash"),
+        col("esrc") === col("node"))
+      .select(col("esrc"), col("edst"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // iterations CHAIN LAZILY into one multi-stage job (measured ~2×
     // cheaper than checkpointing each: no per-iteration job submit +
@@ -115,15 +111,25 @@ object Graph {
     // the shuffle partition count is sized once and AQE's
     // per-stage re-plan — pure latency on a plan with nothing left to
     // discover — is skipped (measured 2.2× on the chain at sf0.1).
-    // seed from the CACHED eW (same key set as deg — its srcs), so the
-    // iteration job never re-aggregates the raw edge relation
+    // seed from the CACHED n-row nodeStats (closure ⇒ every node is a
+    // src), replacing the old eW.select(esrc).distinct() — a full
+    // edge-relation shuffle that existed only to recover the node set
+    // the guard job already holds
     val checkpointed = Iter.tuned(edges.sparkSession, math.max(n, m)) {
-      var ranks = eW.select(col("esrc").as("node")).distinct()
+      var ranks = nodeStats.select(col("node"))
         .withColumn("rank", lit(1.0 / n))
       for (i <- 1 to iters) {
         // closure guarantees every node receives ≥1 contribution, so the
-        // groupBy covers the full node set — no outer join needed
-        ranks = ranks.join(eW, col("node") === col("esrc"))
+        // groupBy covers the full node set — no outer join needed.
+        // SHUFFLE_HASH on the RANKS side pins it as the hash build: a
+        // chained/checkpointed rank relation carries the default
+        // (effectively infinite) size estimate, so without the hint the
+        // planner's "build the smaller side" picks the CACHED-and-known
+        // eW — a 117M-row hash relation per partition at the 100×
+        // octave, measured as 6 GB spill + tens of GC-seconds per
+        // iteration (the octave's whole 35 GB); the n-row build is the
+        // one that fits by Iter's partition-sizing contract
+        ranks = ranks.hint("shuffle_hash").join(eW, col("node") === col("esrc"))
           .select(col("edst"), (col("rank") / col("deg")).as("share"))
           .groupBy(col("edst"))
           .agg((lit(teleport) + lit(damping) * sum(col("share"))).as("rank"))
@@ -135,6 +141,7 @@ object Graph {
     val out = checkpointed
       .select(col("node"), round(col("rank") * n, 6).as("rank_norm"))
     eW.unpersist()
+    nodeStats.unpersist()
     out
   }
 
@@ -492,7 +499,10 @@ object Graph {
     // frontier sizes vary per hop, so only AQE is dropped (the
     // per-hop plan is fixed; session partitions stay — see Iter)
     Iter.noAqe(edges.sparkSession) { while (h <= maxHops && !exhausted) {
-      val next = frontier.select(col("node"))
+      // frontier is the bounded side — hint it as the hash build (a
+      // checkpointed frontier's default size estimate would otherwise
+      // let the planner build on the persisted edge relation)
+      val next = frontier.select(col("node")).hint("shuffle_hash")
         .join(sym, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
@@ -538,7 +548,8 @@ object Graph {
     var exhausted = false
     // same fixed-plan/varying-frontier shape as [[kHopDistances]]
     Iter.noAqe(edges.sparkSession) { while (h <= maxHops && !exhausted) {
-      val next = frontier.select(col("lm"), col("node"))
+      // same bounded-frontier build hint as [[kHopDistances]]
+      val next = frontier.select(col("lm"), col("node")).hint("shuffle_hash")
         .join(sym, col("node") === col("src"))
         .select(col("lm"), col("dst").as("node")).distinct()
         .join(visited, Seq("lm", "node"), "left_anti")
@@ -630,8 +641,15 @@ object Graph {
     // by now, so both counts are narrow scans)
     Iter.tuned(edges.sparkSession,
         math.max(labels.count(), sym.count())) { for (_ <- 1 to iters) {
+      // the label state is the bounded side by Iter's sizing contract;
+      // hint it as the hash build — a checkpointed state relation
+      // carries the default size estimate, so the planner would
+      // otherwise build on whichever side it happens to know (the
+      // pageRank 100×-octave lesson: that picked the 117M-row edge
+      // cache, 6 GB spill per round)
       val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nl"))
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nl")).as("nm"))
       labels = labels.join(nbrMin, Seq("id"), "left")

@@ -1,18 +1,37 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
-/** One-shot phase/plan probe for pageRank at the 100x replica. */
+/** One-shot phase probe for pageRank at the 100x replica — rebuilt in
+  * round 11 for the nodeStats + shuffle-hash-deg shape: times each
+  * phase AND attributes GC/spill to it via a task-metrics listener, so
+  * "where do the octave's gigabytes of spill come from" is measured
+  * per phase instead of guessed from the query total.
+  */
 object Profile100 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("target/scale100")
     val spark = graft.session.Sessions.local(32, 32, "graft-profile100")
+    import java.util.concurrent.atomic.AtomicLong
+    val gcMs = new AtomicLong; val spill = new AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            gcMs.addAndGet(m.jvmGCTime): Unit
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+          }
+        }
+      })
     def t[A](label: String)(body: => A): A = {
+      val (g0, s0) = (gcMs.get, spill.get)
       val t0 = System.nanoTime()
       val r = body
-      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        f"gc=${(gcMs.get - g0) / 1e3}%.1f s spill=${(spill.get - s0) / 1e6}%.0f MB")
       r
     }
     def ld(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -24,46 +43,40 @@ object Profile100 {
     }
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val eW = t("eW window build+persist+count") {
-      val x = edges.select(col("src").as("esrc"), col("dst").as("edst"),
-          count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+    val nodeStats = t("nodeStats explode+groupBy persist+guard") {
+      val ns = edges.select(explode(array(
+          struct(col("src").as("node"), lit(1L).as("s"), lit(0).as("d")),
+          struct(col("dst").as("node"), lit(0L).as("s"), lit(1).as("d")))).as("x"))
+        .groupBy(col("x.node"))
+        .agg(max(col("x.s")).as("hasS"), max(col("x.d")).as("hasD"),
+          sum(col("x.s")).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val g = ns.agg(count(lit(1)).as("n"), sum(col("deg")).as("m")).collect()(0)
+      println(s"[prof] n=${g.getAs[Long]("n")} m=${g.getAs[Long]("m")}")
+      ns
+    }
+    val n = nodeStats.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    val eW = t("eW shuffle-hash deg join persist+count") {
+      val x = edges.select(col("src").as("esrc"), col("dst").as("edst"))
+        .join(nodeStats.select(col("node"), col("deg")).hint("shuffle_hash"),
+          col("esrc") === col("node"))
+        .select(col("esrc"), col("edst"), col("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       println(s"[prof] eW rows: ${x.count()}, partitions: ${x.rdd.getNumPartitions}")
       x
     }
-    val n = t("guard explode+groupBy") {
-      eW.select(explode(array(
-          struct(col("esrc").as("node"), lit(1).as("s"), lit(0).as("d")),
-          struct(col("edst").as("node"), lit(0).as("s"), lit(1).as("d")))).as("x"))
-        .groupBy(col("x.node"))
-        .agg(max(col("x.s")).as("hasS"))
-        .agg(count(lit(1)).as("n")).collect()(0).getAs[Long]("n")
-    }
-    println(s"[prof] n nodes: $n")
-    def oneIter(label: String, parts: String, smj: String): Unit = {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", smj)
-      val ranks = eW.select(col("esrc").as("node")).distinct()
-        .withColumn("rank", lit(1.0 / n))
-      val it = ranks.join(eW, col("node") === col("esrc"))
+    var ranks = nodeStats.select(col("node")).withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to 5) {
+      ranks = ranks.join(eW, col("node") === col("esrc"))
         .select(col("edst"), (col("rank") / col("deg")).as("share"))
         .groupBy(col("edst"))
-        .agg(sum(col("share")).as("rank"))
-      if (args.length > 1) it.explain()
-      t(s"ONE iteration [$label]") { it.write.format("noop").mode("overwrite").save() }
+        .agg((lit(0.03) + lit(0.85) * sum(col("share"))).as("rank"))
+        .select(col("edst").as("node"), col("rank"))
+      ranks = t(s"iteration $i (checkpoint)") { ranks.localCheckpoint() }
     }
-    oneIter("parts=2 shj", "2", "false")
-    oneIter("parts=2 smj", "2", "true")
-    oneIter("parts=32 shj", "32", "false")
-    oneIter("parts=32 smj", "32", "true")
-    // plan for the winner
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-    val ranks = eW.select(col("esrc").as("node")).distinct().withColumn("rank", lit(1.0 / n))
-    ranks.join(eW, col("node") === col("esrc"))
-      .select(col("edst"), (col("rank") / col("deg")).as("share"))
-      .groupBy(col("edst")).agg(sum(col("share")).as("rank")).explain()
+    if (args.length > 1) ranks.explain()
     spark.stop()
   }
 }
