@@ -1297,17 +1297,41 @@ object SparkEntry {
     // supplier), counted per supplier, top 10. No correlated re-scan
     // of the fact table — the order stats come from the same join.
     "q21_late_solo_suppliers" -> ((s, dir) => {
+      // shuffle-hash hint on the orders side: a sort-merge fact join
+      // would sort the lineitem side — at the 100x octave that sort was
+      // most of the query's disk spill; the hash build is the (bounded)
+      // per-partition orders slice instead
       val lo = ld(s, dir, "lineitem")
-        .join(ld(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(ld(s, dir, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-      val stats = lo.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      // ONE distinct-pair aggregate feeds BOTH consumers (round 11: the
+      // r10 shape ran the fact join twice — its exchanges reused but
+      // each execution re-SORTED the lineitem side, the query's whole
+      // 14 GB spill at the 100x octave — and then paid a third shuffle
+      // for the late-pair distinct). COUNT(DISTINCT l_suppkey) ≡ COUNT
+      // over the distinct (orderkey, suppkey) pairs and the late
+      // distinct ≡ pairs where ANY row is late, so one groupBy(ok, sk)
+      // + max(late) carries everything. The explicit repartition on
+      // l_orderkey is the reuse point: both consumers' subtrees are
+      // identical through it, so the pair aggregate executes ONCE and
+      // everything downstream (per-order stats, late filter, the
+      // stats⋈pairs join) is already co-partitioned on l_orderkey —
+      // zero further exchanges until the final per-supplier rollup.
+      val pairs = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+        .repartition(col("l_orderkey"))
+      val stats = pairs.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
         .select(col("l_orderkey"))
-      lo.filter(col("late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .join(stats, "l_orderkey")
+      // qualifying orders are a large fraction of ALL orders at scale —
+      // beyond broadcast, so pin the bounded side as a shuffle-hash
+      // build (both sides already share the pair partitioning)
+      pairs.filter(col("late")).select(col("l_orderkey"), col("l_suppkey"))
+        .join(stats.hint("shuffle_hash"), "l_orderkey")
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
         .join(broadcast(ld(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_name"), col("numwait"))
