@@ -50,13 +50,42 @@ object GateManifest {
     }
   }
 
+  /** Streaming shape pins from the bench's trigger-phase section:
+    * micro-batch count and stateful-operator count per query. These are
+    * the plan-shape equivalent for streams (the batch PlanGate cannot
+    * see a streaming query's physical plan — it replans per trigger),
+    * so a dropped watermark/stateful operator or a changed staging
+    * split shows up as a MANIFEST diff and fails InventorySpec's
+    * coverage pin.
+    */
+  private def streamShapes(): Map[String, String] = {
+    val f = new java.io.File("target/bench-latest.json")
+    if (!f.exists()) Map.empty
+    else {
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val sIdx = txt.indexOf("\"stream\":{")
+      if (sIdx < 0) Map.empty
+      else {
+        val body = txt.substring(sIdx + "\"stream\":{".length)
+        ("\"([A-Za-z0-9_]+)\":\\{\"n_triggers\":(\\d+),\"data_triggers\":(\\d+)," +
+          "\"input_rows\":(\\d+),\"state_ops\":(\\d+)").r
+          .findAllMatchIn(body)
+          .map(m => m.group(1) ->
+            s"""{"n_triggers":${m.group(2)},"state_ops":${m.group(5)}}""")
+          .toMap
+      }
+    }
+  }
+
   def render(): String = {
     val plans = planLines()
     val bench = benchMedians()
+    val streams = streamShapes()
     val rows = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (name, sql) =>
       val parts = Seq(
         Some("\"oracle_md5\":\"" + md5(sql) + "\""),
         plans.get(name).map(p => "\"plan\":" + p),
+        streams.get(name).map(s => "\"stream\":" + s),
         bench.get(name).map(b => "\"bench_median_s\":" + b)
       ).flatten.mkString(",")
       "\"" + name + "\": {" + parts + "}"

@@ -148,6 +148,40 @@ class InventorySpec extends AnyFunSuite {
         s"stale=${(inManifest -- declared).toSeq.sorted}")
   }
 
+  // Streaming queries have no PlanGate shape pin (their physical plan
+  // is rebuilt per trigger), so their MANIFEST record carries the
+  // stream-shape equivalent instead: micro-batch count + stateful
+  // operator count from the bench's trigger-phase listener. Pin that
+  // every declared stream_* query has one with a stateful operator and
+  // at least one micro-batch — a query that silently lost its
+  // watermark/stateful op (or stopped streaming at all) would
+  // otherwise only show up as an unexplained wall-clock move.
+  test("gate streams: MANIFEST carries n_triggers/state_ops for every stream query") {
+    val f = new java.io.File(GateManifest.path)
+    assume(f.exists())
+    val txt = java.nio.file.Files.readString(f.toPath)
+    assume(txt.contains("\"stream\":"), "MANIFEST predates the stream-shape gate")
+    val entry = "^\"([A-Za-z0-9_]+)\": \\{.*\"stream\":\\{\"n_triggers\":(\\d+),\"state_ops\":(\\d+)\\}".r
+    val shapes = txt.linesIterator.flatMap { l =>
+      entry.findFirstMatchIn(l.trim).map(m =>
+        m.group(1) -> (m.group(2).toInt, m.group(3).toInt))
+    }.toMap
+    val declared = SparkEntry.queries.keySet.filter(_.startsWith("stream_"))
+    val missing = declared.filterNot(shapes.contains)
+    assert(missing.isEmpty,
+      s"stream queries without a MANIFEST stream-shape record (regenerate " +
+        s"after a bench run: sbt \"Test/runMain graft.GateManifest\"): " +
+        missing.toSeq.sorted.mkString(", "))
+    val degenerate = declared.toSeq.sorted.flatMap { q =>
+      val (t, ops) = shapes(q)
+      (if (t < 1) Seq(s"$q: n_triggers=$t") else Nil) ++
+        (if (ops < 1) Seq(s"$q: state_ops=$ops") else Nil)
+    }
+    assert(degenerate.isEmpty,
+      s"degenerate stream shapes (lost stateful operator or never " +
+        s"triggered): ${degenerate.mkString(", ")}")
+  }
+
   test("README's query count matches the declared inventory") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
