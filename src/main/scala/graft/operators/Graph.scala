@@ -9,8 +9,9 @@ import org.apache.spark.storage.StorageLevel
   * documents inside duplicate clusters or to weight crawl sources by
   * link authority (Page et al. 1999).
   *
-  * Scale shape: the edge list (degree folded in by a src-partitioned
-  * window count) is hash-partitioned by `src` ONCE and persisted; each
+  * Scale shape: the edge list (degree folded in by a shuffle-hash join
+  * against the per-node stats relation — never a sort) is
+  * hash-partitioned by `src` ONCE and persisted; each
   * iteration moves only the rank relation (2 cols, one row per node)
   * against that partitioning and aggregates contributions per `dst`
   * with map-side combine — the closure guard proves every node
