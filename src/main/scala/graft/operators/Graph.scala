@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -56,15 +56,28 @@ object Graph {
         sum(col("x.s")).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // scalar guards materialize nodeStats (n and m ride along so no
-    // second pass sizes Iter.tuned); release it on the throw path —
-    // a rejected edge set must not pin state for the session lifetime
-    val (n, m) = try {
+    // scalar guards materialize nodeStats (n, m and the id range ride
+    // along so no second pass sizes Iter.tuned or decides packing);
+    // release it on the throw path — a rejected edge set must not pin
+    // state for the session lifetime
+    val srcType = edges.schema("src").dataType
+    val idIsIntegral = srcType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val (n, m, pack) = try {
       val guard = nodeStats
         .agg(count(lit(1)).as("n"),
           sum(when(col("hasS") === 0L, 1L).otherwise(0L)).as("noOut"),
           sum(when(col("hasD") === 0, 1L).otherwise(0L)).as("noIn"),
-          sum(col("deg")).as("m"))
+          sum(col("deg")).as("m"),
+          (if (idIsIntegral) min(col("node").cast("long"))
+           else lit(null).cast("long")).as("minId"),
+          (if (idIsIntegral) max(col("node").cast("long"))
+           else lit(null).cast("long")).as("maxId"))
         .collect()(0)
       require(guard.getAs[Long]("n") > 0, "empty graph")
       require(guard.getAs[Long]("noOut") == 0L,
@@ -73,13 +86,26 @@ object Graph {
       require(guard.getAs[Long]("noIn") == 0L,
         s"pageRank requires every src to also appear as a dst (${guard.getAs[Long]("noIn")} " +
           "contribution-less node(s) found) — symmetrize the edge set first")
-      (guard.getAs[Long]("n"), guard.getAs[Long]("m"))
+      // int-pack the iteration's working set when the MEASURED id range
+      // (and every degree, bounded by m) fits 32 bits: the persisted
+      // edge relation and every per-iteration shuffle row shrink ~2×,
+      // which at the 100× octave is the difference between the cached
+      // working set fitting the single-JVM storage pool and evicting /
+      // spilling under suite cache pressure. Ids outside int range (or
+      // non-integral node ids) keep the untouched wide path — the
+      // decision is made from measured data, never assumed.
+      val fitsInt = idIsIntegral && !guard.isNullAt(guard.fieldIndex("minId")) &&
+        guard.getAs[Long]("minId") >= Int.MinValue.toLong &&
+        guard.getAs[Long]("maxId") <= Int.MaxValue.toLong &&
+        guard.getAs[Long]("m") <= Int.MaxValue.toLong
+      (guard.getAs[Long]("n"), guard.getAs[Long]("m"), fitsInt)
     } catch {
       case t: Throwable =>
         nodeStats.unpersist(blocking = false)
         throw t
     }
     val teleport = (1.0 - damping) / n
+    def pk(c: Column): Column = if (pack) c.cast("int") else c
 
     // Degree folded into the edge relation via a FORCED shuffle-hash
     // join against the n-row nodeStats — no sort anywhere, which is the
@@ -96,8 +122,9 @@ object Graph {
     // by the EDGE INPUT's layout instead of hash(esrc), forcing the
     // iteration to re-shuffle 117M rows every round. Disjoint column
     // names because the iteration self-joins lineage-shared frames.
-    val eW = edges.select(col("src").as("esrc"), col("dst").as("edst"))
-      .join(nodeStats.select(col("node"), col("deg")).hint("shuffle_hash"),
+    val eW = edges.select(pk(col("src")).as("esrc"), pk(col("dst")).as("edst"))
+      .join(nodeStats.select(pk(col("node")).as("node"), pk(col("deg")).as("deg"))
+          .hint("shuffle_hash"),
         col("esrc") === col("node"))
       .select(col("esrc"), col("edst"), col("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -117,7 +144,7 @@ object Graph {
     // edge-relation shuffle that existed only to recover the node set
     // the guard job already holds
     val checkpointed = Iter.tuned(edges.sparkSession, math.max(n, m)) {
-      var ranks = nodeStats.select(col("node"))
+      var ranks = nodeStats.select(pk(col("node")).as("node"))
         .withColumn("rank", lit(1.0 / n))
       for (i <- 1 to iters) {
         // closure guarantees every node receives ≥1 contribution, so the
@@ -140,7 +167,8 @@ object Graph {
       ranks.localCheckpoint()
     }
     val out = checkpointed
-      .select(col("node"), round(col("rank") * n, 6).as("rank_norm"))
+      .select((if (pack) col("node").cast(srcType) else col("node")).as("node"),
+        round(col("rank") * n, 6).as("rank_norm"))
     eW.unpersist()
     nodeStats.unpersist()
     out
