@@ -44,16 +44,27 @@ object Graph {
     // Per-node relation FIRST: both closure guards (a dst-only node is
     // a dangling sink that leaks rank; a src-only node never receives
     // contributions and would vanish without an outer join) AND the
-    // out-degree, in ONE 2-row-explode + map-side-combinable groupBy
-    // over the raw edges. Persisted: it is simultaneously the guard
-    // input, the degree relation, and the iteration's seed node set.
-    val nodeStats = edges.select(explode(array(
-        struct(col("src").as("node"), lit(1L).as("s"), lit(0).as("d")),
-        struct(col("dst").as("node"), lit(0L).as("s"), lit(1).as("d"))))
-        .as("x"))
-      .groupBy(col("x.node"))
-      .agg(max(col("x.s")).as("hasS"), max(col("x.d")).as("hasD"),
-        sum(col("x.s")).as("deg"))
+    // out-degree. Persisted: it is simultaneously the guard input, the
+    // degree relation, and the iteration's seed node set. Shape: two
+    // SINGLE-COLUMN map-side-combined aggregates (out-degree by src,
+    // in-presence by dst) full-outer-joined on the node — both sides
+    // leave their aggregate hash-partitioned on the join key with the
+    // same partition count, so the join adds NO exchange. This
+    // replaced the earlier 2-row-explode + one groupBy: that shape
+    // pushed 2|E| struct rows through one partial aggregate, and at
+    // the 100× octave (234M exploded rows) its per-task hash table was
+    // the query's entire remaining spill when suite-lifetime caches
+    // squeeze the execution pool; the split form halves the aggregate
+    // input twice over (no doubling, one narrow column each).
+    val nodeStats = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .join(edges.select(col("dst").as("node")).distinct()
+          .withColumn("hasD", lit(1)),
+        Seq("node"), "full_outer")
+      .select(col("node"),
+        when(col("deg").isNotNull, lit(1L)).otherwise(lit(0L)).as("hasS"),
+        coalesce(col("hasD"), lit(0)).as("hasD"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // scalar guards materialize nodeStats (n, m and the id range ride
