@@ -129,8 +129,23 @@ object Sessions {
     "spark.sql.extensions" -> "graft.ext.GraftExtensions",
     "spark.graft.failOnGlobalWindow" -> "true")
 
+  /** Local profile. `streamIntegrity` (default ON) keeps Spark 4.1's
+    * checkpoint-file checksums and state-commit validation — the
+    * correctness gate (Verify) and tests run with every safety net the
+    * cluster profile has. The BENCH-flavored entrypoints (Bench, Time,
+    * the profiling tools) pass `streamIntegrity = false`: Spark 4.1
+    * defaults every checkpoint-file write to a paired checksum file
+    * (create + write + rename twice per state delta / offset / commit
+    * log entry) plus a per-commit validation round-trip, and on tmpfs
+    * checkpoints that machinery — not the engine — is the dominant
+    * stateful micro-batch floor (measured round 11: see README bench
+    * notes). Scoping the override to the bench flavor means the
+    * published numbers measure the engine while verify runs keep the
+    * integrity checks (round-11 advice).
+    */
   def local(cores: Int = 32, shufflePartitions: Int = 32,
-            appName: String = "graft"): SparkSession = {
+            appName: String = "graft",
+            streamIntegrity: Boolean = true): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -144,17 +159,10 @@ object Sessions {
         s"target/tmp/warehouse-${java.util.UUID.randomUUID()}")
       .config("spark.local.dir", s"$scratchRoot/local")
       .config("spark.sql.streaming.checkpointLocation", s"$scratchRoot/ckpt")
-      // Spark 4.1 defaults every checkpoint-file write to a paired
-      // checksum file (create + write + rename twice per state delta /
-      // offset / commit log entry) plus a per-commit validation
-      // round-trip. On this profile the checkpoint root is ephemeral
-      // tmpfs — bit-rot detection buys nothing and the doubled file
-      // mechanics are the dominant stateful micro-batch floor (measured
-      // round 11: see README bench notes). The cluster profile
-      // (`tuned`) keeps Spark's defaults: on HDFS/S3 a long-lived
-      // checkpoint wants integrity checks.
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .config("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+    if (!streamIntegrity) {
+      b.config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      b.config("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+    }
     common.foreach { case (k, v) => b.config(k, v) }
     graftManaged.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
@@ -162,6 +170,14 @@ object Sessions {
     quietCheckpointRelease()
     spark
   }
+
+  /** The bench flavor: identical to [[local]] with the streaming
+    * integrity-check overhead scoped OUT (see the `streamIntegrity`
+    * doc above) — the flavor every published number comes from.
+    */
+  def localBench(cores: Int = 32, shufflePartitions: Int = 32,
+                 appName: String = "graft-bench"): SparkSession =
+    local(cores, shufflePartitions, appName, streamIntegrity = false)
 
   /** Iterative operators (Cluster.connectedComponents) deterministically
     * release dead localCheckpoint blocks each round; Spark logs a WARN

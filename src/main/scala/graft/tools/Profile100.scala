@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
 object Profile100 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("target/scale100")
-    val spark = graft.session.Sessions.local(32, 32, "graft-profile100")
+    val spark = graft.session.Sessions.localBench(32, 32, "graft-profile100")
     import java.util.concurrent.atomic.AtomicLong
     val gcMs = new AtomicLong; val spill = new AtomicLong
     spark.sparkContext.addSparkListener(
@@ -43,13 +43,20 @@ object Profile100 {
     }
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val nodeStats = t("nodeStats explode+groupBy persist+guard") {
-      val ns = edges.select(explode(array(
-          struct(col("src").as("node"), lit(1L).as("s"), lit(0).as("d")),
-          struct(col("dst").as("node"), lit(0L).as("s"), lit(1).as("d")))).as("x"))
-        .groupBy(col("x.node"))
-        .agg(max(col("x.s")).as("hasS"), max(col("x.d")).as("hasD"),
-          sum(col("x.s")).as("deg"))
+    // mirrors Graph.pageRank's shipped shape (round 11): two
+    // single-column map-side aggregates full-outer-joined on the node —
+    // the probe's per-phase attribution must measure the production
+    // build, not the retired explode+array+groupBy form
+    val nodeStats = t("nodeStats split-agg full-outer persist+guard") {
+      val ns = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .join(edges.select(col("dst").as("node")).distinct()
+            .withColumn("hasD", lit(1)),
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          when(col("deg").isNotNull, lit(1L)).otherwise(lit(0L)).as("hasS"),
+          coalesce(col("hasD"), lit(0)).as("hasD"),
+          coalesce(col("deg"), lit(0L)).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val g = ns.agg(count(lit(1)).as("n"), sum(col("deg")).as("m")).collect()(0)
       println(s"[prof] n=${g.getAs[Long]("n")} m=${g.getAs[Long]("m")}")

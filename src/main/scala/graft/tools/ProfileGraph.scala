@@ -15,7 +15,7 @@ object ProfileGraph {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 2
-    val spark = graft.session.Sessions.local(32, 32, "graft-profile")
+    val spark = graft.session.Sessions.localBench(32, 32, "graft-profile")
     def t[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()
       val r = body

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object ScratchTime {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.session.Sessions.local(32, 32, "graft-scratch")
+    val spark = graft.session.Sessions.localBench(32, 32, "graft-scratch")
     def t[A](label: String)(f: => A): Double = {
       val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9

@@ -66,13 +66,29 @@ object GateManifest {
       val sIdx = txt.indexOf("\"stream\":{")
       if (sIdx < 0) Map.empty
       else {
-        val body = txt.substring(sIdx + "\"stream\":{".length)
-        ("\"([A-Za-z0-9_]+)\":\\{\"n_triggers\":(\\d+),\"data_triggers\":(\\d+)," +
-          "\"input_rows\":(\\d+),\"state_ops\":(\\d+)").r
+        // bound at the section's close (entries are flat objects, so
+        // the first "}}"): objects after a future trailing field must
+        // not leak into the shape map
+        val rest = txt.substring(sIdx + "\"stream\":{".length)
+        val close = rest.indexOf("}}")
+        val body = if (close >= 0) rest.substring(0, close + 1) else rest
+        // fields parsed INDIVIDUALLY per query object — a pin to
+        // Bench's exact field ORDER silently yielded zero records on
+        // any reorder/insertion, which (pre-round-12) erased the
+        // stream-shape gate without a signal (round-11 advice)
+        val parsed = "\"([A-Za-z0-9_]+)\":\\{([^}]*)\\}".r
           .findAllMatchIn(body)
-          .map(m => m.group(1) ->
-            s"""{"n_triggers":${m.group(2)},"state_ops":${m.group(5)}}""")
-          .toMap
+          .flatMap { m =>
+            def field(k: String): Option[String] =
+              ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(m.group(2)).map(_.group(1))
+            for (t <- field("n_triggers"); ops <- field("state_ops"))
+              yield m.group(1) -> s"""{"n_triggers":$t,"state_ops":$ops}"""
+          }.toMap
+        require(body.trim.startsWith("}") || parsed.nonEmpty,
+          "bench-latest.json has a non-empty stream section but zero " +
+            "records parsed — Bench's streamJson format drifted; fix " +
+            "streamShapes() before regenerating MANIFEST")
+        parsed
       }
     }
   }

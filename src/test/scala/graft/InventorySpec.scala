@@ -160,7 +160,14 @@ class InventorySpec extends AnyFunSuite {
     val f = new java.io.File(GateManifest.path)
     assume(f.exists())
     val txt = java.nio.file.Files.readString(f.toPath)
-    assume(txt.contains("\"stream\":"), "MANIFEST predates the stream-shape gate")
+    // assert, not assume (round-11 advice): the gate is established as
+    // of r11's MANIFEST — a regeneration from a bench-latest.json whose
+    // stream section was dropped (or a missing bench file) must FAIL
+    // here, not silently cancel the pin
+    assert(txt.contains("\"stream\":"),
+      "MANIFEST carries no stream-shape records — regenerate from a " +
+        "bench run whose stream section is present (run Bench, then " +
+        "sbt \"Test/runMain graft.GateManifest\")")
     val entry = "^\"([A-Za-z0-9_]+)\": \\{.*\"stream\":\\{\"n_triggers\":(\\d+),\"state_ops\":(\\d+)\\}".r
     val shapes = txt.linesIterator.flatMap { l =>
       entry.findFirstMatchIn(l.trim).map(m =>
