@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -233,6 +233,44 @@ object ShingleKernels {
   def normalizeText(text: UTF8String): UTF8String =
     UTF8String.fromString(new String(normalize(text.toString)))
 
+  /** Threshold-bounded Levenshtein with common-affix trimming —
+    * bit-identical to Spark's `levenshtein(l, r, threshold)` (actual
+    * distance when ≤ threshold, -1 above it), measured faster on the
+    * entity-resolution verify path: edit distance is invariant under
+    * removing a shared prefix and a shared suffix (any optimal
+    * alignment matches identical affixes), and blocked candidates
+    * share long affixes BY CONSTRUCTION (the blocking key is a
+    * substring of the name), so the banded DP runs on the few bytes
+    * that can actually differ instead of the whole string. Trims land
+    * on codepoint boundaries (a continuation byte is never a cut
+    * point), so multibyte text is handled exactly; the remainders
+    * delegate to `UTF8String.levenshteinDistance` zero-copy.
+    */
+  private def isCont(b: Byte): Boolean = (b & 0xC0) == 0x80
+
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, k: Int): Int = {
+    val na = a.numBytes; val nb = b.numBytes
+    val n = math.min(na, nb)
+    var i = 0
+    while (i < n && a.getByte(i) == b.getByte(i)) i += 1
+    // back off to a codepoint boundary: the kept remainder must START
+    // a character on both sides (bytes below i are shared, so the two
+    // checks see the same bytes whenever both are in range)
+    while (i > 0 && ((i < na && isCont(a.getByte(i))) ||
+                     (i < nb && isCont(b.getByte(i))))) i -= 1
+    var j = 0
+    val maxJ = n - i // never overlap the kept prefix
+    while (j < maxJ && a.getByte(na - 1 - j) == b.getByte(nb - 1 - j)) j += 1
+    // the trimmed common suffix must itself start on a char boundary
+    while (j > 0 && (isCont(a.getByte(na - j)) || isCont(b.getByte(nb - j)))) j -= 1
+    if (na - i - j == 0 && nb - i - j == 0) 0
+    else {
+      val ra = UTF8String.fromAddress(a.getBaseObject, a.getBaseOffset + i, na - i - j)
+      val rb = UTF8String.fromAddress(b.getBaseObject, b.getBaseOffset + i, nb - i - j)
+      ra.levenshteinDistance(rb, k)
+    }
+  }
+
   /** splitmix64 of the index — deterministic per-salt constant. */
   def salt(i: Int): Long = {
     var z = i.toLong + 0x9E3779B97F4A7C15L
@@ -335,8 +373,29 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashes = copy(child = c)
 }
 
+/** int edit distance of two string columns when ≤ k, -1 above —
+  * Spark's `levenshtein(l, r, k)` contract, computed by the
+  * affix-trimming kernel ([[ShingleKernels.boundedLevenshtein]]).
+  */
+case class LevenshteinWithin(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 0, s"threshold must be >= 0, got $k")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ShingleKernels.boundedLevenshtein(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ShingleKernels.boundedLevenshtein($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LevenshteinWithin = copy(left = l, right = r)
+}
+
 /** Column-API wrappers for the native expressions. */
 object native {
+  def levenshtein_within(a: Column, b: Column, k: Int): Column =
+    Bridge.column(LevenshteinWithin(Bridge.expression(a), Bridge.expression(b), k))
   def char_shingle_hashes(c: Column, n: Int): Column =
     Bridge.column(CharShingleHashes(Bridge.expression(c), n))
   def token_hashes(c: Column): Column =

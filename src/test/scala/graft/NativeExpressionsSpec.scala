@@ -208,4 +208,40 @@ class NativeExpressionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
   }
+
+  test("levenshtein_within matches Spark's levenshtein(l, r, k) exactly, incl. multibyte") {
+    // deterministic generator: random edits over a shared-affix base
+    // (the blocked-join shape) plus unicode and pathological cases
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("abcdefg", "0123456789", "\u00e9\u00fc\u4e2d\u6587\ud83d\ude00ab")
+    def randStr(alpha: String, len: Int): String = {
+      val sb = new StringBuilder
+      (0 until len).foreach(_ => sb.append(alpha.charAt(rnd.nextInt(alpha.length))))
+      sb.toString
+    }
+    val cases = scala.collection.mutable.ArrayBuffer[(String, String)](
+      ("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+      ("Customer#000000001", "Customer#000000101"),
+      ("Customer#000000001", "Customer#00000001"),
+      ("caf\u00e9", "cafe"), ("\u4e2d\u6587ab", "\u4e2d\u6587ba"),
+      ("\ud83d\ude00x\ud83d\ude00", "\ud83d\ude00y\ud83d\ude00"))
+    for (_ <- 1 to 400; alpha <- alphabets) {
+      val pre = randStr(alpha, rnd.nextInt(12))
+      val suf = randStr(alpha, rnd.nextInt(12))
+      val mid1 = randStr(alpha, rnd.nextInt(5))
+      val mid2 = randStr(alpha, rnd.nextInt(5))
+      cases += ((pre + mid1 + suf, pre + mid2 + suf))
+    }
+    for (k <- 0 to 3) {
+      val df = cases.toSeq.toDF("a", "b")
+      val got = df.select(
+          native.levenshtein_within($"a", $"b", k).as("mine"),
+          levenshtein($"a", $"b", k).as("spark"))
+        .collect()
+      got.zip(cases).foreach { case (r, (a, b)) =>
+        assert(r.getInt(0) == r.getInt(1),
+          s"k=$k a='$a' b='$b': mine=${r.getInt(0)} spark=${r.getInt(1)}")
+      }
+    }
+  }
 }
