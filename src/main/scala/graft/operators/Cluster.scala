@@ -50,9 +50,18 @@ object Cluster {
       var iter = 0
       var converged = false
       Iter.tuned(edges.sparkSession, n) { while (!converged && iter < maxIter) {
-        // min label among each node's neighbors
+        // min label among each node's neighbors. SHUFFLE_HASH on the
+        // LABELS side pins it as the hash build: a localCheckpoint'd
+        // relation carries the default (effectively infinite) size
+        // estimate, so the planner's "build the smaller side" picks
+        // the CACHED-and-known sym — a full edge-relation hash build
+        // per iteration (measured at the 100× octave inside
+        // dedup_fuzzy_clusters: 27M-edge builds, 14-23 s of GC per
+        // fixpoint). The label side is the one Iter's partition-sizing
+        // contract guarantees fits.
         val nbrMin = sym
-          .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+          .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp"))
+            .hint("shuffle_hash"), "dst")
           .groupBy(col("src").as("id"))
           .agg(min(col("nbr_comp")).as("nbr_min"))
         // the changed flag rides inside the checkpointed frame, so the
