@@ -597,23 +597,39 @@ object Corpus {
   def importanceWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 64,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nBuckets >= 1)
-    val toks = docs.select(col(idCol), isTarget.cast("boolean").as("__t"),
+    // Collapse the exploded token stream to per-(doc, bucket) counts
+    // FIRST and checkpoint that: the raw token relation feeds both the
+    // model fit (bucket counts) and the scoring join, and as two
+    // uncached subtrees of one plan the tokenize + per-token md5 pass
+    // ran TWICE (measured round 12: the two scans were the query's
+    // dominant cost). The histogram is ≤ nBuckets rows per doc — far
+    // smaller than the token stream — so the broadcast-join + per-doc
+    // aggregate now move bucket counts, not tokens (guide §2.3:
+    // aggregate before you shuffle).
+    val hist = docs.select(col(idCol), isTarget.cast("boolean").as("__t"),
         explode(TextFunctions.nonEmptyTokens(lower(col(textCol)))).as("tok"))
       .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
         lit(nBuckets.toLong)))
-    val counts = toks.groupBy(col("b"))
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
-        sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+      .groupBy(col(idCol), col("__t"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val counts = hist.groupBy(col("b"))
+      .agg(sum(when(col("__t"), col("n")).otherwise(0L)).as("ct"),
+        sum(when(col("__t"), 0L).otherwise(col("n"))).as("cr"))
     val totals = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val ratios = counts.crossJoin(broadcast(totals))
       .select(col("b"),
         round(log((col("ct") + 1).cast("double") / (col("nt") + nBuckets).cast("double"))
           - log((col("cr") + 1).cast("double") / (col("nr") + nBuckets).cast("double")), 6)
           .as("lr"))
-    val agg = toks.join(broadcast(ratios), "b")
+    // n identical 6-dp decimals sum to exactly n × the decimal (scale-12
+    // multiplication by an integer is exact), so the per-bucket product
+    // replays the old per-token decimal sum bit-for-bit.
+    val agg = hist.join(broadcast(ratios), "b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lr").cast("decimal(25,12)")).cast("double"), 6).as("weight"))
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum(col("lr").cast("decimal(25,12)") * col("n")).cast("double"), 6)
+          .as("weight"))
     docs.select(col(idCol), isTarget.cast("boolean").as("is_target"))
       .join(agg, Seq(idCol), "left")
       .select(col(idCol), col("is_target"),
