@@ -330,9 +330,14 @@ object SparkEntry {
           }
       })
 
+  // parity-packed LONG node ids (customer k → 2k, supplier k → 2k+1):
+  // the iteration working sets of pageRank/hits hash and move 8-byte
+  // longs instead of the 'c'/'s'-prefixed strings, and pageRank's
+  // measured int-packing can fire; the two consuming queries restore
+  // the exact prefixed strings via Graph.unpackPurchaseNode
   private def purchasePairsCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     edgeCache.computeIfAbsent((s, dir, "pp"), _ =>
-      graft.operators.Graph.purchasePairs(ld(s, dir, "orders"), ld(s, dir, "lineitem"))
+      graft.operators.Graph.purchasePairsPacked(ld(s, dir, "orders"), ld(s, dir, "lineitem"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def coActivityCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
@@ -3514,7 +3519,10 @@ object SparkEntry {
         val p = purchasePairsCached(s, dir)
         p.select(col("c").as("src"), col("s").as("dst"))
           .union(p.select(col("s").as("src"), col("c").as("dst")))
-      }, iters = 5, damping = 0.85)),
+      }, iters = 5, damping = 0.85)
+        // packed-long ids back to the declared 'c'/'s'-prefixed strings
+        .select(graft.operators.Graph.unpackPurchaseNode(col("node")).as("node"),
+          col("rank_norm"))),
 
     // Fixed-2-round synchronous min-label propagation over the user
     // co-activity graph — non-converged on purpose (labels travel two
@@ -3537,7 +3545,10 @@ object SparkEntry {
     "graph_hits" -> ((s, dir) =>
       graft.operators.Graph.hits(purchasePairsCached(s, dir)
           .select(col("c").as("src"), col("s").as("dst")),
-        iters = 3)),
+        iters = 3)
+        // packed-long ids back to the declared 'c'/'s'-prefixed strings
+        .select(graft.operators.Graph.unpackPurchaseNode(col("node")).as("node"),
+          col("kind"), col("score"))),
 
     // Degree histogram of the user co-activity graph (slot-keyed
     // self-join, multiplicity >= 3) — two map-side-combined groupBys.

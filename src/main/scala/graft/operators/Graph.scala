@@ -654,6 +654,34 @@ object Graph {
         concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
       .distinct()
 
+  /** [[purchasePairs]] with the two overlapping key spaces packed into
+    * disjoint LONGS instead of 'c'/'s'-prefixed strings: customer k →
+    * 2k, supplier k → 2k+1 (reversible by parity + shiftright). Every
+    * join key, groupBy key and iteration working-set row of
+    * [[pageRank]]/[[hits]] over this relation then hashes and compares
+    * 8-byte longs instead of variable-length UTF8 strings, the distinct
+    * that builds the relation shuffles longs, and pageRank's MEASURED
+    * int-packing can actually fire — a string id never packs.
+    * [[unpackPurchaseNode]] restores the exact prefixed-string ids for
+    * the declared outputs.
+    */
+  def purchasePairsPacked(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("s"))
+      .distinct()
+
+  /** Inverse of [[purchasePairsPacked]]'s key packing: even → "c"+k/2,
+    * odd → "s"+(k−1)/2 — bit-identical to the strings
+    * [[purchasePairs]] builds (integral casts print the same digits
+    * from int or long).
+    */
+  def unpackPurchaseNode(node: Column): Column =
+    concat(when(node % 2 === 0, lit("c")).otherwise(lit("s")),
+      shiftright(node, 1).cast("string"))
+
   /** Fixed-iteration synchronous min-label propagation over an
     * undirected canonical edge set `(a, b)`: every node starts as its
     * own label and takes `min(own, min(neighbor labels))` each round.
