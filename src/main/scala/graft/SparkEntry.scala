@@ -308,13 +308,13 @@ object SparkEntry {
   // Bounded LRU, evicted entries unpersisted: the previous unbounded
   // ConcurrentHashMap pinned persisted frames of STOPPED sessions
   // forever in a long-lived JVM (Verify/Bench/tests each build fresh
-  // sessions — round-6 advice). Seven tags exist per (session, sfDir)
-  // — pp, ca, or, lp, cc, mh, dc — so 32 entries covers two sessions
-  // × two sfDirs concurrently (a live test session alongside a Verify
-  // replaying both SFs) without evicting still-live memoized
+  // sessions — round-6 advice). Nine tags exist per (session, sfDir)
+  // — pp, ca, cs, or, lp, cc, mh, dc, lm — so 40 entries covers two
+  // sessions × two sfDirs concurrently (a live test session alongside
+  // a Verify replaying both SFs) without evicting still-live memoized
   // relations mid-run; eviction is only a perf hiccup (recompute is
   // deterministic), never a correctness event.
-  private val edgeCacheMax = 32
+  private val edgeCacheMax = 40
   private val edgeCache: java.util.Map[(SparkSession, String, String),
       org.apache.spark.sql.DataFrame] =
     java.util.Collections.synchronizedMap(
@@ -344,6 +344,22 @@ object SparkEntry {
     edgeCache.computeIfAbsent((s, dir, "ca"), _ =>
       graft.operators.Graph.coActivityEdges(ld(s, dir, "events"), minCo = 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The symmetrized, src-partitioned BFS walk relation over the
+    * co-activity edges, memoized like the edge relations: three
+    * BFS-family queries (k-hop, landmark closeness, landmark
+    * eccentricity) walk the identical relation, and each otherwise
+    * re-unions and re-shuffles it per query (Graph.symmetrizeBySrc
+    * scaladoc).
+    */
+  private def coActivitySymCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // resolve the edge relation BEFORE entering computeIfAbsent (see
+    // labelPropCached for the access-order CME trap)
+    val edges = coActivityCached(s, dir)
+    edgeCache.computeIfAbsent((s, dir, "cs"), _ =>
+      graft.operators.Graph.symmetrizeBySrc(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** The MinHash-LSH candidate-pair relation over documents, memoized
     * like the graph edge relations: five dedup_* queries consume it
@@ -420,6 +436,19 @@ object SparkEntry {
       graft.operators.Cluster.connectedComponents(edges, "a", "b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
+
+  /** The bigram count-LM per-doc scores, memoized like the LSH
+    * candidate relation: `text_bigram_lm` returns them and
+    * `corpus_ccnet_buckets` bucket-labels them at the corpus score
+    * percentiles — the count-LM fit (tokenize + bigram/unigram/vocab
+    * aggregates + the three-way score join) is their shared dominant
+    * prefix, and a warehouse trains such a model once, not per
+    * consumer (the minHashCandidatesCached rationale).
+    */
+  private def bigramLmCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    edgeCache.computeIfAbsent((s, dir, "lm"), _ =>
+      Corpus.bigramLmScore(ld(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Per-JVM memoized bucketed tables for `q_bucketed_join`: bucketBy(8)
     * + sortBy both sides on the join key, once per sfDir (dir-keyed
@@ -3151,8 +3180,7 @@ object SparkEntry {
     // under add-one smoothing. Counts are map-side-combined aggs;
     // scoring is N:1 equi-joins on the bigram/prefix keys + one
     // decimal-sum per-doc agg — no windows, no driver model state.
-    "text_bigram_lm" -> ((s, dir) =>
-      Corpus.bigramLmScore(ld(s, dir, "documents"))),
+    "text_bigram_lm" -> ((s, dir) => bigramLmCached(s, dir)),
 
     // CCNet-style head/middle/tail quality bucketing: the corpus is
     // split at the 33rd/67th percentile of the count-LM score (higher
@@ -3166,7 +3194,7 @@ object SparkEntry {
     // aggregate for approx_percentile exactly as q_percentiles_approx
     // demonstrates — the bucket projection is unchanged.
     "corpus_ccnet_buckets" -> ((s, dir) => {
-      val scored = Corpus.bigramLmScore(ld(s, dir, "documents"))
+      val scored = bigramLmCached(s, dir)
         .filter(col("avg_logp").isNotNull)
       val th = scored.agg(
         expr("percentile(avg_logp, array(0.3333, 0.6667))").as("th"))
@@ -3636,7 +3664,7 @@ object SparkEntry {
     // expansion (one CTE per hop).
     "graph_khop" -> ((s, dir) => {
       val ev = ld(s, dir, "events")
-      graft.operators.Graph.kHopDistances(coActivityCached(s, dir),
+      graft.operators.Graph.kHopDistancesOver(coActivitySymCached(s, dir),
         ev.select(col("user_id").as("node")).filter(col("node") % 50 === 0).distinct(),
         maxHops = 3)
     }),
@@ -3649,7 +3677,7 @@ object SparkEntry {
     // rest; hop-0 self rows are excluded from the readout.
     "graph_closeness" -> ((s, dir) => {
       val ev = ld(s, dir, "events")
-      graft.operators.Graph.landmarkDistances(coActivityCached(s, dir),
+      graft.operators.Graph.landmarkDistancesOver(coActivitySymCached(s, dir),
         ev.select(col("user_id").as("lm")).filter(col("lm") % 13 === 0).distinct(),
         maxHops = 2)
         .filter(col("hop") >= 1)
@@ -3667,7 +3695,7 @@ object SparkEntry {
     // marks landmarks whose walk hit the cap (ecc is a floor there).
     "graph_eccentricity" -> ((s, dir) => {
       val ev = ld(s, dir, "events")
-      graft.operators.Graph.landmarkEccentricity(coActivityCached(s, dir),
+      graft.operators.Graph.landmarkEccentricityOver(coActivitySymCached(s, dir),
         ev.select(col("user_id").as("lm")).filter(col("lm") % 41 === 0)
           .distinct(),
         maxHops = 3)
@@ -3781,15 +3809,22 @@ object SparkEntry {
         TF.qualityScore(col("text")).as("quality"),
         TF.contentFingerprint(col("text")).as("fp"))
         .filter(col("quality") >= 0.75)
-      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      // keep the smallest doc_id per fingerprint with a partial-
+      // aggregating min_by (SortAggregate — the struct buffer is not
+      // hash-aggregable): like the previous row_number window's
+      // WindowGroupLimit it ships at most one row per (fingerprint,
+      // map partition), but drops the reduce-side Window machinery for
+      // a plain final aggregate (guide §2.3; measured −7% at sf0.1).
+      // doc_id is unique, so "min_by doc_id" is exactly the rn = 1 row.
       scored
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+        .groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("text"), col("quality")),
+          col("doc_id")).as("__keep"))
         .select(
-          col("doc_id"),
-          TF.langId(col("text")).as("lang_pred"),
-          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-          col("quality"))
+          col("__keep.doc_id").as("doc_id"),
+          TF.langId(col("__keep.text")).as("lang_pred"),
+          TF.tokenCount(col("__keep.text")).cast("long").as("n_tokens"),
+          col("__keep.quality").as("quality"))
     }),
 
     // ---- similarity search --------------------------------------
