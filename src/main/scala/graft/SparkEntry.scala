@@ -288,6 +288,23 @@ object SparkEntry {
     * move (state partitioning is a physical choice, and the oracle
     * compare is partitioning-blind).
     */
+  /** State partitions for the stream-stream JOIN queries: a symmetric
+    * join keeps FOUR state stores per partition (keyToNumValues +
+    * keyWithIndexToValue on each side), so at 8 partitions one trigger
+    * opens/commits 32 stores where a single-operator aggregation
+    * commits 8 — the fixed per-store open/commit floor, not state
+    * volume, dominated the join family's triggers (round-12 stream
+    * meter: state_commit 4.7–8.3 s attributed per join query). Halving
+    * to 4 keeps the per-trigger store count at the single-operator
+    * queries' level; measured at sf0.1/local[32]: semi 2.82→2.12,
+    * outer 2.56→2.17, full_outer 2.94→2.26, interval 1.65→1.47 s —
+    * and 2 partitions lose it back (fatter per-store commits + lost
+    * compute parallelism). A cluster deployment still sizes this to
+    * executors × cores like any stream; the knob stays a parameter of
+    * [[withStateParts]], and results are partitioning-blind.
+    */
+  private val joinStateParts = 4
+
   private def withStateParts[A](s: SparkSession, parts: Int = 8)(body: => A): A =
     this.synchronized {
       val key = "spark.sql.shuffle.partitions"
@@ -4432,7 +4449,7 @@ object SparkEntry {
     // form of a stream join (unbounded buffering is what breaks at
     // scale). Inner-join matches emit in the batch they occur, so an
     // AvailableNow pass over the file source is deterministic.
-    "stream_interval_join" -> ((s, dir) => withStateParts(s) {
+    "stream_interval_join" -> ((s, dir) => withStateParts(s, joinStateParts) {
       def side(tpe: String) = eventsStream(s, dir)
         .filter(col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -4466,7 +4483,7 @@ object SparkEntry {
     // closing watermark. Purchases that watermark never clears are
     // withheld — correct unbounded-stream semantics, and the oracle
     // models the boundary explicitly (as stream_late_data does).
-    "stream_outer_join" -> ((s, dir) => withStateParts(s) {
+    "stream_outer_join" -> ((s, dir) => withStateParts(s, joinStateParts) {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -4506,7 +4523,7 @@ object SparkEntry {
     // state outlives the batch until the watermark clears it. Since
     // unmatched rows never emit, watermark withholding is unobservable
     // and the result equals the batch semi join exactly.
-    "stream_semi_join" -> ((s, dir) => withStateParts(s) {
+    "stream_semi_join" -> ((s, dir) => withStateParts(s, joinStateParts) {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -4544,7 +4561,7 @@ object SparkEntry {
     // a purchase is provably unmatched at ts < wm, a click only at
     // ts + 30min < wm (a future purchase could still reach back). The
     // oracle models both eviction boundaries.
-    "stream_full_outer_join" -> ((s, dir) => withStateParts(s) {
+    "stream_full_outer_join" -> ((s, dir) => withStateParts(s, joinStateParts) {
       val ev = ld(s, dir, "events")
       val inDir = stagedInputDir("split2", dir) { in =>
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
